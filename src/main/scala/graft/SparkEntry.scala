@@ -1,13 +1,544 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.agg.Folds
+import graft.core.Tables
+import graft.io.{Csv, CsvDialect}
+import graft.ops.{Dedup, Relational, Similarity}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract: the full operator inventory (SURVEY.md §2) plus the
+  * corpus-pipeline extensions, each as a runnable query with (where SQL can
+  * express it) a DuckDB oracle on the same parquet tables.
+  *
+  * Numeric-parity convention: every SUM/AVG over double columns goes through
+  * DECIMAL(18,2) (exact cents, order-independent) and back to double, so the
+  * result is bit-identical between Spark and the oracle regardless of
+  * aggregation order. Std-dev is derived from the exact decimal sums via the
+  * sum-of-squares formula — the same formula the reference uses
+  * (agnes src/stats.rs:139-161).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- helpers -------------------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact decimal sum of a 2-dp double column, back to double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact decimal sum of a product of two 2-dp columns. */
+  private def dsum2(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- queries -------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.6 aggregation over multi-column key; §2.8 arithmetic expressions
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(dsum(col("l_quantity")), 2).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double"), 2).as("sum_disc_price"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3 filter + §2.2 projection (predicates push to the parquet scan)
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_discount") >= 0.05 &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.4 equi-join chain + aggregation; dims broadcast
+    "q03_join_agg_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // §2.4 theta join (equi conjunct keeps it hash-joinable at scale)
+    "q04_theta_join" -> ((s, dir) => {
+      val sup = broadcast(t(s, dir, "supplier")); val c = t(s, dir, "customer")
+      c.join(sup, c("c_nationkey") === sup("s_nationkey") && sup("s_acctbal") < c("c_acctbal"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(dsum(col("c_acctbal") - col("s_acctbal")) / count(lit(1)), 6).as("avg_gap"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // §2.5 stable sort (NA-first) + limit
+    "q05_sort_limit" -> ((s, dir) => {
+      Relational.sortStable(t(s, dir, "customer"), Seq("c_acctbal"), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal")).limit(100)
+    }),
+
+    // §2.6 unique_values
+    "q06_unique" -> ((s, dir) => {
+      Relational.unique(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.7 melt (wide→long via stack)
+    "q07_melt" -> ((s, dir) => {
+      Relational.melt(t(s, dir, "lineitem"),
+          hold = Seq("l_orderkey", "l_linenumber"),
+          meltCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          nameCol = "metric", valueCol = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // §2.2 merge / positional column-bind
+    "q08_bind_columns" -> ((s, dir) => {
+      val d = t(s, dir, "documents").orderBy(col("doc_id"))
+      val l = d.select(col("doc_id"), col("lang"))
+      val r = d.select(col("n_chars"), col("source"))
+      Relational.bindColumns(l, r).orderBy(col("doc_id"))
+    }),
+
+    // §2.6 summary statistics (view_stats) — exact decimal sums + the
+    // reference's sumsq-based variance formula (stats.rs:139-161)
+    "q09_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { cname =>
+        val c = col(cname)
+        Seq(count(c).as(s"${cname}__n"),
+          round(min(c), 4).as(s"${cname}__min"),
+          round(max(c), 4).as(s"${cname}__max"),
+          round(dsum(c), 2).as(s"${cname}__sum"),
+          dsum2(c, c).as(s"${cname}__sumsq"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { c =>
+        s"'$c', `${c}__n`, `${c}__min`, `${c}__max`, `${c}__sum`, `${c}__sumsq`"
+      }.mkString(", ")
+      wide.select(expr(s"stack(${cols.size}, $stacked) as (field, n, min, max, sum, sumsq)"))
+        .withColumn("mean", round(col("sum") / col("n"), 6))
+        .withColumn("stdev", round(sqrt(
+          (col("sumsq") - col("sum") * col("sum") / col("n")) / (col("n") - 1)), 6))
+        .select("field", "n", "min", "max", "sum", "mean", "stdev")
+        .orderBy("field")
+    }),
+
+    // §2.10 custom user fold via Aggregator/udaf (arbitrary-fold aggregate)
+    "q10_custom_fold" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(Folds.sumSqCol(col("l_quantity")), 2).as("sumsq_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.7 row append (union)
+    "q11_union_append" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Relational.union(o.filter(col("o_orderstatus") === "O"),
+          o.filter(col("o_orderstatus") === "F"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // window functions (beyond reference): per-group top-k
+    "q12_window_topk" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // semi join (EXISTS)
+    "q13_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      Relational.semiJoin(c, o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // anti join (NOT EXISTS)
+    "q14_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      Relational.antiJoin(c, o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // left outer join (beyond reference; FUTURE.md lists outer joins as future)
+    "q15_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(dsum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // grouping sets / rollup (beyond reference)
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(dsum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // as-of join (beyond reference): latest signup at-or-before each purchase,
+    // per user — one window pass over a tagged union, no point lookups.
+    "q17_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ns"), lit(1).as("tag"),
+          lit(null).cast("long").as("event_id"), col("ts_ns").as("signup_ns"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), lit(0).as("tag"),
+          col("event_id"), lit(null).cast("long").as("signup_ns"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").asc, col("tag").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sign.unionByName(pur)
+        .withColumn("last_signup_ns", last(col("signup_ns"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0)
+        // µs precision: the oracle engine truncates ns-parquet to µs on read
+        .select(col("event_id"), expr("last_signup_ns div 1000").as("last_signup_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // tumbling-window aggregation over event time (batch form of the
+    // streaming window op)
+    "q18_window_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"), col("hour_start"))
+    }),
+
+    // distinct aggregate (beyond reference)
+    "q19_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.1 CSV source: write a slice as CSV, reload through the sniffing
+    // loader (dialect + schema), verify against the parquet-born oracle.
+    "q20_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val slice = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      Csv.write(slice.coalesce(1), tmp)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+        StructField("l_returnflag", StringType)))
+      Csv.load(s, tmp, dialect = Some(CsvDialect(',', 0, header = true)), schema = Some(schema))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- corpus-pipeline extensions ---------------------------------------
+
+    // exact dedup: canonical (min id) per distinct text
+    "d21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_dups")).orderBy(col("doc_id"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (inverted shingle index)
+    "d22_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash + LSH candidates, exact-verified at the same threshold
+    "d23_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (banded Hamming buckets)
+    "d24_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // text quality metrics
+    "t25_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+          TextFunctions.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // regex (BPE-ish) token counting
+    "t26_token_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.regexTokenCount(col("text")).cast("long").as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // canonical-form document fingerprint (md5 of sorted distinct tokens)
+    "t27_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.canonicalFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // heuristic language ID (marker-token argmax)
+    "t28_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact brute-force cosine top-k (ANN baseline)
+    "s29_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // LSH-bucketed ANN (the scale path; approximate)
+    "s30_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10, planes = 6)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same parquet tables) --------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount >= 0.05 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg_revenue" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_theta_join" ->
+      """SELECT s_nationkey, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) - CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_gap
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey AND s_acctbal < c_acctbal
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q05_sort_limit" ->
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal ASC NULLS FIRST, c_custkey LIMIT 100",
+
+    "q06_unique" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+
+    "q07_melt" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q08_bind_columns" ->
+      "SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id",
+
+    "q09_stats" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS field, count(l_quantity) AS n, round(min(l_quantity),4) AS min, round(max(l_quantity),4) AS max,
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),2) AS sum,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(l_extendedprice), round(min(l_extendedprice),4), round(max(l_extendedprice),4),
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', count(l_discount), round(min(l_discount),4), round(max(l_discount),4),
+        |    round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),2),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', count(l_tax), round(min(l_tax),4), round(max(l_tax),4),
+        |    round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE),2),
+        |    CAST(sum(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem)
+        |SELECT field, n, min, max, sum, round(sum/n, 6) AS mean,
+        |  round(sqrt((sumsq - sum*sum/n) / (n-1)), 6) AS stdev
+        |FROM s ORDER BY field""".stripMargin,
+
+    "q10_custom_fold" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS DOUBLE), 2) AS sumsq_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_union_append" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+        |      UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q15_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q17_asof_join" ->
+      """SELECT e.event_id,
+        |  (SELECT epoch_us(max(b.ts)) FROM events b
+        |   WHERE b.user_id = e.user_id AND b.event_type = 'signup' AND b.ts <= e.ts) AS last_signup_us
+        |FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
+
+    "q18_window_hourly" ->
+      """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type, hour_start ORDER BY event_type, hour_start""".stripMargin,
+
+    "q19_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q20_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d21_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
+
+    "d22_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH with 16 bands of 4 catches J>=0.8 pairs w.p. ~0.9998 each; verified
+    // empirically: identical to the exact pair set on the gate dataset.
+    "d23_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "t25_text_quality" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  round(CAST(list_sum([len(x) for x in t]) AS DOUBLE) / len(t), 4) AS avg_token_len,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "t26_token_regex" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t27_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t28_langid" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len([x for x in t if x IN ('der','die','das','und','ist')]) AS sde,
+        |  len([x for x in t if x IN ('the','a','of','and','is')]) AS sen,
+        |  len([x for x in t if x IN ('el','la','de','y','es')]) AS ses,
+        |  len([x for x in t if x IN ('le','la','de','et','est')]) AS sfr,
+        |  len([x for x in t if x IN ('de','le','shi','he','zai')]) AS szh
+        |  FROM s)
+        |SELECT doc_id, CASE
+        |  WHEN sde = 0 AND sen = 0 AND ses = 0 AND sfr = 0 AND szh = 0 THEN 'und'
+        |  WHEN sde >= sen AND sde >= ses AND sde >= sfr AND sde >= szh THEN 'de'
+        |  WHEN sen >= ses AND sen >= sfr AND sen >= szh THEN 'en'
+        |  WHEN ses >= sfr AND ses >= szh THEN 'es'
+        |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "s29_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+        |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+        |     sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cosine
+        |  FROM q, c WHERE qid <> nid),
+        |ranked AS (SELECT qid, nid, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM scored)
+        |SELECT qid AS query_id, nid AS neighbor_id, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+  )
 }

@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * The reference engine (agnes-rs/agnes, /root/reference/src/lib.rs:9-55) is a
+  * single-node in-memory columnar library; graft re-expresses its capabilities
+  * on Apache Spark. Everything here is plain public Spark API: the session is
+  * tuned for deterministic, oracle-comparable output (UTC timezone, AQE on,
+  * shuffle parallelism sized to cores rather than the 200 default).
+  */
+object Engine {
+
+  /** Standard configs applied to any graft session. `nanosAsLong` is needed
+    * because the driver test data writes `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader otherwise rejects.
+    */
+  def builder(master: String = "local[32]", cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def session(master: String = "local[32]", cpus: Int = 32): SparkSession = {
+    val s = builder(master, cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). One parquet
+  * file per table; `events.ts` arrives as raw nanosecond longs (see
+  * [[Engine.builder]]) and is normalized here to a micros TIMESTAMP plus the
+  * raw `ts_ns` column, so both precise arithmetic and time functions work.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+    else df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines (beyond the
+  * reference surface — agnes has no string function library at all,
+  * SURVEY.md §2.8). Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` / higher-order array expressions — no
+  * Scala UDFs in the hot path, so whole-stage codegen stays intact and every
+  * op scales linearly with a plain map-side pass (no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space delimiter for oracle parity with
+    * DuckDB's `string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings; rows with fewer than n tokens yield an
+    * empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*)))
+  }
+
+  /** Token count via whitespace split. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alphanumeric runs + single punctuation marks.
+    * Implemented with `regexp_count` (Spark ≥ 3.4, codegen'd). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Mean token length, 4-dp rounded; 0.0 for empty docs. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(coalesce(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t),
+      lit(0.0)), 4)
+  }
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    round(size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t), 4)
+  }
+
+  /** Fraction of characters that are ASCII letters or space. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") / length(text), 4)
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
+    * low alpha ratio and extreme stopword ratios — the usual cheap heuristics
+    * a pretraining-data pipeline applies before expensive model scoring. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = stopwordRatio(text, stopwords)
+    val stopScore = lit(1.0) - abs(stop - lit(0.15)) // sweet spot ~15% stopwords
+    round(greatest(lit(0.0), least(lit(1.0), (lenScore + alpha + stopScore) / lit(3.0))), 4)
+  }
+
+  /** Canonical-form document fingerprint: md5 of the sorted distinct token
+    * set. Identical content up to token order/multiplicity collides — the
+    * cheap "bag of words" dedup key. Portable: DuckDB computes the same via
+    * md5(array_to_string(list_sort(list_distinct(string_split(..))), ' ')). */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling hash over the token sequence (order-sensitive fingerprint):
+    * Horner-style fold h = xxhash64(h, token) — overflow-free chained
+    * hashing entirely in codegen'd expressions. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tkn) => xxhash64(acc, tkn))
+
+  /** Per-language marker-token profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny, broadcast-inlined into the expression tree. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai"))
+
+  /** Heuristic language ID: argmax of marker-token hits, deterministic
+    * lexicographic tie-break, "und" (undetermined) when no marker hits. */
+  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val t = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(size(filter(t, x => x.isInCollection(ws))).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then max lang — to get the
+    // lexicographically-SMALLEST lang on ties, compare on (hits, reversed rank).
+    val ranked = markers.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, ws), i) =>
+      struct(
+        size(filter(t, x => x.isInCollection(ws))).as("hits"),
+        lit(markers.size - i).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The reference operator inventory (SURVEY.md §2) as Spark-first
+  * combinators. Each op is a thin declarative layer over the DataFrame API so
+  * Catalyst keeps full pushdown/pruning/codegen freedom; nothing here
+  * collects to the driver.
+  *
+  * Reference semantics cited from agnes-rs/agnes v0.3.2:
+  *  - selection/reorder: src/view.rs:140-183
+  *  - rename: src/view.rs:539-601
+  *  - filter (permutation view): src/view.rs:766-779
+  *  - stable sort, NA-first: src/view.rs:694-713, src/permute.rs:93-115
+  *  - unique (first occurrence): src/view.rs:1009-1091
+  *  - merge / column-bind (positional, equal row count): src/view.rs:603-653
+  *  - inner sort-merge equi/theta join, single key per side:
+  *    src/view.rs:655-679, src/join.rs:206-531
+  *  - melt (wide→long): src/view.rs:1276-1376
+  *  - aggregate (multi-key group, single value fold): src/view.rs:1496-1586
+  */
+object Relational {
+
+  /** Column subset + reorder (agnes `v::<Labels![...]>`). */
+  def select(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** Rename one field (agnes `relabel`). */
+  def rename(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** Row filter. agnes predicates see NA explicitly but comparisons with NA
+    * are false (src/value.rs:122-132) — identical to SQL null semantics, so a
+    * plain Column predicate reproduces the behavior and stays pushdown-able.
+    */
+  def filterRows(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  /** Stable ascending sort by `keys`, NA first (matches agnes NA-lesser
+    * ordering, src/view.rs:700-702). Spark sorts are not stable across equal
+    * keys, so callers needing reproducible total order pass `tiebreak`
+    * columns (e.g. the table's natural key) — same trick the reference gets
+    * implicitly from its stable single-threaded sort.
+    */
+  def sortStable(df: DataFrame, keys: Seq[String], tiebreak: Seq[String] = Nil): DataFrame =
+    df.orderBy((keys ++ tiebreak).map(c => col(c).asc_nulls_first): _*)
+
+  def sortBy(df: DataFrame, keys: Seq[Column]): DataFrame = df.orderBy(keys: _*)
+
+  /** Distinct rows of the selected columns (agnes `unique_values`). */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).dropDuplicates()
+
+  /** Positional column-bind of two equal-length tables (agnes `merge`,
+    * src/view.rs:603-653 — errors on row-count mismatch, view.rs:629-636).
+    *
+    * Spark has no positional identity across DataFrames, so each side gets a
+    * dense row index via `zipWithIndex` (one lightweight count-per-partition
+    * pass, no shuffle) and the bind is an equi-join on that index. At scale
+    * this shuffles both sides once on a perfectly uniform key — the best
+    * available plan for an inherently positional operation.
+    */
+  def bindColumns(left: DataFrame, right: DataFrame): DataFrame = {
+    val (lc, rc) = (left.count(), right.count())
+    require(lc == rc, s"bindColumns: row count mismatch ($lc vs $rc)")
+    val l = withRowIndex(left, "__bind_idx")
+    val r = withRowIndex(right, "__bind_idx2")
+    l.join(r, l("__bind_idx") === r("__bind_idx2"), "inner")
+      .drop("__bind_idx", "__bind_idx2")
+  }
+
+  /** Dense 0-based row index in current order (no shuffle; two passes). */
+  def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Wide→long melt (agnes `melt`, src/view.rs:1276-1376): the N `meltCols`
+    * become (`nameCol`:string, `valueCol`) pairs, hold columns repeated N per
+    * input row, row-major — exactly the emission order of Spark's `stack`.
+    * All melt columns must share one type (reference requires the same,
+    * view.rs:1165-1166).
+    */
+  def melt(df: DataFrame, hold: Seq[String], meltCols: Seq[String],
+           nameCol: String = "name", valueCol: String = "value"): DataFrame = {
+    val stackArgs = meltCols.map(c => s"'$c', `$c`").mkString(", ")
+    val stackExpr = s"stack(${meltCols.size}, $stackArgs) as (`$nameCol`, `$valueCol`)"
+    df.select(hold.map(col) :+ expr(stackExpr): _*)
+  }
+
+  /** Row append (documented-but-unimplemented in the reference,
+    * src/view.rs:8-10); by-name union with Spark. */
+  def union(l: DataFrame, r: DataFrame): DataFrame = l.unionByName(r)
+
+  def limitRows(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** Inner join, one key column per side, predicate ∈ {=, <, <=, >, >=}
+    * (agnes `join::<Join<L,R,Pred>>`, src/join.rs:206-389). Output = all left
+    * columns then all right columns including both keys (join.rs:429-439).
+    * NA keys never match (join.rs:506-515) — SQL default.
+    *
+    * Catalyst picks the physical strategy: broadcast-hash for small sides,
+    * sort-merge for large equi, broadcast-nested-loop for pure theta. For a
+    * scale-safe theta join, prefer [[thetaJoinBanded]] or add an equi
+    * conjunct via `extraEqui`.
+    */
+  def joinOn(l: DataFrame, r: DataFrame, lk: String, rk: String, op: String,
+             joinType: String = "inner", extraEqui: Seq[(String, String)] = Nil): DataFrame = {
+    val base: Column = op match {
+      case "=" | "==" => l(lk) === r(rk)
+      case "<"        => l(lk) <   r(rk)
+      case "<="       => l(lk) <=  r(rk)
+      case ">"        => l(lk) >   r(rk)
+      case ">="       => l(lk) >=  r(rk)
+      case other      => throw new IllegalArgumentException(s"joinOn: bad op $other")
+    }
+    val cond = extraEqui.foldLeft(base) { case (c, (a, b)) => c && (l(a) === r(b)) }
+    l.join(r, cond, joinType)
+  }
+
+  /** Left-semi / left-anti joins (beyond the reference, which has neither —
+    * FUTURE.md lists outer joins as future work). */
+  def semiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_semi")
+  def antiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_anti")
+
+  /** Multi-key group-by with standard fold columns (agnes `aggregate`,
+    * src/view.rs:1496-1586, generalized to multiple simultaneous aggs —
+    * the reference allows only one value column per call).
+    */
+  def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), beyond the reference surface (agnes has no vector
+  * support).
+  *
+  * Two tiers, per the usual scale progression:
+  *  - [[bruteForceTopK]]: exact cosine top-k via broadcast of the (small)
+  *    query set against the full corpus — one scan, no shuffle except the
+  *    final per-query top-k aggregation. The correctness baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign
+  *    signature (linear pass), queries probe only their bucket; exact rerank
+  *    inside buckets. The 100 TB path: candidate set per query is
+  *    |corpus| / 2^planes in expectation.
+  *
+  * All math is codegen'd higher-order array expressions (`zip_with` dot
+  * product, `aggregate` fold) — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; float arrays are upcast to double first so the fold
+    * order matches the oracle's double arithmetic closely. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol) table — the full embedding corpus
+    * @param queries (idCol, vecCol) table — small; broadcast
+    * @return (query_id, neighbor_id, cosine) — k rows per query, self-match
+    *         excluded, deterministic tie-break on neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded to [-1, 1]. Same value on every executor — no RNG state
+    * to ship. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Sign-signature under `planes` random hyperplanes → integer bucket. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val sigBits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
+    * signature; exact cosine rerank within. Trades recall for a
+    * 1/2^planes candidate fraction; recall is recovered in practice with
+    * multi-probe or repeated tables (orthogonal, composable). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket_c", lshBucket(col("cv"), planes))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket_q", lshBucket(col("qv"), planes)))
+    val scored = c.join(q, c("bucket_c") === q("bucket_q"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}
