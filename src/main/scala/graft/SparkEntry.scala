@@ -338,6 +338,32 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10, planes = 6)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // multimodal plumbing: binary payload + metadata → per-partition feature
+    // extraction (decode step stubbed; see graft.multimodal.Multimodal)
+    "m31_multimodal" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"),
+          round(aggregate(transform(col("features"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, v) => a + v), 4).as("feat_sumsq"))
+        .orderBy(col("media_id"))
+    }),
+
+    // stateful sessionization (batch run of the streaming operator —
+    // flatMapGroupsWithState; gap = 2h)
+    "e32_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.sessionize(ev, gapMs = 2 * 3600 * 1000L).toDF()
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"), round(col("total_value"), 2).as("total"))
+        .orderBy(col("user_id"), col("start_ms"))
     })
   )
 
@@ -526,6 +552,16 @@ object SparkEntry {
         |  WHEN ses >= sfr AND ses >= szh THEN 'es'
         |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    "e32_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value, epoch_ms(ts) AS ms FROM events),
+        |d AS (SELECT *, CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 7200000
+        |                     THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS grp FROM d)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, start_ms""".stripMargin,
 
     "s29_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -45,7 +45,7 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))) // integer div: exact µs floor
     else df
   }
 

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines: media
+  * (image/audio/video) as opaque `binary` columns + typed metadata, with
+  * decode / feature-extraction / frame-sampling as per-partition batch
+  * transforms.
+  *
+  * The actual codec calls are STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] is a deterministic fake standing in for e.g. a
+  * JPEG decoder. Everything around it — schema, batch shape, partition-level
+  * execution, column wiring — is real Spark and tested. Swapping the stub for
+  * a real codec changes one function.
+  */
+object Multimodal {
+
+  /** Metadata carried next to every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("n_bytes", LongType)))
+
+  /** Wrap a source column as an opaque media payload with metadata — the
+    * ingestion shape for binary assets. (Here the payload is the UTF-8 bytes
+    * of a text column; in production it's file bytes from
+    * `spark.read.format("binaryFile")`.) */
+  def attachBinary(df: DataFrame, idCol: String, srcCol: String): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      encode(col(srcCol), "UTF-8").as("media"),
+      struct(lit("fake/raw").as("format"),
+        lit(64).as("width"), lit(64).as("height"),
+        length(col(srcCol)).cast("long").as("n_bytes")).as("meta"))
+
+  // ==========================================================================
+  // STUB: stands in for a real media decoder (e.g. libjpeg/ffmpeg frame
+  // decode). Deterministic fake: derives `dim` floats from the payload bytes.
+  // Replace the body with a real codec call to productionize; the signature
+  // (bytes in, fixed-dim float vector out) is the real contract.
+  // ==========================================================================
+  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var acc = 1469598103934665603L // FNV-1a offset basis
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
+      if (i % 7 == 0) out(i % dim) += ((acc >>> 16) % 1000L) / 1000.0f
+      i += 1
+    }
+    var d = 0
+    while (d < dim) { out(d) = out(d) % 10.0f; d += 1 }
+    out
+  }
+
+  /** Per-media feature extraction: one `mapPartitions` pass so a real decoder
+    * would amortize per-partition init (model load, codec context) across the
+    * whole batch — the standard shape for expensive per-row UDF work. Output:
+    * (media_id, features array<float>). */
+  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec/model handle)
+        rows.map { r =>
+          val feats = decodeStub(r.getAs[Array[Byte]]("media"), dim)
+          Row(r.getLong(0), feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: split a media payload into `n` evenly-spaced fixed-size
+    * chunks ("frames") — pure expression-level byte slicing, no UDF. Output
+    * one row per (media_id, frame_idx, frame bytes). */
+  def frameSample(df: DataFrame, n: Int, frameBytes: Int = 16): DataFrame = {
+    val total = length(col("media"))
+    val frames = array((0 until n).map { i =>
+      val off = (total - frameBytes).cast("double") * lit(i) / lit(math.max(n - 1, 1))
+      struct(lit(i).as("frame_idx"),
+        substring(col("media"), greatest(off.cast("int") + 1, lit(1)), lit(frameBytes)).as("frame"))
+    }: _*)
+    df.select(col("media_id"), explode(frames).as("f"))
+      .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
+  }
+}
