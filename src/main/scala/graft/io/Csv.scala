@@ -36,14 +36,20 @@ object Csv {
       .limit(sampleLines).iterator().asScala.toVector
     if (lines.isEmpty) return CsvDialect()
     def fieldCount(l: String, d: Char): Int = splitOutsideQuotes(l, d).length
-    // winning delimiter: maximizes the modal field count (>1) across lines
-    val (delim, modalCount) = candidateDelims.map { d =>
+    // Winning delimiter: the one whose trailing run of equal field counts
+    // (>1 fields) is longest — data rows dominate the tail of the sample,
+    // preamble/garbage sits at the head. Preamble = everything before that
+    // consistent suffix.
+    val scored = candidateDelims.map { d =>
       val counts = lines.map(fieldCount(_, d))
-      val (cnt, freq) = counts.groupBy(identity).view.mapValues(_.size).maxBy { case (c, f) => (f, c) }
-      (d, cnt, freq)
-    }.filter(_._2 > 1).sortBy(t => (-t._3, -t._2)).headOption
-      .map(t => (t._1, t._2)).getOrElse((',', 1))
-    val preamble = lines.indexWhere(fieldCount(_, delim) == modalCount) max 0
+      val last = counts.last
+      val suffixLen = counts.reverseIterator.takeWhile(_ == last).size
+      (d, last, suffixLen)
+    }.filter(_._2 > 1)
+    val (delim, _, suffixLen) = scored
+      .sortBy { case (_, cnt, len) => (-len, -cnt) }
+      .headOption.getOrElse((',', 1, lines.length))
+    val preamble = lines.length - suffixLen
     val body = lines.drop(preamble)
     def numericCell(s: String): Boolean = s.nonEmpty && scala.util.Try(s.trim.toDouble).isSuccess
     val header = body.headOption.exists { h =>

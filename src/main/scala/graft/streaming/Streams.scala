@@ -21,7 +21,7 @@ object Streams {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** Tumbling/sliding event-time windowed aggregation with a watermark.
     * Works identically on a batch DataFrame (for oracle parity) and a

@@ -1,0 +1,74 @@
+package graft
+
+import graft.io.{Csv, CsvDialect}
+import java.nio.file.{Files, Path}
+
+/** CSV sniffing + load semantics (agnes src/source/csv.rs; integration
+  * expectations from tests/csv.rs: preamble detection, empty-cell→NA,
+  * parse-failure behavior). */
+class CsvSpec extends SparkSpec {
+
+  private def tmpCsv(content: String): String = {
+    val p: Path = Files.createTempFile("graft_test", ".csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("sniff: plain header csv (tests/csv.rs:16-36 no-preamble case)") {
+    val p = tmpCsv("state,val1,val2\nOH,4,5.5\nPA,54,16.2\n")
+    val d = Csv.sniff(p)
+    assert(d == CsvDialect(',', 0, header = true))
+  }
+
+  test("sniff: preamble lines detected (tests/csv.rs:41-60, gdp.csv has 4)") {
+    val p = tmpCsv(
+      "Data Source;World Bank\nLast Updated;2017\n\n\n" +
+        "\"Country\",\"Code\",\"y1960\",\"y1961\"\n" +
+        "Aruba,ABW,,\nAndorra,AND,1.0,2.0\n")
+    val d = Csv.sniff(p)
+    assert(d.preamble == 4 && d.delimiter == ',' && d.header)
+  }
+
+  test("sniff: semicolon delimiter") {
+    val p = tmpCsv("a;b;c\n1;2;3\n4;5;6\n")
+    assert(Csv.sniff(p).delimiter == ';')
+  }
+
+  test("load: empty cells become NULL (csv.rs:159-169 Value::Na)") {
+    val p = tmpCsv("state,val1,val2\nOH,4,5.5\nPA,,16.2\n")
+    val df = Csv.load(spark, p)
+    val pa = df.filter(df("state") === "PA").collect().head
+    assert(pa.isNullAt(1))
+    assert(df.schema("val1").dataType.typeName == "integer" ||
+      df.schema("val1").dataType.typeName == "long")
+  }
+
+  test("load with preamble skip: distributed body parse") {
+    val p = tmpCsv("junk preamble\nmore junk\nstate,val1\nOH,4\nPA,54\n")
+    val df = Csv.load(spark, p)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("state", "val1"))
+  }
+
+  test("failFast mode rejects unparseable non-empty cells (csv.rs:163-168)") {
+    val p = tmpCsv("state,val1\nOH,4\nPA,notanumber\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("state", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("val1", org.apache.spark.sql.types.IntegerType)))
+    val strict = Csv.load(spark, p, dialect = Some(CsvDialect(',', 0, header = true)),
+      schema = Some(schema), failFast = true)
+    intercept[org.apache.spark.SparkException] { strict.collect() }
+    val lax = Csv.load(spark, p, dialect = Some(CsvDialect(',', 0, header = true)),
+      schema = Some(schema), failFast = false)
+    assert(lax.collect().count(_.isNullAt(1)) == 1) // permissive: bad cell → NULL
+  }
+
+  test("roundtrip: write then load preserves values") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    val dir = Files.createTempDirectory("graft_rt").toString
+    Csv.write(df.coalesce(1), dir)
+    val back = Csv.load(spark, dir, dialect = Some(CsvDialect(',', 0, header = true)))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline operators: dedup, similarity, text analysis, multimodal
+  * plumbing — semantics tests on hand-checkable micro-data plus a recall
+  * check of LSH against exact Jaccard on the sf0.001 corpus. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content here entirely now"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps canonical min-id and counts dups") {
+    val d = Dedup.exact(docs, "doc_id", Seq("text")).orderBy("doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(d == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: exact n-gram similarity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    // docs 1/2 share 6 of 8 distinct trigrams (J=0.75); 1/4 identical (J=1.0)
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m((1L, 2L)) == 0.75 && m((2L, 4L)) == 0.75)
+    assert(!m.contains((1L, 3L)))
+  }
+
+  test("minhash-LSH finds the same high-threshold pairs as exact jaccard (sf0.001)") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16, verifyThreshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("simhash: identical docs collide, different docs differ") {
+    val s = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(4L))
+    assert(s(1L) != s(3L))
+    val pairs = Dedup.simHashPairs(Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine + brute-force top-k on hand-checkable vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy(desc("cosine")).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(math.abs(top.head.getDouble(2) - 0.9939) < 1e-4) // 0.9/sqrt(0.82)
+    assert(top(1).getDouble(2) == 0.0)
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with same scoring") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, planes = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r => // any overlapping pair must carry the identical score
+      brute.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("text functions: tokens, shingles, fingerprints, quality") {
+    val df = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "a b c d")).toDF("id", "text")
+    val sh = df.select(TextFunctions.shingles(col("text"), 2).as("s"))
+      .filter(col("id") === 1 || lit(true)).limit(1).as[Seq[String]].collect().head
+    assert(sh == Seq("a b", "b c", "c d"))
+    // canonical fingerprint ignores order; rolling fingerprint does not
+    val canon = df.select(col("id"), TextFunctions.canonicalFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == canon(2L) && canon(1L) == canon(3L))
+    val roll = df.select(col("id"), TextFunctions.rollingFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roll(1L) != roll(2L) && roll(1L) == roll(3L))
+    val q = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect()
+    assert(q.forall(_ == 4))
+  }
+
+  test("language id: marker argmax with deterministic tie-break") {
+    val df = Seq((1L, "the cat and the dog"), (2L, "xyz qqq"), (3L, "el la de y es"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "und")
+    assert(got(3L) == "es")
+  }
+
+  test("multimodal: binary attach, feature extraction shape, frame sampling") {
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 4 && feats.forall(_.getSeq[Float](1).length == 8))
+    // identical payloads → identical features (deterministic stub)
+    val byId = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L) == byId(4L) && byId(1L) != byId(3L))
+    val frames = Multimodal.frameSample(media, n = 3, frameBytes = 4)
+    assert(frames.count() == 12)
+  }
+}

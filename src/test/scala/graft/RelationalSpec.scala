@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics golden tests against the reference fixtures
+  * (expectations lifted from agnes's own test suite — citations inline). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emp = Fixtures.emp.toDF("EmpId", "DeptId", "EmpName")
+  lazy val dept = Fixtures.dept.toDF("DeptId", "DeptName")
+
+  test("select subsets and reorders columns (view.rs:140-183)") {
+    val out = Relational.select(emp, Seq("EmpName", "EmpId"))
+    assert(out.columns.toSeq == Seq("EmpName", "EmpId"))
+    assert(out.count() == 7)
+  }
+
+  test("rename relabels a field (view.rs:539-601)") {
+    assert(Relational.rename(emp, "EmpName", "Name").columns.contains("Name"))
+  }
+
+  test("filter keeps matching rows; chained filters compose (view.rs:1932-2070)") {
+    val f = Relational.filterRows(emp, col("DeptId") === 1L)
+    assert(f.select("EmpName").as[String].collect().toSet == Set("Sally", "Bob", "Cara"))
+    val f2 = Relational.filterRows(f, col("EmpId") >= 5L)
+    assert(f2.select("EmpName").as[String].collect().toSet == Set("Bob", "Cara"))
+  }
+
+  test("NA comparison predicates exclude NULL rows (value.rs:122-132)") {
+    val withNa = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (3L, "z")).toDF("k", "v")
+    assert(withNa.filter(col("k") >= 1L).count() == 2) // NULL never matches
+    assert(withNa.filter(col("k").isNotNull).count() == 2) // val.exists()
+  }
+
+  test("stable sort, NULLs first (view.rs:694-713; NA-lesser view.rs:700-702)") {
+    val df = Seq[(java.lang.Double, Long)]((2.0, 1L), (null, 2L), (1.0, 3L), (2.0, 4L))
+      .toDF("v", "idx")
+    val got = Relational.sortStable(df, Seq("v"), Seq("idx")).select("idx").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 1L, 4L)) // null first; equal keys in idx order
+  }
+
+  test("unique distinct multi-column combos (view.rs:2072-2125)") {
+    val u = Relational.unique(emp, Seq("DeptId")).as[Long].collect().toSet
+    assert(u == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bindColumns glues equal-length tables positionally (view.rs:603-653)") {
+    val extra = Fixtures.extraEmp.toDF("SalaryOffset", "DidTraining", "VacationHrs")
+    val bound = Relational.bindColumns(emp.orderBy("EmpId"), extra)
+    assert(bound.columns.toSeq ==
+      Seq("EmpId", "DeptId", "EmpName", "SalaryOffset", "DidTraining", "VacationHrs"))
+    val sally = bound.filter(col("EmpName") === "Sally").collect().head
+    assert(sally.getAs[Long]("SalaryOffset") == -5L)
+    val ann = bound.filter(col("EmpName") === "Ann").collect().head
+    assert(ann.getAs[Float]("VacationHrs") == 22.5f)
+  }
+
+  test("bindColumns rejects mismatched row counts (view.rs:629-636)") {
+    intercept[IllegalArgumentException] {
+      Relational.bindColumns(emp, dept)
+    }
+  }
+
+  test("inner equi-join: all left + right cols, cross-product on runs (join.rs:599-635)") {
+    val j = Relational.joinOn(emp, dept, "DeptId", "DeptId", "=")
+    assert(j.count() == 7)
+    assert(j.columns.length == 5) // EmpId, DeptId, EmpName + DeptId, DeptName
+    val names = j.select(col("EmpName"), col("DeptName")).as[(String, String)].collect().toSet
+    assert(names.contains(("Sally", "Marketing")) && names.contains(("Jamie", "Sales")) &&
+      names.contains(("Louise", "R&D")) && names.contains(("Ann", "R&D")))
+  }
+
+  test("NA join keys never match (join.rs:637-745)") {
+    val deptNa = Seq[(java.lang.Long, String)](
+      (null, "Marketing"), (2L, "Sales"), (3L, "Manufacturing"), (4L, "R&D"))
+      .toDF("DeptId", "DeptName")
+    val j = Relational.joinOn(emp, deptNa, "DeptId", "DeptId", "=")
+    // DeptId=1 rows (Sally, Bob, Cara) find no match against the NA key
+    assert(j.count() == 4)
+    assert(!j.select("EmpName").as[String].collect().contains("Sally"))
+  }
+
+  test("theta joins: all four comparison predicates (join.rs:788-842)") {
+    val l = Seq((1L, "a"), (3L, "b")).toDF("lk", "lv")
+    val r = Seq((2L, "x"), (3L, "y")).toDF("rk", "rv")
+    assert(Relational.joinOn(l, r, "lk", "rk", "<").count() == 2)  // (1,2),(1,3)
+    assert(Relational.joinOn(l, r, "lk", "rk", "<=").count() == 3) // + (3,3)
+    assert(Relational.joinOn(l, r, "lk", "rk", ">").count() == 1)  // (3,2)
+    assert(Relational.joinOn(l, r, "lk", "rk", ">=").count() == 2) // + (3,3)
+  }
+
+  test("melt wide→long, row-major order, holds repeated (view.rs:1259-1277)") {
+    val wide = Fixtures.salary.toDF("EmpId", "Year2010", "Year2011", "Year2012", "Year2013", "Year2014")
+    val long = Relational.melt(wide, Seq("EmpId"),
+      Seq("Year2010", "Year2011", "Year2012", "Year2013", "Year2014"),
+      nameCol = "SalaryYear", valueCol = "Salary")
+    assert(long.count() == 15)
+    assert(long.columns.toSeq == Seq("EmpId", "SalaryYear", "Salary"))
+    val emp0 = long.filter(col("EmpId") === 0L).orderBy("SalaryYear")
+      .select("Salary").as[Double].collect().toSeq
+    assert(emp0 == Seq(1500d, 1600d, 1700d, 1850d, 2000d))
+  }
+
+  test("melt + aggregate golden sums (view.rs:1489-1497)") {
+    val wide = Fixtures.salary.toDF("EmpId", "Year2010", "Year2011", "Year2012", "Year2013", "Year2014")
+    val long = Relational.melt(wide, Seq("EmpId"),
+      Seq("Year2010", "Year2011", "Year2012", "Year2013", "Year2014"),
+      nameCol = "SalaryYear", valueCol = "Salary")
+    val sums = Relational.aggregate(long, Seq("SalaryYear"), Seq(sum("Salary").as("s")))
+      .orderBy("SalaryYear").select("s").as[Double].collect().toSeq
+    assert(sums == Seq(3000d, 3320d, 3540d, 3810d, 4070d))
+  }
+
+  test("union appends rows by name (view.rs:8-10 documented-unimplemented)") {
+    val u = Relational.union(emp.filter(col("DeptId") === 1), emp.filter(col("DeptId") === 4))
+    assert(u.count() == 5)
+  }
+
+  test("semi/anti joins partition matching rows") {
+    val semi = Relational.semiJoin(emp, dept.filter(col("DeptName") =!= "R&D"), Seq("DeptId"))
+    val anti = Relational.antiJoin(emp, dept.filter(col("DeptName") =!= "R&D"), Seq("DeptId"))
+    assert(semi.count() + anti.count() == 7)
+    assert(anti.select("EmpName").as[String].collect().toSet == Set("Louise", "Ann"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.agg.Folds
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** Numeric goldens from the reference stats suite (FIXTURES.md §5;
+  * agnes src/stats.rs:223-445, src/view_stats.rs:305-369). Tolerance 1e-6,
+  * same as the reference tests. */
+class StatsFoldsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture: Seq[java.lang.Double] =
+    Seq[java.lang.Double](-5.0, -4.0, null, 12.0, 3.0, null, 6.0, 0.0, -3.1)
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-6): Boolean = math.abs(a - b) <= tol
+
+  test("describe matches reference stat goldens (stats.rs:307-328)") {
+    val df = fixture.toDF("x")
+    val row = Stats.describe(df, Seq("x")).collect().head
+    assert(row.getAs[Long]("n") == 7)
+    assert(row.getAs[Long]("n_na") == 2)
+    assert(approx(row.getAs[Double]("sum"), 8.9))
+    assert(approx(row.getAs[Double]("mean"), 1.271429, 1e-6))
+    assert(approx(row.getAs[Double]("stdev"), 6.168391, 1e-6))
+    assert(row.getAs[Double]("min") == -5.0 && row.getAs[Double]("max") == 12.0)
+  }
+
+  test("all-NA column: mean 0.0, min/max NULL (stats.rs:376-386, 434-443)") {
+    val df = Seq[java.lang.Double](null, null).toDF("x")
+    val row = Stats.describe(df, Seq("x")).collect().head
+    assert(row.getAs[Double]("mean") == 0.0)
+    assert(row.getAs[Double]("sum") == 0.0)
+    assert(row.isNullAt(row.fieldIndex("min")) && row.isNullAt(row.fieldIndex("max")))
+  }
+
+  test("naCounts per column (stats.rs:12-35)") {
+    val row = Stats.naCounts(fixture.toDF("x"), Seq("x")).collect().head
+    assert(row.getAs[Long]("n_exists") == 7 && row.getAs[Long]("n_na") == 2)
+  }
+
+  test("custom folds: sumSq skips NA (stats.rs:86-112), meanOrZero all-NA→0 (stats.rs:76-83)") {
+    val df = fixture.toDF("x")
+    val ss = df.agg(Folds.sumSqCol(col("x"))).as[Double].collect().head
+    // -5²+(-4)²+12²+3²+6²+0²+(-3.1)² = 25+16+144+9+36+0+9.61
+    assert(approx(ss, 239.61))
+    val allNa = Seq[java.lang.Double](null, null).toDF("x")
+    assert(allNa.agg(Folds.meanOrZeroCol(col("x"))).as[Double].collect().head == 0.0)
+    val m = df.agg(Folds.meanOrZeroCol(col("x"))).as[Double].collect().head
+    assert(approx(m, 8.9 / 7))
+  }
+
+  test("variance formula variants (stats.rs:139-161)") {
+    val df = fixture.toDF("x")
+    val r = df.agg(
+      var_samp(col("x")).as("v"), var_pop(col("x")).as("vp"),
+      stddev_samp(col("x")).as("s"), stddev_pop(col("x")).as("sp")).collect().head
+    assert(approx(r.getAs[Double]("v"), 38.049048, 1e-5))
+    assert(approx(r.getAs[Double]("vp"), 32.613469, 1e-5))
+    assert(approx(r.getAs[Double]("s"), 6.168391, 1e-5))
+    assert(approx(r.getAs[Double]("sp"), 5.710820, 1e-5))
+  }
+}

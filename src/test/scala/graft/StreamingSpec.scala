@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming operators driven synchronously through
+  * MemoryStream → memory sink (the standard local harness). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(40), 1, "click", 3.0),  // > 10 min gap → new session
+    Event(4, ts(2), 2, "view", 4.0))
+
+  test("sessionize (batch): gap splits sessions, totals correct") {
+    val out = Streams.sessionize(batch.toDS(), gapMs = 10 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.user_id == 1 && s1.n_events == 2 && s1.total_value == 3.0 &&
+      s1.session_start == ts(0) && s1.session_end == ts(5))
+    assert(out(1).n_events == 1 && out(1).total_value == 3.0)
+    assert(out(2).user_id == 2 && out(2).n_events == 1)
+  }
+
+  test("sessionize (streaming): incremental via MemoryStream, timeout closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      // session still open — nothing emitted yet
+      assert(spark.table("sessions_out").count() == 0)
+      // an event far past the gap advances the watermark and times out user 1
+      mem.addData(Event(3, ts(59), 2, "view", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").as[Session].collect()
+      assert(rows.exists(s => s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0))
+    } finally q.stop()
+  }
+
+  test("windowedAgg (streaming): tumbling window counts via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Streams.windowedAgg(mem.toDF(), "ts", "event_type", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      val clicks00 = rows.find(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Timestamp]("window_start") == ts(0)).get
+      assert(clicks00.getAs[Long]("n") == 2 && clicks00.getAs[Double]("total") == 3.0)
+    } finally q.stop()
+  }
+
+  test("windowedAgg (batch) equals the q18-style grouped aggregation") {
+    val ev = core.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val viaOp = Streams.windowedAgg(ev, "ts", "event_type", "1 hour")
+      .agg(sum("n")).as[Long].collect().head
+    assert(viaOp == 1000L)
+  }
+}
