@@ -35,6 +35,19 @@ object Engine {
   }
 }
 
+/** Parallelism guard for CPU-heavy per-row operators (shingling, hashing,
+  * feature extraction): a small input file arrives as one partition, which
+  * would serialize the whole pipeline on one core. `widen` repartitions up to
+  * the cluster's default parallelism — and leaves already-parallel inputs
+  * (the 100 TB case) untouched, so it never shrinks a big scan.
+  */
+object Par {
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
 /** Loaders for the driver-generated test tables (TESTDATA.md). One parquet
   * file per table; `events.ts` arrives as raw nanosecond longs (see
   * [[Engine.builder]]) and is normalized here to a micros TIMESTAMP plus the

@@ -18,12 +18,17 @@ object TextFunctions {
 
   /** Word n-gram shingles as strings; rows with fewer than n tokens yield an
     * empty array. */
+  /** Built from `slice` + `zip_with` rather than `transform(sequence(...),
+    * element_at)`: lambda bodies are NOT common-subexpression-eliminated, so
+    * an element_at formulation re-splits the text per shingle (O(len²) per
+    * row); here the split is evaluated a constant number of times per row. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*)))
+    val m = size(t) - (n - 1) // shingle count
+    when(m <= 0, array().cast("array<string>"))
+      .otherwise((1 until n).foldLeft(slice(t, lit(1), m)) { (acc, k) =>
+        zip_with(acc, slice(t, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+      })
   }
 
   /** Token count via whitespace split. */

@@ -57,7 +57,8 @@ object Multimodal {
     * would amortize per-partition init (model load, codec context) across the
     * whole batch — the standard shape for expensive per-row UDF work. Output:
     * (media_id, features array<float>). */
-  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+  def extractFeatures(df0: DataFrame, dim: Int = 8): DataFrame = {
+    val df = graft.core.Par.widen(df0)
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

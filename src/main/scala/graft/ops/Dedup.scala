@@ -44,9 +44,10 @@ object Dedup {
     * `maxShingleDf`: drop shingles appearing in more than this many docs
     * (0 = keep all, exact result).
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+  def jaccardPairs(df0: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, bandCols: Seq[String] = Nil,
                    maxShingleDf: Long = 0L): DataFrame = {
+    val df = graft.core.Par.widen(df0)
     val sh0 = df.select(
       (col(idCol).as("id") +: bandCols.map(col)) :+
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"): _*)
@@ -65,7 +66,9 @@ object Dedup {
       a("shingle_a") === b("shingle_b") && a("id_a") < b("id_b")) {
       (acc, c) => acc && (a(s"${c}_a") === b(s"${c}_b"))
     }
-    val inter = a.join(b, cond)
+    // self-join both sides are corpus-sized: broadcast would serialize the
+    // whole index through the driver — force a shuffle hash join on shingle
+    val inter = a.hint("shuffle_hash").join(b, cond)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -93,10 +96,11 @@ object Dedup {
     * shingle sets back and filters — the classic LSH + verify pipeline).
     * With b bands of r rows, P(candidate | J=s) = 1-(1-s^r)^b.
     */
-  def minHashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+  def minHashLsh(df0: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
                  verifyThreshold: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val df = graft.core.Par.widen(df0)
     val r = numHashes / bands
     // One materialization of the per-doc shingle sets serves signature
     // computation AND the verify-join below.
@@ -114,7 +118,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.toDF("id_a", "band_a", "bsig_a")
     val rt = banded.toDF("id_b", "band_b", "bsig_b")
-    val cand = l.join(rt,
+    val cand = l.hint("shuffle_hash").join(rt,
         l("band_a") === rt("band_b") && l("bsig_a") === rt("bsig_b") && l("id_a") < rt("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -136,7 +140,8 @@ object Dedup {
     * map-side combine, one shuffle on id), then assemble the fingerprint
     * with wrap-safe bitwise ops. Near-dups = small Hamming distance.
     * Returns (id, simhash). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = graft.core.Par.widen(df0)
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
     val h = xxhash64(col("tok"))
@@ -160,7 +165,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.toDF("id_a", "h_a", "band_a", "bsig_a")
     val r = banded.toDF("id_b", "h_b", "band_b", "bsig_b")
-    l.join(r, l("band_a") === r("band_b") && l("bsig_a") === r("bsig_b") && l("id_a") < r("id_b"))
+    l.hint("shuffle_hash")
+      .join(r, l("band_a") === r("band_b") && l("bsig_a") === r("bsig_b") && l("id_a") < r("id_b"))
       .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist").dropDuplicates("id_a", "id_b")

@@ -43,8 +43,9 @@ object Similarity {
     * @return (query_id, neighbor_id, cosine) — k rows per query, self-match
     *         excluded, deterministic tie-break on neighbor id.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = graft.core.Par.widen(corpus0)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(q)
@@ -79,8 +80,9 @@ object Similarity {
     * signature; exact cosine rerank within. Trades recall for a
     * 1/2^planes candidate fraction; recall is recovered in practice with
     * multi-probe or repeated tables (orthogonal, composable). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame,
+  def lshTopK(corpus0: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val corpus = graft.core.Par.widen(corpus0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket_c", lshBucket(col("cv"), planes))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
