@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Optional extra JVM flags for profiling runs (e.g. -Xlog:gc)
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -18,6 +18,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $secs%.2f s")
+      spark.catalog.clearCache() // drop operator-internal persists between queries
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
