@@ -105,4 +105,30 @@ object Csv {
 
   def write(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Load a CSV by URI: http(s) URIs are fetched to a local temp file first
+    * (same buffering strategy as the reference, agnes src/source/file.rs:
+    * 140-264 — download fully, then parse), `file:` / bare paths load
+    * directly. The fetch is driver-side; the parse stays distributed. */
+  def loadFromUri(spark: SparkSession, uri: String,
+                  dialect: Option[CsvDialect] = None,
+                  schema: Option[StructType] = None,
+                  failFast: Boolean = true): DataFrame = {
+    val u = java.net.URI.create(uri)
+    u.getScheme match {
+      case "http" | "https" =>
+        val tmp = java.nio.file.Files.createTempFile("graft_dl", ".csv")
+        val client = java.net.http.HttpClient.newBuilder()
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+        val req = java.net.http.HttpRequest.newBuilder(u).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+        require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} fetching $uri")
+        load(spark, tmp.toString, dialect, schema, failFast)
+      case "file" => load(spark, java.nio.file.Paths.get(u).toString, dialect, schema, failFast)
+      case _ => load(spark, uri, dialect, schema, failFast)
+    }
+  }
 }

@@ -50,7 +50,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -89,7 +90,8 @@ object Similarity {
       .withColumn("bucket_q", lshBucket(col("qv"), planes)))
     val scored = c.join(q, c("bucket_c") === q("bucket_q"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.io.{Csv, CsvDialect}
+import graft.io.{Csv, CsvDialect, Sinks}
 import java.nio.file.{Files, Path}
 
 /** CSV sniffing + load semantics (agnes src/source/csv.rs; integration
@@ -60,6 +60,20 @@ class CsvSpec extends SparkSpec {
     val lax = Csv.load(spark, p, dialect = Some(CsvDialect(',', 0, header = true)),
       schema = Some(schema), failFast = false)
     assert(lax.collect().count(_.isNullAt(1)) == 1) // permissive: bad cell → NULL
+  }
+
+  test("loadFromUri: file:// URI equals direct path load (file_reader_test.rs)") {
+    val p = tmpCsv("state,val1\nOH,4\nPA,54\n")
+    val direct = Csv.load(spark, p).collect().map(_.toSeq).toSeq
+    val viaUri = Csv.loadFromUri(spark, "file://" + p).collect().map(_.toSeq).toSeq
+    assert(direct == viaUri)
+  }
+
+  test("columnar JSON sink: NA as null, label-keyed arrays (serialize.rs:19-63)") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](("OH", 4L), ("PA", null)).toDF("state", "val1")
+    val json = Sinks.toColumnarJson(df.orderBy("state"))
+    assert(json == """{"state": ["OH","PA"],"val1": [4,null]}""")
   }
 
   test("roundtrip: write then load preserves values") {

@@ -104,6 +104,16 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == "es")
   }
 
+  test("native cosine Expression is bit-identical to the composable form") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
+    val pairs = e.toDF("id_a", "v_a", "l_a").crossJoin(
+      e.toDF("id_b", "v_b", "l_b").limit(5))
+    val both = pairs.select(
+      Similarity.cosine(col("v_a"), col("v_b")).as("composable"),
+      graft.functions.VectorExpressions.cosineNative(spark, col("v_a"), col("v_b")).as("native"))
+    assert(both.filter(col("composable") =!= col("native")).count() == 0)
+  }
+
   test("multimodal: binary attach, feature extraction shape, frame sampling") {
     val media = Multimodal.attachBinary(docs, "doc_id", "text")
     assert(media.schema("media").dataType.typeName == "binary")
