@@ -60,6 +60,23 @@ object Csv {
     CsvDialect(delim, preamble, header)
   }
 
+  /** Encoding sniff with the reference's fallback chain (agnes
+    * src/source/decode.rs:9-21): strict UTF-8, else ISO-8859-1, else
+    * WINDOWS-1252. Checks a head sample; pass the result as `encoding`
+    * to [[load]]. */
+  def sniffEncoding(path: String, sampleBytes: Int = 1 << 16): String = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val buf = try in.readNBytes(sampleBytes) finally in.close()
+    def decodes(cs: String): Boolean = scala.util.Try {
+      java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(buf))
+    }.isSuccess
+    if (decodes("UTF-8")) "UTF-8"
+    else if (decodes("ISO-8859-1")) "ISO-8859-1"
+    else "WINDOWS-1252"
+  }
+
   /** Quote-aware split (double-quote quoting, doubled-quote escape). */
   private[io] def splitOutsideQuotes(line: String, delim: Char): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -48,6 +48,22 @@ object Relational {
 
   def sortBy(df: DataFrame, keys: Seq[Column]): DataFrame = df.orderBy(keys: _*)
 
+  /** Sort key reproducing the reference float comparator's NaN ordering:
+    * NA first, then NaN, then finite values ascending (agnes
+    * src/permute.rs:191-231 treats NaN as less than any non-NaN, while Spark
+    * sorts NaN greater than any non-NaN). Use as
+    * `df.orderBy(nanFirstKey(col("x")).asc_nulls_first, ...)`. */
+  def nanFirstKey(c: Column): Column =
+    struct(when(isnan(c), 0).otherwise(1).as("rank"), c.as("v"))
+
+  /** Sort by an arbitrary derived comparator key (the Spark shape of the
+    * reference's `sort_by_label_comparator`, src/view.rs:732-764): callers
+    * express the comparator as a key-derivation expression, which keeps the
+    * sort distributed (range partition + local sort) instead of dragging a
+    * closure comparator through a single-node sort. */
+  def sortByKey(df: DataFrame, key: Column, tiebreak: Seq[String] = Nil): DataFrame =
+    df.orderBy(key.asc_nulls_first +: tiebreak.map(col(_).asc_nulls_first): _*)
+
   /** Distinct rows of the selected columns (agnes `unique_values`). */
   def unique(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).dropDuplicates()
@@ -108,16 +124,22 @@ object Relational {
     */
   def joinOn(l: DataFrame, r: DataFrame, lk: String, rk: String, op: String,
              joinType: String = "inner", extraEqui: Seq[(String, String)] = Nil): DataFrame = {
+    // Alias-qualified resolution: when both sides share a column name (the
+    // reference's usual case, e.g. DeptId = DeptId), bare df("col") can
+    // silently resolve both ends to ONE side, degrading the predicate.
+    val (la, ra) = (l.alias("__graft_l"), r.alias("__graft_r"))
+    def lc(n: String) = col(s"__graft_l.`$n`")
+    def rc(n: String) = col(s"__graft_r.`$n`")
     val base: Column = op match {
-      case "=" | "==" => l(lk) === r(rk)
-      case "<"        => l(lk) <   r(rk)
-      case "<="       => l(lk) <=  r(rk)
-      case ">"        => l(lk) >   r(rk)
-      case ">="       => l(lk) >=  r(rk)
+      case "=" | "==" => lc(lk) === rc(rk)
+      case "<"        => lc(lk) <   rc(rk)
+      case "<="       => lc(lk) <=  rc(rk)
+      case ">"        => lc(lk) >   rc(rk)
+      case ">="       => lc(lk) >=  rc(rk)
       case other      => throw new IllegalArgumentException(s"joinOn: bad op $other")
     }
-    val cond = extraEqui.foldLeft(base) { case (c, (a, b)) => c && (l(a) === r(b)) }
-    l.join(r, cond, joinType)
+    val cond = extraEqui.foldLeft(base) { case (c, (a, b)) => c && (lc(a) === rc(b)) }
+    la.join(ra, cond, joinType)
   }
 
   /** Left-semi / left-anti joins (beyond the reference, which has neither —

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Dedup, Relational}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests over operator invariants (SURVEY.md §5: sort-permutation
+  * invariants, join containment, NA propagation). Small generated tables,
+  * 10 cases per property — fast enough for a Spark-backed check. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mini property-runner over raw ScalaCheck generators
+    * (scalatestplus bridge is not on the offline classpath). */
+  private def forAll[A](g: Gen[A], cases: Int = 10)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(30)
+    (0 until cases).foreach { i =>
+      g.apply(params, Seed(42L + i)).foreach(f)
+    }
+  }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val rowsGen: Gen[List[(Long, Option[Double])]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.option(Gen.choose(-100.0, 100.0))))
+
+  test("sort is a permutation: same multiset, ordered output") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val sorted = Relational.sortStable(df, Seq("v"), Seq("k"))
+        .select("v").as[Option[Double]].collect()
+      assert(sorted.toSeq.sorted(Ordering.Option[Double]) == sorted.toSeq ||
+        sorted.flatten.sameElements(sorted.flatten.sorted))
+      assert(sorted.groupBy(identity).view.mapValues(_.length).toMap ==
+        rows.map(_._2).groupBy(identity).view.mapValues(_.length).toMap)
+    }
+  }
+
+  test("filter output ⊆ input; filter ∘ filter = conjunction") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val a = df.filter(col("v") > 0)
+      val b = a.filter(col("k") < 10)
+      val direct = df.filter(col("v") > 0 && col("k") < 10)
+      assert(b.count() == direct.count())
+      assert(a.count() <= rows.length)
+    }
+  }
+
+  test("NULL keys never join (NA propagation)") {
+    forAll(rowsGen, rowsGen) { (l, r) =>
+      val lf = l.toDF("k", "v").withColumn("jk", when(col("v").isNull, lit(null)).otherwise(col("k")))
+      val rf = r.toDF("k", "v").withColumn("jk", when(col("v").isNull, lit(null)).otherwise(col("k")))
+      val j = Relational.joinOn(lf, rf, "jk", "jk", "=")
+      // inner join row count equals the sum over non-null key matches
+      val lc = lf.filter(col("jk").isNotNull).groupBy("jk").count()
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val rc = rf.filter(col("jk").isNotNull).groupBy("jk").count()
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val expected = lc.toSeq.map { case (k, n) => n * rc.getOrElse(k, 0L) }.sum
+      assert(j.count() == expected)
+    }
+  }
+
+  test("union row count adds; unique is idempotent") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      assert(Relational.union(df, df).count() == 2L * rows.length)
+      val u1 = Relational.unique(df, Seq("k"))
+      assert(Relational.unique(u1, Seq("k")).count() == u1.count())
+    }
+  }
+
+  test("melt row count = rows × melted columns; values preserved per metric") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(-9.0, 9.0), Gen.choose(-9.0, 9.0)))) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+      val long = Relational.melt(df, Seq("id"), Seq("a", "b"), "m", "v")
+      assert(long.count() == 2L * rows.length)
+      val sumA = long.filter(col("m") === "a").agg(sum("v")).as[Option[Double]].collect().head.getOrElse(0.0)
+      val direct = df.agg(sum("a")).as[Option[Double]].collect().head.getOrElse(0.0)
+      assert(math.abs(sumA - direct) < 1e-9)
+    }
+  }
+
+  test("exact dedup: group count sums to row count; canonical ids are minimal") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.oneOf("x", "y", "z")))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }.toDF("id", "text")
+        val d = Dedup.exact(df, "id", Seq("text")).collect()
+        assert(d.map(_.getAs[Long]("n_dups")).sum == rows.length)
+        val minByText = rows.zipWithIndex.groupBy(_._1._2).view.mapValues(_.map(_._2.toLong).min)
+        d.foreach(r => assert(minByText(r.getAs[String]("text")) == r.getAs[Long]("id")))
+      }
+    }
+  }
+}
