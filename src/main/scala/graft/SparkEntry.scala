@@ -210,6 +210,14 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // grouping sets / cube (beyond reference)
+    "q33_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     // as-of join (beyond reference): latest signup at-or-before each purchase,
     // per user — one window pass over a tagged union, no point lookups.
     "q17_asof_join" -> ((s, dir) => {
@@ -475,6 +483,12 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q17_asof_join" ->
       """SELECT e.event_id,
