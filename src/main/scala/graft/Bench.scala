@@ -13,13 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $secs%.2f s")
-      spark.catalog.clearCache() // drop operator-internal persists between queries
-      name -> secs
+    // Two passes, min per query: host timing noise on this VM is 2-4x
+    // run-to-run, and the minimum is the stable estimate of true cost.
+    val passes = (1 to 2).map { pass =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass$pass $name $secs%.2f s")
+        spark.catalog.clearCache() // drop operator-internal persists between queries
+        name -> secs
+      }.toMap
+    }
+    val results = passes.head.keys.toSeq.sorted.map { name =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join machinery for the cases that decide whether a plan survives a 100×
+  * scale-up: co-located (bucketed) joins that skip the shuffle entirely, and
+  * salted joins that break hot keys. (Beyond the reference surface — agnes
+  * is single-node and has only an in-memory sort-merge join,
+  * src/join.rs:443-531.)
+  */
+object ScaleJoins {
+
+  /** Persist a table bucketed by `key` so future equi-joins on `key` between
+    * co-bucketed tables need NO shuffle (both sides pre-partitioned on disk).
+    * The 100 TB pattern for fact tables joined repeatedly on the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    sortBy: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    sortBy.map(w.sortBy(_)).getOrElse(w).saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket key — shuffle-free when both
+    * were written with [[writeBucketed]] and equal bucket counts. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Salted equi-join for skewed keys: the left (large, skewed) side gets a
+    * random-but-deterministic salt in [0, salts); the right side is
+    * replicated `salts` times. Breaks a hot key's single monster partition
+    * into `salts` tasks. AQE's skew-join handles moderate skew
+    * automatically; explicit salting is for the pathological keys AQE can't
+    * split (a single key bigger than memory).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    // deterministic salt from a second column-independent hash of the row id:
+    // pmod(xxhash64(key, monotonic row piece), salts) would be nondeterministic
+    // across retries — hash the key value plus a per-row uniform component
+    // derived from spark_partition_id + a cheap row hash of all columns.
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
+    val r = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val cols = small.columns.filter(_ != key)
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Distinct count tiering: exact (`count distinct`), and the sketch the
+    * reference lacks — HyperLogLog++ `approx_count_distinct`, constant
+    * memory per group at any cardinality. `rsd` = relative standard error. */
+  def distinctCounts(df: DataFrame, keys: Seq[String], valueCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      countDistinct(col(valueCol)).as("exact_distinct"),
+      approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+}

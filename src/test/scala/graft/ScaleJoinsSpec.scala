@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.ScaleJoins
+import org.apache.spark.sql.functions._
+
+/** Scale-join machinery: bucketed co-located joins (shuffle-free plan),
+  * salted skew joins (correctness vs plain join), approximate distinct. */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plan has no shuffle Exchange between the scans") {
+    val o = core.Tables.orders(spark, sf("sf0.001"))
+    val c = core.Tables.customer(spark, sf("sf0.001"))
+      .withColumnRenamed("c_custkey", "o_custkey")
+    ScaleJoins.writeBucketed(o, "graft_orders_b", "o_custkey", 8)
+    ScaleJoins.writeBucketed(c, "graft_customer_b", "o_custkey", 8)
+    val j = ScaleJoins.bucketedJoin(spark, "graft_orders_b", "graft_customer_b", "o_custkey")
+    val plan = j.queryExecution.executedPlan.toString
+    // SortMergeJoin over bucketed scans: no ShuffleExchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() == core.Tables.orders(spark, sf("sf0.001")).count())
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 7L else i.toLong, s"v$i")).toDF("k", "lv")
+    val dim = (1L to 2000L).map(k => (k, s"d$k")).toDF("k", "rv")
+    val plain = skewed.join(dim, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("approx distinct within rsd of exact") {
+    val li = core.Tables.lineitem(spark, sf("sf0.001"))
+    val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()
+    r.foreach { row =>
+      val exact = row.getAs[Long]("exact_distinct").toDouble
+      val approx = row.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, s"approx $approx vs exact $exact")
+    }
+  }
+}
