@@ -348,6 +348,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // pivot: long→wide (inverse of melt; beyond reference)
+    "q34_pivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val long = Relational.melt(li, Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_tax"), "metric", "value")
+      long.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .pivot("metric", Seq("l_quantity", "l_tax"))
+        .agg(min(col("value"))) // (orderkey, linenumber) is not unique in the data
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // semi-structured JSON extraction over the events props column
+    "q35_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // multimodal plumbing: binary payload + metadata → per-partition feature
     // extraction (decode step stubbed; see graft.multimodal.Multimodal)
     "m31_multimodal" -> ((s, dir) => {
@@ -566,6 +587,20 @@ object SparkEntry {
         |  WHEN ses >= sfr AND ses >= szh THEN 'es'
         |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  min(CASE WHEN metric = 'l_quantity' THEN value END) AS l_quantity,
+        |  min(CASE WHEN metric = 'l_tax' THEN value END) AS l_tax
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q35_json" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
     "e32_sessionize" ->

@@ -17,6 +17,15 @@ object ScaleJoins {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sortBy: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a previous JVM's metastore may be gone while the managed location
+    // remains; clear the orphaned directory so saveAsTable can claim it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     sortBy.map(w.sortBy(_)).getOrElse(w).saveAsTable(table)
   }
