@@ -369,6 +369,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // IVF ANN (coarse k-means quantizer + nprobe cells; approximate)
+    "s36_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 3)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // multimodal plumbing: binary payload + metadata → per-partition feature
     // extraction (decode step stubbed; see graft.multimodal.Multimodal)
     "m31_multimodal" -> ((s, dir) => {

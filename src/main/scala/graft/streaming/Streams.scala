@@ -103,4 +103,17 @@ object Streams {
   def readStream(spark: SparkSession, path: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Parquet file sink with checkpointing — the durable end of an
+    * incremental pipeline. Exactly-once per file-sink semantics come from
+    * the checkpoint + write-ahead manifest. */
+  def writeStreamParquet(df: DataFrame, path: String, checkpoint: String,
+                         triggerMs: Long = 5000): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
 }

@@ -32,6 +32,19 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("IVF ANN: high recall vs brute force, identical scores on overlap") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 5)
+    val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val overlap = ivf.keySet.intersect(brute.keySet)
+    assert(overlap.size >= ivf.size / 2, s"recall too low: ${overlap.size}/${ivf.size}")
+    overlap.foreach(k => assert(ivf(k) == brute(k)))
+  }
+
   test("approx distinct within rsd of exact") {
     val li = core.Tables.lineitem(spark, sf("sf0.001"))
     val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()

@@ -65,6 +65,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeStreamParquet: file sink lands rows with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val q = Streams.writeStreamParquet(mem.toDF(), s"$dir/out", s"$dir/ckpt", triggerMs = 100)
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 4)
+    } finally q.stop()
+  }
+
   test("windowedAgg (batch) equals the q18-style grouped aggregation") {
     val ev = core.Tables.events(spark, sf("sf0.001"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
