@@ -76,6 +76,14 @@ class CsvSpec extends SparkSpec {
     assert(json == """{"state": ["OH","PA"],"val1": [4,null]}""")
   }
 
+  test("sniffEncoding fallback chain (decode.rs:9-21)") {
+    val utf8 = tmpCsv("a,b\nx,1\n")
+    assert(Csv.sniffEncoding(utf8) == "UTF-8")
+    val latin = Files.createTempFile("graft_latin", ".csv")
+    Files.write(latin, "a,b\ncaf\u00e9,1\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(Csv.sniffEncoding(latin.toString) == "ISO-8859-1")
+  }
+
   test("roundtrip: write then load preserves values") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")

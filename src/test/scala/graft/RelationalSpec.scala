@@ -119,6 +119,14 @@ class RelationalSpec extends SparkSpec {
     assert(u.count() == 5)
   }
 
+  test("nanFirstKey: NaN sorts below all values incl -Inf (permute.rs:191-231)") {
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, Double.NegativeInfinity), (4L, -5.0))
+      .toDF("id", "v")
+    val got = Relational.sortByKey(df, Relational.nanFirstKey(col("v")), Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L, 1L)) // NaN first, then -Inf, -5, 2
+  }
+
   test("semi/anti joins partition matching rows") {
     val semi = Relational.semiJoin(emp, dept.filter(col("DeptName") =!= "R&D"), Seq("DeptId"))
     val anti = Relational.antiJoin(emp, dept.filter(col("DeptName") =!= "R&D"), Seq("DeptId"))

@@ -50,6 +50,11 @@ class StatsFoldsSpec extends SparkSpec {
     assert(approx(m, 8.9 / 7))
   }
 
+  test("product fold: arbitrary non-builtin monoid via udaf") {
+    val df = Seq[java.lang.Double](2.0, null, 3.0, 0.5).toDF("x")
+    assert(df.agg(Folds.productCol(col("x"))).as[Double].collect().head == 3.0)
+  }
+
   test("variance formula variants (stats.rs:139-161)") {
     val df = fixture.toDF("x")
     val r = df.agg(
