@@ -155,4 +155,18 @@ object Relational {
     */
   def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Aggregate with the reference's group ORDER: groups appear in
+    * first-occurrence order of their key (agnes's single-threaded HashMap
+    * insert order, src/view.rs:1553-1585). Spark has no inherent order, so
+    * the row index of each group's first row becomes an explicit sort key —
+    * the SURVEY §7 `__row_idx` determinism convention.
+    */
+  def aggregateFirstOccurrence(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    withRowIndex(df, "__row_idx")
+      .groupBy(keys.map(col): _*)
+      .agg((aggs :+ min(col("__row_idx")).as("__first_idx")).head,
+        (aggs :+ min(col("__row_idx")).as("__first_idx")).tail: _*)
+      .orderBy(col("__first_idx"))
+      .drop("__first_idx")
 }

@@ -114,6 +114,14 @@ class RelationalSpec extends SparkSpec {
     assert(sums == Seq(3000d, 3320d, 3540d, 3810d, 4070d))
   }
 
+  test("aggregateFirstOccurrence: groups in first-occurrence order (view.rs:1553-1585)") {
+    val df = Seq(("b", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0), ("a", 5.0))
+      .toDF("k", "v")
+    val got = Relational.aggregateFirstOccurrence(df.coalesce(1), Seq("k"), Seq(sum("v").as("s")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("b", 4.0), ("a", 7.0), ("c", 4.0)))
+  }
+
   test("union appends rows by name (view.rs:8-10 documented-unimplemented)") {
     val u = Relational.union(emp.filter(col("DeptId") === 1), emp.filter(col("DeptId") === 4))
     assert(u.count() == 5)
