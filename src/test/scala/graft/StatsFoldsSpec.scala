@@ -50,6 +50,28 @@ class StatsFoldsSpec extends SparkSpec {
     assert(approx(m, 8.9 / 7))
   }
 
+  test("view_stats goldens on emp/extra_emp fixtures (view_stats.rs:314-368)") {
+    val emp = Fixtures.emp.toDF("EmpId", "DeptId", "EmpName")
+    val r1 = Stats.describe(emp, Seq("EmpId")).collect().head
+    assert(r1.getAs[Double]("min") == 0.0 && r1.getAs[Double]("max") == 10.0)
+    assert(r1.getAs[Double]("sum") == 40.0)
+    assert(approx(r1.getAs[Double]("mean"), 5.714286, 1e-4))
+    assert(approx(r1.getAs[Double]("stdev"), 3.683942, 1e-4))
+    val extra = Fixtures.extraEmp.toDF("SalaryOffset", "DidTraining", "VacationHrs")
+    val r2 = Stats.describe(extra, Seq("SalaryOffset", "VacationHrs")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val so = r2("SalaryOffset")
+    assert(so.getAs[Double]("min") == -33.0 && so.getAs[Double]("max") == 12.0)
+    assert(so.getAs[Double]("sum") == -13.0)
+    assert(approx(so.getAs[Double]("mean"), -1.857143, 1e-4))
+    assert(approx(so.getAs[Double]("stdev"), 15.004761, 1e-4))
+    val vh = r2("VacationHrs")
+    assert(approx(vh.getAs[Double]("min"), -1.2, 1e-4) && approx(vh.getAs[Double]("max"), 98.3, 1e-4))
+    assert(approx(vh.getAs[Double]("sum"), 238.6, 1e-4))
+    assert(approx(vh.getAs[Double]("mean"), 34.0857143, 1e-4))
+    assert(approx(vh.getAs[Double]("stdev"), 35.070948, 1e-4))
+  }
+
   test("product fold: arbitrary non-builtin monoid via udaf") {
     val df = Seq[java.lang.Double](2.0, null, 3.0, 0.5).toDF("x")
     assert(df.agg(Folds.productCol(col("x"))).as[Double].collect().head == 3.0)
