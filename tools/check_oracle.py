@@ -26,9 +26,15 @@ for name in sorted(os.listdir(out_dir)):
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         bad.append(name); print(f"FAIL {name}: oracle SQL error: {e}"); continue
-    # canonicalize: sort columns by name, sort rows, compare
-    got2 = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
-    exp2 = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    # canonicalize: sort columns by name, sort rows, compare.
+    # STRICT_ORDER=1 skips the row sort — verifies the engine's explicit
+    # ORDER BY matches the oracle's exactly (stronger than the driver needs).
+    strict = os.environ.get("STRICT_ORDER") == "1"
+    got2 = got[sorted(got.columns)].reset_index(drop=True)
+    exp2 = exp[sorted(exp.columns)].reset_index(drop=True)
+    if not strict:
+        got2 = got2.sort_values(by=sorted(got.columns)).reset_index(drop=True)
+        exp2 = exp2.sort_values(by=sorted(exp.columns)).reset_index(drop=True)
     if list(got2.columns) != list(exp2.columns):
         bad.append(name); print(f"FAIL {name}: columns {list(got2.columns)} vs {list(exp2.columns)}"); continue
     if len(got2) != len(exp2):
