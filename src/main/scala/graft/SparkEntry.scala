@@ -369,6 +369,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // deterministic exact-count stratified sampling (portable md5 order)
+    "d37_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedExact(t(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // corpus term frequencies: top-5 tokens per language
+    "t38_top_terms" -> ((s, dir) => {
+      graft.ops.Sampling.topTerms(t(s, dir, "documents"), "lang", "text", n = 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // IVF ANN (coarse k-means quantizer + nprobe cells; approximate)
     "s36_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -595,6 +608,36 @@ object SparkEntry {
         |  WHEN ses >= sfr AND ses >= szh THEN 'es'
         |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "d37_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "t38_top_terms" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS tf FROM tf GROUP BY lang, token),
+        |ranked AS (SELECT lang, token, tf,
+        |  row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank FROM cnt)
+        |SELECT lang, token, tf, rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "d37_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "t38_top_terms" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS tf FROM tf GROUP BY lang, token),
+        |ranked AS (SELECT lang, token, tf,
+        |  row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank FROM cnt)
+        |SELECT lang, token, tf, rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q34_pivot" ->
       """SELECT l_orderkey, l_linenumber,

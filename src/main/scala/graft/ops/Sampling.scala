@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines (beyond the reference
+  * surface). Two flavors:
+  *  - fractional: Spark-native Bernoulli/stratified sampling (seeded);
+  *  - exact-count: deterministic k-per-stratum via a content-hash order —
+  *    reproducible across runs AND across engines (md5 is portable), which
+  *    a seeded RNG sample is not. The standard way to cut a fixed-size,
+  *    stable eval slice out of a moving corpus.
+  */
+object Sampling {
+
+  /** Seeded fractional sample per stratum (Spark `sampleBy`). */
+  def stratifiedFraction(df: DataFrame, stratumCol: String,
+                         fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Exactly `k` rows per stratum, chosen by md5 order of `idCol` — a
+    * deterministic pseudo-random total order that any engine reproduces.
+    * One window shuffle on the stratum key. */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Top-n most frequent tokens per group — the explode/count/window
+    * shape of corpus term-frequency analytics. Ties break lexicographically
+    * for determinism. Output: (group, token, tf, rank). */
+  def topTerms(df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
+    val tf = graft.core.Par.widen(df)
+      .select(col(groupCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("tf").desc, col("token").asc)
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+}

@@ -45,6 +45,27 @@ class ScaleJoinsSpec extends SparkSpec {
     overlap.foreach(k => assert(ivf(k) == brute(k)))
   }
 
+  test("stratifiedExact: exactly k per stratum, deterministic across runs") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val s1 = ops.Sampling.stratifiedExact(d, "lang", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = ops.Sampling.stratifiedExact(d, "lang", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    val counts = ops.Sampling.stratifiedExact(d, "lang", "doc_id", 10)
+      .groupBy("lang").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 10))
+  }
+
+  test("topTerms: ranked term frequencies per group") {
+    val df = Seq((1L, "en", "a a a b b c"), (2L, "en", "b c c"), (3L, "fr", "x y x"))
+      .toDF("id", "lang", "text")
+    val got = ops.Sampling.topTerms(df, "lang", "text", 2)
+      .orderBy(col("lang"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("en", "a", 3L, 1L), ("en", "b", 3L, 2L), ("fr", "x", 2L, 1L), ("fr", "y", 1L, 2L)))
+  }
+
   test("approx distinct within rsd of exact") {
     val li = core.Tables.lineitem(spark, sf("sf0.001"))
     val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()
