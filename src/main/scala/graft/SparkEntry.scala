@@ -369,6 +369,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // exact percentiles (continuous interpolation, matches quantile_cont)
+    "q39_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // deterministic exact-count stratified sampling (portable md5 order)
     "d37_stratified_sample" -> ((s, dir) => {
       graft.ops.Sampling.stratifiedExact(t(s, dir, "documents"), "lang", "doc_id", k = 20)
@@ -609,6 +620,12 @@ object SparkEntry {
         |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q39_quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "d37_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
@@ -623,6 +640,12 @@ object SparkEntry {
         |ranked AS (SELECT lang, token, tf,
         |  row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank FROM cnt)
         |SELECT lang, token, tf, rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q39_quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d37_stratified_sample" ->
       """SELECT doc_id, lang FROM (
