@@ -369,6 +369,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // correlation/covariance from exact decimal sums (deterministic both engines)
+    "q40_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsum2(col("l_quantity"), col("l_quantity")).as("sxx"),
+        dsum2(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+        dsum2(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      agg.select(col("l_returnflag"),
+          round(((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)), 4).as("covar"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // exact percentiles (continuous interpolation, matches quantile_cont)
     "q39_quantiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -620,6 +638,34 @@ object SparkEntry {
         |  WHEN sfr >= szh THEN 'fr' ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q40_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((sxy - sx*sy/n) / (n-1), 4) AS covar,
+        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q40_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((sxy - sx*sy/n) / (n-1), 4) AS covar,
+        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "q39_quantiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
@@ -640,6 +686,20 @@ object SparkEntry {
         |ranked AS (SELECT lang, token, tf,
         |  row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank FROM cnt)
         |SELECT lang, token, tf, rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q40_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((sxy - sx*sy/n) / (n-1), 4) AS covar,
+        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q39_quantiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
