@@ -2,27 +2,33 @@ package graft.ops
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus-scale pipelines (beyond the reference
   * surface; agnes only has exact distinct-rows via `unique_values`,
   * src/view.rs:1083-1091).
   *
-  * Scale design notes (these run on the full corpus, so every op is a
-  * bounded number of shuffles):
+  * Scale design notes (these run on the full corpus, so shuffle count is the
+  * budget that matters):
   *  - exact: one hash-aggregate shuffle on the content key.
-  *  - ngram-Jaccard: inverted-index self-join — shuffle on shingle, pair
-  *    aggregation shuffle; `maxShingleDf` drops ultra-common shingles, the
-  *    standard skew guard (a shingle appearing in k docs contributes k²
-  *    candidate pairs).
+  *  - ngram-Jaccard: ONE shuffle builds the inverted index as per-shingle
+  *    doc-id lists (`groupBy(shingle).collect_list`); candidate pairs are
+  *    expanded *inside* the aggregated row with codegen'd array expressions
+  *    instead of a second corpus-sized self-join shuffle. Per-doc set sizes
+  *    are derived from the same exchange (reused, not recomputed).
+  *    `maxShingleDf` drops ultra-common shingles, the standard skew guard (a
+  *    shingle appearing in k docs contributes k² candidate pairs).
   *  - MinHash-LSH: signature via one explode + hash-aggregate (flat,
-  *    codegen-friendly), then a self-join on (band, bandSignature) buckets
-  *    only — candidate generation never goes quadratic in corpus size, which
-  *    is the whole point at 100 TB.
+  *    codegen-friendly), then bucket by (band, bandSignature) — again one
+  *    shuffle plus in-row pair expansion, never a quadratic self-join.
+  *    Verification joins the (tiny) candidate set back to the corpus via
+  *    broadcast, and shingles the matched docs only, post-join.
   *
-  * All self-joins rename their key columns per side — never join a frame to
-  * itself on same-named, same-lineage columns (Spark would degrade the
-  * predicate to trivially-true).
+  * At 100 TB the candidate/duplicate side is orders of magnitude smaller
+  * than the corpus; every join here keeps the corpus on the streamed side
+  * and the candidates on the broadcast side, so nothing corpus-sized ever
+  * crosses the network twice.
   */
 object Dedup {
 
@@ -37,12 +43,18 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
 
+  /** All ordered (a < b) pairs from a sorted id array, expanded in-expression
+    * (no self-join): for a bucket of k ids this emits k(k-1)/2 structs. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, x =>
+      transform(filter(ids, y => y > x), y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** Exact n-gram Jaccard similarity pairs with sim >= `threshold`, via an
-    * inverted shingle index (shuffle on shingle, then on the pair key).
-    * `bandCols` restricts candidates to equal values of those columns (e.g.
-    * language) — both a semantic guard and a fan-out reducer.
-    * `maxShingleDf`: drop shingles appearing in more than this many docs
-    * (0 = keep all, exact result).
+    * inverted shingle index aggregated to per-shingle doc lists (one corpus
+    * shuffle; see object doc). `bandCols` restricts candidates to equal
+    * values of those columns (e.g. language) — both a semantic guard and a
+    * fan-out reducer. `maxShingleDf`: drop shingles appearing in more than
+    * this many docs (0 = keep all, exact result).
     */
   def jaccardPairs(df0: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, bandCols: Seq[String] = Nil,
@@ -51,25 +63,26 @@ object Dedup {
     val sh0 = df.select(
       (col(idCol).as("id") +: bandCols.map(col)) :+
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"): _*)
-    val shUnc = if (maxShingleDf > 0) {
-      val dfreq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("shingle")
-      sh0.join(dfreq, "shingle")
-    } else sh0
-    // The inverted index feeds three consumers (both join sides + sizes);
-    // persist it so the shingle-generation pass runs once, not three times.
-    val sh = shUnc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.toDF(sh.columns.map(_ + "_a").toIndexedSeq: _*)
-    val b = sh.toDF(sh.columns.map(_ + "_b").toIndexedSeq: _*)
-    val cond = bandCols.foldLeft(
-      a("shingle_a") === b("shingle_b") && a("id_a") < b("id_b")) {
-      (acc, c) => acc && (a(s"${c}_a") === b(s"${c}_b"))
-    }
-    // self-join both sides are corpus-sized: broadcast would serialize the
-    // whole index through the driver — force a shuffle hash join on shingle
-    val inter = a.hint("shuffle_hash").join(b, cond)
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    // ONE corpus-wide shuffle: inverted index as per-(shingle, bands) doc lists.
+    val buckets0 = sh0.groupBy((col("shingle") +: bandCols.map(col)): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // Per-doc set sizes fall out of the same exchange (ReusedExchange, no
+    // second shingling pass); must be computed BEFORE any df-based filter.
+    val sizes = buckets0.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+    val buckets = if (maxShingleDf > 0) {
+      // global doc frequency of a shingle = sum of its per-band list sizes
+      val w = Window.partitionBy(col("shingle"))
+      buckets0.withColumn("df", sum(size(col("ids"))).over(w))
+        .filter(col("df") <= maxShingleDf).drop("df")
+    } else buckets0
+    val inter = buckets
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // sizes is one row per doc and post-aggregation tiny relative to the pair
+    // set — AQE converts these to broadcast joins from runtime stats.
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -95,10 +108,11 @@ object Dedup {
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * shingle(n) → `numHashes` minhashes → `bands` banded signatures →
-    * self-join per (band, signature) bucket → distinct candidate pairs,
-    * optionally verified with exact Jaccard (`verifyThreshold` > 0 joins the
-    * shingle sets back and filters — the classic LSH + verify pipeline).
-    * With b bands of r rows, P(candidate | J=s) = 1-(1-s^r)^b.
+    * (band, signature) bucket lists → in-row pair expansion → distinct
+    * candidate pairs, optionally verified with exact Jaccard
+    * (`verifyThreshold` > 0 broadcast-joins the candidates back to the
+    * corpus and shingles only the matched docs — the classic LSH + verify
+    * pipeline). With b bands of r rows, P(candidate | J=s) = 1-(1-s^r)^b.
     */
   def minHashLsh(df0: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
@@ -106,31 +120,32 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val df = graft.core.Par.widen(df0)
     val r = numHashes / bands
-    // One materialization of the per-doc shingle sets serves signature
-    // computation AND the verify-join below.
-    val sets = df.select(col(idCol).as("id"),
+    val docs = df.select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shingles = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val shingles = docs.select(col("id"), explode(col("sh")).as("shingle"))
     val sig = minHashSignatures(shingles, numHashes)
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((0 until r).map(j => col(s"h${b * r + j}")): _*)
       }: _*)).as(Seq("band", "bsig"))) // columns: (id, band, bsig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.toDF("id_a", "band_a", "bsig_a")
-    val rt = banded.toDF("id_b", "band_b", "bsig_b")
-    val cand = l.hint("shuffle_hash").join(rt,
-        l("band_a") === rt("band_b") && l("bsig_a") === rt("bsig_b") && l("id_a") < rt("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val cand = banded.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     if (verifyThreshold <= 0) cand
     else {
-      cand
-        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // Verify: broadcast the (small) candidate set through the corpus twice,
+      // computing shingle sets AFTER the join so only matched docs pay for
+      // shingling. The corpus is never shuffled.
+      val bareA = df.select(col(idCol).as("id_a"), col(textCol).as("txt_a"))
+      val bareB = df.select(col(idCol).as("id_b"), col(textCol).as("txt_b"))
+      bareB.join(broadcast(bareA.join(broadcast(cand), "id_a")), "id_b")
+        .withColumn("sh_a", array_distinct(TextFunctions.shingles(col("txt_a"), n)))
+        .withColumn("sh_b", array_distinct(TextFunctions.shingles(col("txt_b"), n)))
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -161,18 +176,23 @@ object Dedup {
 
   /** Hamming-distance pairs over simhash fingerprints within `maxDist`, using
     * 4 × 16-bit band buckets (any pair at distance ≤ 3 must share a band —
-    * pigeonhole): linear bucketing instead of an all-pairs comparison. */
+    * pigeonhole): one bucketing shuffle + in-row pair expansion with the
+    * distance filter applied inside the expression, instead of an all-pairs
+    * self-join. */
   def simHashPairs(sims: DataFrame, maxDist: Int = 3): DataFrame = {
     val banded = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bsig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.toDF("id_a", "h_a", "band_a", "bsig_a")
-    val r = banded.toDF("id_b", "h_b", "band_b", "bsig_b")
-    l.hint("shuffle_hash")
-      .join(r, l("band_a") === r("band_b") && l("bsig_a") === r("bsig_b") && l("id_a") < r("id_b"))
-      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist").dropDuplicates("id_a", "id_b")
+    banded.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), x =>
+        transform(
+          filter(col("ms"), y => y.getField("id") > x.getField("id") &&
+            bit_count(y.getField("simhash").bitwiseXOR(x.getField("simhash"))) <= maxDist),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            bit_count(y.getField("simhash").bitwiseXOR(x.getField("simhash"))).as("dist")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.dist").as("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

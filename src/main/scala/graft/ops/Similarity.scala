@@ -92,9 +92,14 @@ object Similarity {
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Coarse quantizer training: random init (one pass) + few Lloyd rounds is
+    // plenty for a *coarse* partitioner — cell quality converges fast and
+    // recall comes from nprobe, not centroid polish. At 100 TB you'd train on
+    // a bounded deterministic sample exactly like this; coalesce keeps the
+    // many tiny k-means jobs from drowning in per-task scheduling overhead.
     val train = corpus.select(array_to_vector(
-      transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(train)
+      transform(col(vecCol), x => x.cast("double"))).as("features")).coalesce(8)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(3).fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
