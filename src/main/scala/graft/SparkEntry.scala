@@ -443,6 +443,269 @@ object SparkEntry {
           unix_millis(col("session_end")).as("end_ms"),
           col("n_events"), round(col("total_value"), 2).as("total"))
         .orderBy(col("user_id"), col("start_ms"))
+    }),
+
+    // set ops: INTERSECT / EXCEPT with DISTINCT semantics (beyond reference)
+    "q41_intersect_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      def summarize(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n"), min(col("o_custkey")).as("min_ck"),
+            max(col("o_custkey")).as("max_ck"))
+          .select(lit(tag).as("tag"), col("n"), col("min_ck"), col("max_ck"))
+      Relational.union(summarize(Relational.intersect(a, b), "both"),
+          summarize(Relational.except(a, b), "only_o"))
+        .orderBy(col("tag"))
+    }),
+
+    // explicit cross join (small × small)
+    "q42_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // range join with an equi conjunct: clicks in the hour before each
+    // purchase, per user — hash join on user_id, range predicate as filter
+    // (the partitionable shape; never a cartesian).
+    "q43_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("event_id"), expr("ts_ns div 1000").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), expr("ts_ns div 1000").as("c_us"))
+      p.join(c, col("p_uid") === col("c_uid") &&
+          col("c_us") >= col("p_us") - 3600000000L && col("c_us") < col("p_us"), "left")
+        .groupBy(col("event_id")).agg(count(col("c_us")).as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
+    // window lag/lead + running decimal sum per customer order history
+    "q44_window_lag" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+          lead(col("o_totalprice"), 1).over(w).as("next_total"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(wrun)
+            .cast("double"), 2).as("run_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // string function library (beyond reference — agnes has none, §2.8)
+    "q45_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size3"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+          regexp_replace(col("p_type"), "ECONOMY", "ECO").as("ptype2"),
+          length(col("p_name")).cast("long").as("nlen"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          reverse(col("p_brand")).as("rbrand"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date/time function library (beyond reference)
+    "q46_date_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val d = to_date(col("o_orderdate"))
+      o.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dw"),
+          last_day(col("o_orderdate")).as("ld"),
+          datediff(d, to_date(lit("1995-01-01"))).cast("long").as("dd"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("mstart"),
+          date_add(d, 30).as("d30"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // skewness/kurtosis from exact decimal power sums — same derivation in
+    // both engines, so the doubles are bit-identical (q40 pattern, one
+    // moment higher)
+    "q47_skew_kurt" -> ((s, dir) => {
+      val qd = col("l_quantity").cast("decimal(6,2)")
+      val sums = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(qd).cast("double").as("s1"),
+        sum(qd * qd).cast("double").as("s2"),
+        sum(qd * qd * qd).cast("double").as("s3"),
+        sum((qd * qd) * (qd * qd)).cast("double").as("s4"))
+      val m = sums.select(col("l_returnflag"),
+        (col("s1") / col("n")).as("mean"),
+        (col("s2") / col("n")).as("q2"),
+        (col("s3") / col("n")).as("q3"),
+        (col("s4") / col("n")).as("q4"))
+      val mm = m.select(col("l_returnflag"), col("mean"),
+        (col("q2") - col("mean") * col("mean")).as("m2"),
+        (col("q3") - lit(3.0) * col("mean") * col("q2") +
+          lit(2.0) * col("mean") * col("mean") * col("mean")).as("m3"),
+        (col("q4") - lit(4.0) * col("mean") * col("q3") +
+          lit(6.0) * col("mean") * col("mean") * col("q2") -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean")).as("m4"))
+      mm.select(col("l_returnflag"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // fixed-width histogram binning
+    "q48_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // salted skew join — result identical to the plain join (oracle is the
+    // plain join); the salt breaks a hot key across `salts` tasks
+    "q49_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.ScaleJoins.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // bucketed co-located join: both sides pre-bucketed on the key, join
+    // plan has no shuffle Exchange (ScaleJoinsSpec asserts that)
+    "q50_bucketed_join" -> ((s, dir) => {
+      graft.ops.ScaleJoins.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", "o_custkey", 8)
+      graft.ops.ScaleJoins.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "graft_b_cust", "o_custkey", 8)
+      graft.ops.ScaleJoins.bucketedJoin(s, "graft_b_orders", "graft_b_cust", "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // arbitrary GROUPING SETS + grouping_id (rollup/cube generalization)
+    "q51_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql("""SELECT l_returnflag, l_linestatus, CAST(grouping_id() AS BIGINT) AS gid,
+              |  count(*) AS n,
+              |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+              |FROM graft_li GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // conditional aggregates: count_if, bool_and/bool_or, tie-proof max_by
+    "q52_conditional_agg" -> ((s, dir) => {
+      val tieKey = round(col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey")
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"),
+          max_by(col("o_orderkey"), tieKey).as("top_order"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // array aggregation + array functions (sorted distinct set as string)
+    "q53_array_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          size(collect_set(col("l_linestatus"))).cast("long").as("n_statuses"),
+          array_contains(collect_set(col("l_linestatus")), "F").as("has_f"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // posexplode (UDTF-style lateral view) with 1-based position
+    "q54_posexplode" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ntile decile bucketing over a global order
+    "q55_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("tile"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy(col("tile"))
+    }),
+
+    // first_value / last_value / nth_value with an explicit full frame
+    "q56_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // banded range join: orders matched to price-band intervals via the
+    // binned equi-join (never a cartesian; see ScaleJoins.rangeJoinBinned)
+    "q59_range_band" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+        ("high", 150000.0, 300000.0), ("top", 300000.0, 1000000.0)).toDF("band", "lo", "hi")
+      graft.ops.ScaleJoins.rangeJoinBinned(t(s, dir, "orders"), bands,
+          "o_totalprice", "lo", "hi", binWidth = 50000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("band"))
+    }),
+
+    // embedding-cosine near-duplicate pairs, exact (the gate-scale form;
+    // the 100 TB path buckets first — s30 LSH / s36 IVF — and verifies
+    // exactly like this on the candidate set only)
+    "d40_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = graft.core.Par.widen(e).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+          s, col("e_a"), col("e_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // HLL++ sketch vs exact distinct (approx column has no portable oracle →
+    // rows-only gate check; the ScaleJoinsSpec bounds its error vs exact)
+    "q57_approx_distinct" -> ((s, dir) => {
+      graft.ops.ScaleJoins.distinctCounts(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // true Structured Streaming execution: file source → watermarked tumbling
+    // window agg → memory sink (one AvailableNow run); result equals the
+    // batch oracle because windows align to epoch hours and sums are decimal
+    "q58_stream_window" -> ((s, dir) => {
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // file-stream sources take a directory; glob-filter to the events table
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val agged = graft.streaming.Streams.windowedAgg(ev, "ts", "event_type", "1 hour",
+        aggs = Seq(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total")))
+      val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table("graft_q58_sink")
+        .select(col("event_type"), unix_timestamp(col("window_start")).as("window_start_s"),
+          col("n"), col("total"))
+        .orderBy(col("event_type"), col("window_start_s"))
     })
   )
 
@@ -652,55 +915,6 @@ object SparkEntry {
         |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
-    "q40_corr" ->
-      """WITH a AS (SELECT l_returnflag,
-        |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag,
-        |  round((sxy - sx*sy/n) / (n-1), 4) AS covar,
-        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
-        |FROM a ORDER BY l_returnflag""".stripMargin,
-
-    "q39_quantiles" ->
-      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "d37_stratified_sample" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (
-        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
-
-    "t38_top_terms" ->
-      """WITH tf AS (
-        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
-        |cnt AS (SELECT lang, token, count(*) AS tf FROM tf GROUP BY lang, token),
-        |ranked AS (SELECT lang, token, tf,
-        |  row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank FROM cnt)
-        |SELECT lang, token, tf, rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-
-    "q40_corr" ->
-      """WITH a AS (SELECT l_returnflag,
-        |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag,
-        |  round((sxy - sx*sy/n) / (n-1), 4) AS covar,
-        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
-        |FROM a ORDER BY l_returnflag""".stripMargin,
-
     "q39_quantiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
@@ -758,6 +972,144 @@ object SparkEntry {
         |ranked AS (SELECT qid, nid, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM scored)
         |SELECT qid AS query_id, nid AS neighbor_id, round(cosine, 4) AS cosine
-        |FROM ranked WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q41_intersect_except" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+        |x AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |SELECT 'both' AS tag, count(*) AS n, min(o_custkey) AS min_ck, max(o_custkey) AS max_ck FROM i
+        |UNION ALL
+        |SELECT 'only_o', count(*), min(o_custkey), max(o_custkey) FROM x
+        |ORDER BY tag""".stripMargin,
+
+    "q42_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+
+    "q43_range_join" ->
+      """SELECT p.event_id, count(c.ts) AS n_clicks FROM events p
+        |LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 AND epoch_us(c.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "q44_window_lag" ->
+      """SELECT o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_total,
+        |  lead(o_totalprice) OVER w AS next_total,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS run_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q45_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS pre5,
+        |  concat_ws('-', p_brand, p_type) AS bt, lpad(CAST(p_size AS VARCHAR), 3, '0') AS size3,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  replace(p_type, 'ECONOMY', 'ECO') AS ptype2, CAST(length(p_name) AS BIGINT) AS nlen,
+        |  string_split(p_name, ' ')[1] AS first_word, reverse(p_brand) AS rbrand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q46_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, day(o_orderdate) AS dom, isodow(o_orderdate) AS iso_dw,
+        |  CAST(last_day(o_orderdate) AS DATE) AS ld,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  CAST(o_orderdate AS DATE) + 30 AS d30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q47_skew_kurt" ->
+      """WITH s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q*q) AS DOUBLE) AS s2,
+        |  CAST(sum(q*q*q) AS DOUBLE) AS s3, CAST(sum((q*q)*(q*q)) AS DOUBLE) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(6,2)) AS q FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, s1/n AS mean, s2/n AS q2, s3/n AS q3, s4/n AS q4 FROM s),
+        |mm AS (SELECT l_returnflag, mean, q2 - mean*mean AS m2,
+        |  q3 - 3.0*mean*q2 + 2.0*mean*mean*mean AS m3,
+        |  q4 - 4.0*mean*q3 + 6.0*mean*mean*q2 - 3.0*mean*mean*mean*mean AS m4 FROM m)
+        |SELECT l_returnflag, round(m3 / (m2 * sqrt(m2)), 6) AS skew,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurt FROM mm ORDER BY l_returnflag""".stripMargin,
+
+    "q48_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q49_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q50_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q51_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q52_conditional_agg" ->
+      """SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos, bool_or(o_totalprice > 400000) AS any_huge,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS top_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q53_array_agg" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |  CAST(len(list_distinct(list(l_linestatus))) AS BIGINT) AS n_statuses,
+        |  list_contains(list_distinct(list(l_linestatus)), 'F') AS has_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q54_posexplode" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+        |u AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} for i in range(1, len(t)+1)]) AS u FROM toks)
+        |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM u ORDER BY doc_id, pos""".stripMargin,
+
+    "q55_ntile" ->
+      """SELECT tile, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM (
+        |  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS tile FROM customer)
+        |GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q56_first_last" ->
+      """SELECT o_orderkey, first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok, nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q59_range_band" ->
+      """SELECT band, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1000000.0)) AS b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "d40_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([a.e[i]*b.e[i] for i in range(1, len(a.e)+1)]) /
+        |  (sqrt(list_sum([a.e[i]*a.e[i] for i in range(1, len(a.e)+1)])) *
+        |   sqrt(list_sum([b.e[i]*b.e[i] for i in range(1, len(b.e)+1)]))) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_stream_window" ->
+      """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+        |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type, window_start_s
+        |ORDER BY event_type, window_start_s""".stripMargin
   )
 }

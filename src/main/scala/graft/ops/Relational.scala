@@ -112,6 +112,12 @@ object Relational {
 
   def limitRows(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
+  /** Set intersection / difference with DISTINCT semantics (SQL INTERSECT /
+    * EXCEPT; listed as free parity extras in SURVEY §2.7 — the reference has
+    * neither). */
+  def intersect(l: DataFrame, r: DataFrame): DataFrame = l.intersect(r)
+  def except(l: DataFrame, r: DataFrame): DataFrame = l.except(r)
+
   /** Inner join, one key column per side, predicate ∈ {=, <, <=, >, >=}
     * (agnes `join::<Join<L,R,Pred>>`, src/join.rs:206-389). Output = all left
     * columns then all right columns including both keys (join.rs:429-439).

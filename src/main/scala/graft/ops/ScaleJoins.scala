@@ -58,6 +58,27 @@ object ScaleJoins {
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Banded (binned) range join: match left rows whose `lVal` column falls
+    * in a right-side interval [`lo`, `hi`). A naive range join degenerates to
+    * a broadcast-nested-loop / cartesian at scale; binning turns it into an
+    * equi-join on a coarse bucket (each interval replicated over the buckets
+    * it spans) followed by the exact range filter — the standard interval-
+    * join layout for time ranges, IP ranges, and numeric bands.
+    * `binWidth` trades replication (wide intervals → many bins) against
+    * bucket selectivity; pick it near the median interval width.
+    */
+  def rangeJoinBinned(l: DataFrame, r: DataFrame, lVal: String,
+                      lo: String, hi: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lb = l.withColumn("__bin", floor(col(lVal) / binWidth).cast("long"))
+    val rb = r.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(lVal) >= col(lo) && col(lVal) < col(hi))
+      .drop("__bin")
+  }
+
   /** Distinct count tiering: exact (`count distinct`), and the sketch the
     * reference lacks — HyperLogLog++ `approx_count_distinct`, constant
     * memory per group at any cardinality. `rsd` = relative standard error. */

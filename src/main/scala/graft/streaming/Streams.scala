@@ -29,14 +29,18 @@ object Streams {
     */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
                   windowDur: String, slide: Option[String] = None,
-                  watermark: String = "10 minutes"): DataFrame = {
+                  watermark: String = "10 minutes",
+                  aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     val win = slide.map(s => window(col(tsCol), windowDur, s))
       .getOrElse(window(col(tsCol), windowDur))
+    val aggCols = if (aggs.nonEmpty) aggs
+      else Seq(count(lit(1)).as("n"), sum(col("value")).as("total"))
     src.groupBy(win, col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
-      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
-        col(keyCol), col("n"), col("total"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
   }
 
   /** Gap-based sessionization with typed state. A session closes when no
