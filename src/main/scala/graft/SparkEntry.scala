@@ -1110,6 +1110,59 @@ object SparkEntry {
       """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
         |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY event_type, window_start_s
-        |ORDER BY event_type, window_start_s""".stripMargin
+        |ORDER BY event_type, window_start_s""".stripMargin,
+
+    // The simhash fingerprint is md5-derived (Dedup.SimHashBits = 60), so the
+    // oracle recomputes the IDENTICAL fingerprint and takes naive O(n²)
+    // Hamming pairs — verifying both the hash and the banded pair search.
+    "d24_simhash_pairs" -> simHashOracle,
+
+    // LSH hyperplanes are md5-derived literals (Similarity.planeMatrix), so
+    // the oracle recomputes the same buckets and the same rerank.
+    "s30_ann_lsh" -> lshOracle(planes = 6, dim = 64, k = 10)
   )
+
+  /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then
+    * naive all-pairs Hamming distance (exactly equals the banded search for
+    * maxDist 3 < 4 bands, by pigeonhole). */
+  private def simHashOracle: String = {
+    val bits = graft.ops.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val fp = (0 until bits)
+      .map(b => s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM votes),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, dist FROM p WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Oracle for s30: same hyperplane literals as the engine (inlined), same
+    * sign-signature bucketing, same cosine rerank as the s29 oracle. */
+  private def lshOracle(planes: Int, dim: Int, k: Int): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    val bucket = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucket AS bucket FROM v),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM b),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_sum([qe[i]*ce[i] for i in range(1, len(qe)+1)]) /
+       |  (sqrt(list_sum([qe[i]*qe[i] for i in range(1, len(qe)+1)])) *
+       |   sqrt(list_sum([ce[i]*ce[i] for i in range(1, len(ce)+1)]))) AS cosine
+       |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+       |FROM ranked WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin
+  }
 }

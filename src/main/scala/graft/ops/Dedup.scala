@@ -154,35 +154,42 @@ object Dedup {
     }
   }
 
-  /** SimHash fingerprint (64-bit) per document: explode distinct tokens,
-    * per-bit majority vote in one flat hash-aggregate (64 sum columns —
-    * map-side combine, one shuffle on id), then assemble the fingerprint
-    * with wrap-safe bitwise ops. Near-dups = small Hamming distance.
-    * Returns (id, simhash). */
+  /** Number of simhash bits: 60 = 15 hex chars of MD5, the widest slice that
+    * both this engine and the SQL oracle can parse into a signed 64-bit int.
+    * A portable token hash (`md5` is identical everywhere) makes the whole
+    * fingerprint reproducible outside Spark — the oracle recomputes it. */
+  val SimHashBits = 60
+
+  /** SimHash fingerprint (60-bit, MD5-derived) per document: explode distinct
+    * tokens, per-bit majority vote in one flat hash-aggregate (60 sum
+    * columns — map-side combine, one shuffle on id), then assemble the
+    * fingerprint with wrap-safe bitwise ops. Near-dups = small Hamming
+    * distance. Returns (id, simhash). */
   def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = graft.core.Par.widen(df0)
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val aggs = (0 until 64).map { b =>
+    // 60-bit portable hash: first 15 hex chars of md5, parsed base-16
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val aggs = (0 until SimHashBits).map { b =>
       sum(shiftright(h, b).bitwiseAND(1).cast("int") * 2 - 1).as(s"b$b")
     }
     val votes = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until 64).map { b =>
+    val fp = (0 until SimHashBits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     votes.select(col("id"), fp.as("simhash"))
   }
 
   /** Hamming-distance pairs over simhash fingerprints within `maxDist`, using
-    * 4 × 16-bit band buckets (any pair at distance ≤ 3 must share a band —
+    * 4 × 15-bit band buckets (any pair at distance ≤ 3 must share a band —
     * pigeonhole): one bucketing shuffle + in-row pair expansion with the
     * distance filter applied inside the expression, instead of an all-pairs
     * self-join. */
   def simHashPairs(sims: DataFrame, maxDist: Int = 3): DataFrame = {
     val banded = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bsig")))
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL)): _*)).as(Seq("band", "bsig")))
     banded.groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -192,7 +199,8 @@ object Dedup {
             bit_count(y.getField("simhash").bitwiseXOR(x.getField("simhash"))) <= maxDist),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
             bit_count(y.getField("simhash").bitwiseXOR(x.getField("simhash"))).as("dist")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.dist").as("dist"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.dist").cast("long").as("dist"))
       .dropDuplicates("id_a", "id_b")
   }
 }

@@ -59,18 +59,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-1, 1]. Same value on every executor — no RNG state
-    * to ship. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  /** Deterministic pseudo-random hyperplanes: component (p, i) is the first
+    * 60 bits of md5("p_i") folded to [-1, 1]. Computed once driver-side and
+    * inlined as array literals — no RNG state to ship, no per-row hashing,
+    * and (being md5-derived) exactly reproducible by any other engine, which
+    * is how the oracle recomputes the same buckets. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      ((h % 2000001L) - 1000000L).toDouble / 1000000.0
+    }
 
-  /** Sign-signature under `planes` random hyperplanes → integer bucket. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Sign-signature under `planes` deterministic hyperplanes → integer
+    * bucket. `dim` is the (fixed) embedding dimensionality. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val mat = planeMatrix(planes, dim)
     val sigBits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, typedLit(mat(p).toIndexedSeq),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -134,10 +143,11 @@ object Similarity {
   def lshTopK(corpus0: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val corpus = graft.core.Par.widen(corpus0)
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket_c", lshBucket(col("cv"), planes))
+      .withColumn("bucket_c", lshBucket(col("cv"), planes, dim))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket_q", lshBucket(col("qv"), planes)))
+      .withColumn("bucket_q", lshBucket(col("qv"), planes, dim)))
     val scored = c.join(q, c("bucket_c") === q("bucket_q"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
