@@ -66,6 +66,55 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(got == Seq(("en", "a", 3L, 1L), ("en", "b", 3L, 2L), ("fr", "x", 2L, 1L), ("fr", "y", 1L, 2L)))
   }
 
+  test("rangeJoinBinned equals the naive range join and never goes cartesian") {
+    val points = (1 to 500).map(i => (i.toLong, i * 7.3 % 400)).toDF("pid", "v")
+    val bands = Seq(("a", 0.0, 100.0), ("b", 100.0, 250.0), ("c", 250.0, 400.0))
+      .toDF("band", "lo", "hi")
+    val naive = points.join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "band").collect().map(_.toSeq).toSet
+    val binned = ScaleJoins.rangeJoinBinned(points, bands, "v", "lo", "hi", 50.0)
+      .select("pid", "band").collect().map(_.toSeq).toSet
+    assert(binned == naive)
+    // the binned plan is an equi-join on __bin, not a nested-loop cartesian
+    val plan = ScaleJoins.rangeJoinBinned(points, bands, "v", "lo", "hi", 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("intersect/except distinct semantics") {
+    val l = Seq(1, 2, 2, 3, 4).toDF("x")
+    val r = Seq(3, 4, 4, 5).toDF("x")
+    assert(ops.Relational.intersect(l, r).as[Int].collect().sorted.toSeq == Seq(3, 4))
+    assert(ops.Relational.except(l, r).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("planeMatrix is deterministic, bounded, and md5-reproducible") {
+    val m1 = ops.Similarity.planeMatrix(4, 16)
+    val m2 = ops.Similarity.planeMatrix(4, 16)
+    assert(m1.flatten.toSeq == m2.flatten.toSeq)
+    assert(m1.flatten.forall(w => w >= -1.0 && w <= 1.0))
+    // spot-check one component against the definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("2_5".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    assert(m1(2)(5) == ((h % 2000001L) - 1000000L).toDouble / 1000000.0)
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val q = SparkEntry.queries("q02_filter_project")(spark, sf("sf0.001"))
+    val scan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("GreaterThanOrEqual(l_quantity,45.0)"), scan)
+    // column pruning: unreferenced columns never reach the scan
+    assert(scan.contains("ReadSchema") && !scan.contains("l_returnflag"), scan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    val q = SparkEntry.queries("q03_join_agg_revenue")(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("approx distinct within rsd of exact") {
     val li = core.Tables.lineitem(spark, sf("sf0.001"))
     val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()
