@@ -678,6 +678,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // §2.1 JSON source/sink roundtrip (a source family the reference lists
+    // only as FUTURE work): write a slice as JSON lines, reload with an
+    // explicit schema, verify against the parquet-born oracle
+    "q60_json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val slice = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      slice.coalesce(1).write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderpriority", StringType)))
+      s.read.schema(schema).json(tmp)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // HLL++ sketch vs exact distinct (approx column has no portable oracle →
     // rows-only gate check; the ScaleJoinsSpec bounds its error vs exact)
     "q57_approx_distinct" -> ((s, dir) => {
@@ -1111,6 +1127,10 @@ object SparkEntry {
         |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY event_type, window_start_s
         |ORDER BY event_type, window_start_s""".stripMargin,
+
+    "q60_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
 
     // The simhash fingerprint is md5-derived (Dedup.SimHashBits = 60), so the
     // oracle recomputes the IDENTICAL fingerprint and takes naive O(n²)

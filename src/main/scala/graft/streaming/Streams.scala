@@ -102,6 +102,17 @@ object Streams {
     Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
       s.n, s.total)
 
+  /** Streaming exact deduplication with bounded state: drops rows whose
+    * `keys` were already seen, holding state only within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`) so state size tracks the
+    * duplicate-arrival window, not the whole stream — the only dedup shape
+    * that survives an unbounded stream. Batch input degrades to plain
+    * `dropDuplicates` (the exact-dedup twin, Dedup.exact's key semantics). */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
   /** File-source streaming reader with the same schema as a batch table —
     * the entry point for incremental pipelines over landing directories. */
   def readStream(spark: SparkSession, path: String,

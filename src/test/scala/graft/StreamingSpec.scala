@@ -77,6 +77,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate keys within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dd = Streams.dedupStream(mem.toDF(), Seq("event_id"), "ts", "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "click", 1.0), Event(3, ts(4), 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedupStream (batch) equals dropDuplicates") {
+    val df = batch.toDF()
+    assert(Streams.dedupStream(df, Seq("user_id"), "ts").count() == 2)
+  }
+
   test("windowedAgg (batch) equals the q18-style grouped aggregation") {
     val ev = core.Tables.events(spark, sf("sf0.001"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
