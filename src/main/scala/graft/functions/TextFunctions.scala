@@ -69,6 +69,20 @@ object TextFunctions {
     round(greatest(lit(0.0), least(lit(1.0), (lenScore + alpha + stopScore) / lit(3.0))), 4)
   }
 
+  /** PII / URL scrubbing: replace e-mail addresses, URLs, and long digit
+    * runs (phone/account-number-like) with typed placeholder tokens — the
+    * cheap regex pass a pretraining pipeline applies before tokenization.
+    * A chain of codegen'd `regexp_replace` calls (no UDF, no shuffle);
+    * e-mails are replaced first so their host parts are not half-eaten by
+    * the URL rule. Patterns are RE2-compatible, so any engine reproduces
+    * the result (the DuckDB oracle does). */
+  def scrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Canonical-form document fingerprint: md5 of the sorted distinct token
     * set. Identical content up to token order/multiplicity collides — the
     * cheap "bag of words" dedup key. Portable: DuckDB computes the same via

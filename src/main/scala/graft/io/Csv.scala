@@ -2,7 +2,6 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
-import scala.jdk.CollectionConverters._
 
 /** CSV dialect descriptor — what the reference's csv-sniffer infers
   * (agnes src/source/csv.rs:38-50: delimiter, preamble rows, header flag). */
@@ -26,14 +25,38 @@ object Csv {
 
   private val candidateDelims = Seq(',', ';', '\t', '|')
 
+  /** Head sample of a file through the Hadoop FileSystem API — works for any
+    * scheme the session's Hadoop conf knows (local, `file:`, hdfs, s3a, …),
+    * not just the driver's local filesystem. Sniffing stays a driver-side
+    * read of a bounded prefix; only the bulk load is distributed. */
+  private def headBytes(path: String, maxBytes: Int): Array[Byte] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](maxBytes)
+      var off = 0
+      var n = 0
+      while (off < maxBytes && { n = in.read(buf, off, maxBytes - off); n > 0 }) off += n
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
+  }
+
   /** Sniff dialect from the first `sampleLines` physical lines. Preamble =
     * leading lines whose field count under the winning delimiter differs
     * from the dominant field count of the sample body. Header = first
     * post-preamble row has no cell parseable as a number while some later
     * row does. */
   def sniff(path: String, sampleLines: Int = 100): CsvDialect = {
-    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-      .limit(sampleLines).iterator().asScala.toVector
+    val sample = headBytes(path, 1 << 20)
+    val all = new String(sample, java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.toVector
+    // a full 1 MiB buffer may end mid-line; drop the possibly-partial tail
+    val complete = if (sample.length == (1 << 20)) all.dropRight(1) else all
+    val lines = complete.take(sampleLines)
     if (lines.isEmpty) return CsvDialect()
     def fieldCount(l: String, d: Char): Int = splitOutsideQuotes(l, d).length
     // Winning delimiter: the one whose trailing run of equal field counts
@@ -65,8 +88,7 @@ object Csv {
     * WINDOWS-1252. Checks a head sample; pass the result as `encoding`
     * to [[load]]. */
   def sniffEncoding(path: String, sampleBytes: Int = 1 << 16): String = {
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-    val buf = try in.readNBytes(sampleBytes) finally in.close()
+    val buf = headBytes(path, sampleBytes)
     def decodes(cs: String): Boolean = scala.util.Try {
       java.nio.charset.Charset.forName(cs).newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

@@ -35,22 +35,24 @@ object Multimodal {
 
   // ==========================================================================
   // STUB: stands in for a real media decoder (e.g. libjpeg/ffmpeg frame
-  // decode). Deterministic fake: derives `dim` floats from the payload bytes.
+  // decode). Deterministic fake: component d is md5(payload || '|' || d)'s
+  // first 60 bits mod 1024, scaled by 1/1024 — md5-derived so ANY engine
+  // recomputes it bit-for-bit (the DuckDB correctness oracle does), and
+  // k/1024 is exactly representable in both float and double, so downstream
+  // double arithmetic (sums of squares etc.) is bit-identical across engines.
   // Replace the body with a real codec call to productionize; the signature
   // (bytes in, fixed-dim float vector out) is the real contract.
   // ==========================================================================
   private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var acc = 1469598103934665603L // FNV-1a offset basis
-    var i = 0
-    while (i < bytes.length) {
-      acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
-      if (i % 7 == 0) out(i % dim) += ((acc >>> 16) % 1000L) / 1000.0f
-      i += 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      md.reset()
+      md.update(bytes)
+      md.update(s"|$d".getBytes("UTF-8"))
+      val hex = md.digest().map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h % 1024L).toFloat / 1024.0f
     }
-    var d = 0
-    while (d < dim) { out(d) = out(d) % 10.0f; d += 1 }
-    out
   }
 
   /** Per-media feature extraction: one `mapPartitions` pass so a real decoder

@@ -92,6 +92,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least `minShared`
+    * distinct word-`n`-gram shingles with ANY document of `evalSet` — the
+    * standard train/eval contamination check a pretraining pipeline runs
+    * before shipping a corpus. The eval side's distinct shingle set is tiny
+    * (KBs–MBs against a 100 TB corpus), so it is `broadcast` and the corpus
+    * is scanned exactly ONCE; the only shuffle is the per-doc count of the
+    * (already small) matched-shingle stream. Returns (id, n_shared). */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minShared: Long = 1L): DataFrame = {
+    val evalShingles = evalSet.select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), n))).as("shingle")).distinct()
+    shingleIndex(graft.core.Par.widen(corpus), idCol, textCol, n)
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures as `numHashes` columns `h0..h{k-1}`, one row per id:
     * explode the shingle set once and take seeded-hash minima in a single
     * flat hash-aggregate (map-side partials, one shuffle on id). */

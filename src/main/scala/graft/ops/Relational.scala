@@ -125,8 +125,8 @@ object Relational {
     *
     * Catalyst picks the physical strategy: broadcast-hash for small sides,
     * sort-merge for large equi, broadcast-nested-loop for pure theta. For a
-    * scale-safe theta join, prefer [[thetaJoinBanded]] or add an equi
-    * conjunct via `extraEqui`.
+    * scale-safe theta join, prefer [[graft.ops.ScaleJoins.rangeJoinBinned]]
+    * or add an equi conjunct via `extraEqui`.
     */
   def joinOn(l: DataFrame, r: DataFrame, lk: String, rk: String, op: String,
              joinType: String = "inner", extraEqui: Seq[(String, String)] = Nil): DataFrame = {

@@ -42,19 +42,28 @@ object ScaleJoins {
     * into `salts` tasks. AQE's skew-join handles moderate skew
     * automatically; explicit salting is for the pathological keys AQE can't
     * split (a single key bigger than memory).
+    *
+    * The salt hashes `key` plus `saltCols` — a NARROW natural key (e.g. a
+    * line number) that varies within the hot key. Hashing only `key` would
+    * put every row of the hot key in one salt bucket (no split); hashing the
+    * whole row would reference every column and defeat column pruning at the
+    * scan. Caveat: rows identical across (key ++ saltCols) hash to the same
+    * salt, so a hot key made of duplicate rows only splits if `saltCols`
+    * actually varies — pick a column that does (any unique-ish id).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salts: Int, joinType: String = "inner"): DataFrame = {
+                 salts: Int, saltCols: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    // deterministic salt from a second column-independent hash of the row id:
-    // pmod(xxhash64(key, monotonic row piece), salts) would be nondeterministic
-    // across retries — hash the key value plus a per-row uniform component
-    // derived from spark_partition_id + a cheap row hash of all columns.
+    require(saltCols.nonEmpty,
+      "saltCols must name at least one column that varies within a hot key")
+    // deterministic across task retries: the salt is a pure function of row
+    // content (never spark_partition_id / monotonically_increasing_id, which
+    // change on recomputation and would corrupt the join).
     val l = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
+      pmod(xxhash64((key +: saltCols).map(col): _*), lit(salts)).cast("int"))
     val r = small
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-    val cols = small.columns.filter(_ != key)
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 

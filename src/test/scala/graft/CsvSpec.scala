@@ -62,6 +62,18 @@ class CsvSpec extends SparkSpec {
     assert(lax.collect().count(_.isNullAt(1)) == 1) // permissive: bad cell → NULL
   }
 
+  test("sniff + load through a Hadoop file: URI (filesystem-agnostic sniffing)") {
+    // java.nio.Paths.get would choke on a scheme-qualified Hadoop path;
+    // the Hadoop FileSystem API resolves it — same code path as s3a/hdfs.
+    val p = tmpCsv("junk preamble\nstate;val1\nOH;4\nPA;54\n")
+    val hadoopUri = "file:" + p
+    val d = Csv.sniff(hadoopUri)
+    assert(d == CsvDialect(';', 1, header = true))
+    assert(Csv.sniffEncoding(hadoopUri) == "UTF-8")
+    val df = Csv.load(spark, hadoopUri)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("state", "val1"))
+  }
+
   test("loadFromUri: file:// URI equals direct path load (file_reader_test.rs)") {
     val p = tmpCsv("state,val1\nOH,4\nPA,54\n")
     val direct = Csv.load(spark, p).collect().map(_.toSeq).toSeq

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     val rowsOnly = qs.diff(os)
-    assert(rowsOnly == Set("m31_multimodal", "s36_ann_ivf", "q57_approx_distinct"),
+    assert(rowsOnly == Set("s36_ann_ivf", "q57_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -104,6 +104,53 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == "es")
   }
 
+  test("contamination: eval-shingle overlap counts, clean docs absent") {
+    // corpus docs 1-3, eval doc 4 (= exact dup of 1): doc1 shares all 7
+    // trigrams, doc2 (last word differs) shares 6, doc3 shares none
+    val corpus = docs.filter(col("doc_id") < 4)
+    val eval = docs.filter(col("doc_id") === 4)
+    val got = Dedup.contamination(corpus, eval, "doc_id", "text", n = 3)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 7L, 2L -> 6L))
+    // minShared threshold filters the weak overlap
+    val strict = Dedup.contamination(corpus, eval, "doc_id", "text", n = 3, minShared = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L))
+  }
+
+  test("scrub: emails, URLs, and long digit runs become typed placeholders") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "see https://a.io/p?q=1#f and http://b.c/d"),
+      (3L, "id 12345678901 but keep 123456"),
+      (4L, "clean text stays intact")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.scrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "see <URL> and <URL>")
+    assert(got(3L) == "id <NUM> but keep 123456")
+    assert(got(4L) == "clean text stays intact")
+  }
+
+  test("qualityScore: hand-computed goldens, bounded in [0,1]") {
+    val df = Seq(
+      (1L, "the quick brown fox"),                      // 4 tokens, all alpha
+      (2L, ("word " * 59).trim + " end!"),              // 60 tokens, capped len
+      (3L, "!!! ??? ###")                               // no alpha, no stopwords
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.qualityScore(col("text"), Seq("the", "a")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id 1: lenScore 4/50=0.08, alpha 19/19=1.0, stop 1/4=0.25 → 1-|0.25-0.15|=0.9
+    assert(got(1L) == BigDecimal((0.08 + 1.0 + 0.9) / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // id 2: lenScore capped at 1.0; id 3: alpha≈spaces only, stop 0
+    assert(got(2L) > got(1L))
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(3L) < got(1L))
+  }
+
   test("native cosine Expression is bit-identical to the composable form") {
     val e = core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
     val pairs = e.toDF("id_a", "v_a", "l_a").crossJoin(
@@ -122,6 +169,14 @@ class PipelineSpec extends SparkSpec {
     // identical payloads → identical features (deterministic stub)
     val byId = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(byId(1L) == byId(4L) && byId(1L) != byId(3L))
+    // md5-portable definition: component d = (md5(text|'|'|d)[60b] % 1024)/1024
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 8).map { d =>
+      val hex = md.digest(s"the quick brown fox jumps over the lazy dog|$d"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1024L).toFloat / 1024.0f
+    }
+    assert(byId(1L) == expected)
     val frames = Multimodal.frameSample(media, n = 3, frameBytes = 4)
     assert(frames.count() == 12)
   }

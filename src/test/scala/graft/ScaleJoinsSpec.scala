@@ -27,22 +27,81 @@ class ScaleJoinsSpec extends SparkSpec {
     val dim = (1L to 2000L).map(k => (k, s"d$k")).toDF("k", "rv")
     val plain = skewed.join(dim, Seq("k")).select("k", "lv", "rv")
       .collect().map(_.toSeq).toSet
-    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4)
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4, saltCols = Seq("lv"))
       .select("k", "lv", "rv").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
 
-  test("IVF ANN: high recall vs brute force, identical scores on overlap") {
+  test("salted join salt actually splits a pathological hot key") {
+    // 50% of all rows on one key — the shape AQE can't split when a single
+    // key exceeds executor memory.
+    val n = 4000
+    val skewed = (1 to n).map(i => (if (i % 2 == 0) 7L else i.toLong, i.toLong))
+      .toDF("k", "row_id")
+    val salts = 8
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(col("k"), col("row_id")), lit(salts)).cast("int"))
+    val hot = salted.filter(col("k") === 7L).groupBy(col("__salt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every salt bucket occupied, and no bucket more than 2x the even share
+    assert(hot.keySet == (0 until salts).toSet, s"unoccupied salt buckets: $hot")
+    val share = (n / 2).toDouble / salts
+    assert(hot.values.max <= 2 * share, s"salt did not spread the hot key: $hot")
+    // and the library op over the same data equals the plain join
+    val dim = Seq((7L, "hot"), (1L, "cold")).toDF("k", "rv")
+    val plain = skewed.join(dim, Seq("k")).count()
+    assert(ScaleJoins.saltedJoin(skewed, dim, "k", salts, Seq("row_id")).count() == plain)
+  }
+
+  test("salted join keeps column pruning: q49 lineitem scan reads only 3 cols") {
+    val q = SparkEntry.queries("q49_salted_join")(spark, sf("sf0.001"))
+    val fmt = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = fmt.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val liSchema = readSchemas.find(_.contains("l_orderkey")).getOrElse(
+      fail(s"no lineitem ReadSchema in plan:\n$fmt"))
+    val wanted = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+    wanted.foreach(c => assert(liSchema.contains(c), s"missing $c in $liSchema"))
+    val unwanted = Seq("l_quantity", "l_shipdate", "l_returnflag", "l_discount",
+      "l_tax", "l_partkey", "l_suppkey", "l_linestatus")
+    unwanted.foreach(c => assert(!liSchema.contains(c),
+      s"salt defeated pruning — scan reads $c: $liSchema"))
+  }
+
+  test("IVF ANN: exact when probing all cells; recall floor and score parity at nprobe=3") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter(col("vec_id") < 5)
     val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // nprobe = nlist probes every cell → IVF must EQUAL brute force exactly
+    // (exercises cell assignment, the probe join, and the rerank end-to-end;
+    // tie-breaks are deterministic on (cosine desc, neighbor asc) both paths)
+    val full = ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute, "IVF probing all cells must reproduce exact brute-force top-k")
+    // partial probe: approximate by design — on this near-uniform synthetic
+    // corpus true neighbors scatter across cells, so the honest bound is a
+    // floor well above the 3/8 random-probe baseline, not a high-recall claim
     val ivf = ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, nlist = 8, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(ivf.nonEmpty)
     val overlap = ivf.keySet.intersect(brute.keySet)
-    assert(overlap.size >= ivf.size / 2, s"recall too low: ${overlap.size}/${ivf.size}")
+    assert(overlap.size * 2 >= ivf.size, s"recall too low: ${overlap.size}/${ivf.size}")
     overlap.foreach(k => assert(ivf(k) == brute(k)))
+  }
+
+  test("stratifiedFraction: seeded determinism, strata respected") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val fr = Map("en" -> 0.5, "fr" -> 0.2)
+    def run(seed: Long) = ops.Sampling.stratifiedFraction(d, "lang", fr, seed)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run(42L)
+    assert(s1 == run(42L), "same seed must reproduce the same sample")
+    assert(s1.nonEmpty)
+    // only requested strata appear
+    val langs = ops.Sampling.stratifiedFraction(d, "lang", fr, 42L)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "fr")))
   }
 
   test("stratifiedExact: exactly k per stratum, deterministic across runs") {
