@@ -721,11 +721,18 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       val agged = graft.streaming.Streams.windowedAgg(ev, "ts", "event_type", "1 hour",
         aggs = Seq(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total")))
-      val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      // state-store instances = shuffle partitions; the keyspace here is tiny
+      // (event_type × hour), so 8 stores cut the per-micro-batch checkpoint
+      // fsync count 4× without changing the result. Restored after the run.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("graft_q58_sink")
         .select(col("event_type"), unix_timestamp(col("window_start")).as("window_start_s"),
           col("n"), col("total"))
@@ -757,6 +764,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ORC source/sink roundtrip (columnar format beyond the reference; the
+    // oracle reads the ORIGINAL parquet, so a hash match proves write/read
+    // fidelity of the ORC path end-to-end)
+    "q64_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val slice = t(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      slice.coalesce(1).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy(col("c_custkey"))
     })
   )
 
@@ -1176,13 +1195,14 @@ object SparkEntry {
     // the oracle recomputes the same buckets and the same rerank.
     "s30_ann_lsh" -> lshOracle(planes = 6, dim = 64, k = 10),
 
-    // The decode stub is md5-derived (Multimodal.decodeStub): component d of
-    // doc payload p is (first 60 bits of md5(p || '|' || d) mod 1024)/1024 —
-    // exactly representable in float AND double, so the sum of squares is
-    // exact (order-independent) and DuckDB reproduces it bit-for-bit.
+    // The decode stub is md5-derived (Multimodal.decodeStub): the payload
+    // hashes once to a 32-hex md5 seed, and component d is (first 60 bits of
+    // md5(seed || '|' || d) mod 1024)/1024 — exactly representable in float
+    // AND double, so the sum of squares is exact (order-independent) and
+    // DuckDB reproduces it bit-for-bit.
     "m31_multimodal" ->
       """WITH f AS (SELECT doc_id,
-        |  [(CAST(('0x' || substr(md5(text || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 1024) / 1024.0
+        |  [(CAST(('0x' || substr(md5(md5(text) || '|' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 1024) / 1024.0
         |   for d in [0, 1, 2, 3, 4, 5, 6, 7]] AS feats
         |  FROM documents)
         |SELECT doc_id AS media_id, round(list_sum([x * x for x in feats]), 4) AS feat_sumsq
@@ -1214,7 +1234,11 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, round(greatest(0.0, least(1.0,
         |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality
-        |FROM parts ORDER BY doc_id""".stripMargin
+        |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "q64_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then

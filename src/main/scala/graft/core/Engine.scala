@@ -24,6 +24,9 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default-on, but explicit: AQE splits moderately skewed join partitions
+      // at runtime; ScaleJoins.saltedJoin covers the pathological keys beyond it
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

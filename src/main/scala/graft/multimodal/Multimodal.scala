@@ -35,21 +35,22 @@ object Multimodal {
 
   // ==========================================================================
   // STUB: stands in for a real media decoder (e.g. libjpeg/ffmpeg frame
-  // decode). Deterministic fake: component d is md5(payload || '|' || d)'s
-  // first 60 bits mod 1024, scaled by 1/1024 — md5-derived so ANY engine
-  // recomputes it bit-for-bit (the DuckDB correctness oracle does), and
-  // k/1024 is exactly representable in both float and double, so downstream
-  // double arithmetic (sums of squares etc.) is bit-identical across engines.
-  // Replace the body with a real codec call to productionize; the signature
-  // (bytes in, fixed-dim float vector out) is the real contract.
+  // decode). Deterministic fake: the payload is hashed ONCE to a 32-hex-char
+  // md5 seed, and component d is md5(seed || '|' || d)'s first 60 bits mod
+  // 1024, scaled by 1/1024 — O(len + dim) per payload, md5-derived so ANY
+  // engine recomputes it bit-for-bit (the DuckDB correctness oracle does),
+  // and k/1024 is exactly representable in both float and double, so
+  // downstream double arithmetic (sums of squares etc.) is bit-identical
+  // across engines. Replace the body with a real codec call to
+  // productionize; the signature (bytes in, fixed-dim float vector out) is
+  // the real contract.
   // ==========================================================================
   private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val seed = md.digest(bytes).map("%02x".format(_)).mkString
     Array.tabulate(dim) { d =>
       md.reset()
-      md.update(bytes)
-      md.update(s"|$d".getBytes("UTF-8"))
-      val hex = md.digest().map("%02x".format(_)).mkString
+      val hex = md.digest(s"$seed|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       (h % 1024L).toFloat / 1024.0f
     }

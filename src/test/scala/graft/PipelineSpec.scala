@@ -118,6 +118,15 @@ class PipelineSpec extends SparkSpec {
     assert(strict == Seq(1L))
   }
 
+  test("contamination plan: eval shingle set broadcasts, corpus side never sort-merges") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val q = Dedup.contamination(d.filter(col("doc_id") % 25 =!= 0),
+      d.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+  }
+
   test("scrub: emails, URLs, and long digit runs become typed placeholders") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
@@ -169,11 +178,13 @@ class PipelineSpec extends SparkSpec {
     // identical payloads → identical features (deterministic stub)
     val byId = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(byId(1L) == byId(4L) && byId(1L) != byId(3L))
-    // md5-portable definition: component d = (md5(text|'|'|d)[60b] % 1024)/1024
+    // md5-portable definition: seed = md5(text) hex, component d =
+    // (md5(seed|'|'|d)[60b] % 1024)/1024
     val md = java.security.MessageDigest.getInstance("MD5")
+    val seed = md.digest("the quick brown fox jumps over the lazy dog"
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = (0 until 8).map { d =>
-      val hex = md.digest(s"the quick brown fox jumps over the lazy dog|$d"
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md.digest(s"$seed|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1024L).toFloat / 1024.0f
     }
     assert(byId(1L) == expected)
