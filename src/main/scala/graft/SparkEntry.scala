@@ -766,6 +766,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition filters: duplicated-2-gram fraction and
+    // most-frequent-token fraction — per-row array math, no shuffle
+    "t65_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+          TextFunctions.topTokenFraction(col("text")).as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-frequency token-rarity score (two-pass: capped broadcast vocab)
+    "t66_token_rarity" -> ((s, dir) => {
+      graft.ops.Sampling.tokenRarityScore(t(s, dir, "documents"), "doc_id", "text", vocab = 1000)
+        .select(col("id").as("doc_id"), col("rarity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1238,7 +1254,26 @@ object SparkEntry {
 
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "t65_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS grams FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) END AS dup_2gram_frac,
+        |  round(CAST(list_max([len([y for y in t if y = x]) for x in list_distinct(t)]) AS DOUBLE) / len(t), 4) AS top_token_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // rank sums are integers, so the per-doc mean is exact in both engines;
+    // the vocab rank order (tf desc, token asc) is a unique total order
+    "t66_token_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |rk AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM tf),
+        |v AS (SELECT w, r FROM rk WHERE r <= 1000)
+        |SELECT doc_id, round(CAST(sum(coalesce(r, 1001)) AS DOUBLE) / count(*), 4) AS rarity
+        |FROM tok LEFT JOIN v USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then

@@ -69,6 +69,25 @@ object TextFunctions {
     round(greatest(lit(0.0), least(lit(1.0), (lenScore + alpha + stopScore) / lit(3.0))), 4)
   }
 
+  /** Fraction of duplicated word n-grams: 1 − |distinct n-grams| / |n-grams|
+    * (0.0 for docs shorter than n tokens) — the classic repetition signal a
+    * pretraining quality filter thresholds (boilerplate and looping text
+    * score high). Pure per-row array math, no shuffle. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = shingles(text, n)
+    round(when(size(g) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)), 4)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — high for
+    * degenerate "word word word …" docs. O(u·n) per row over u distinct
+    * tokens; fine for natural-language doc lengths. */
+  def topTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    val counts = transform(array_distinct(t), x => size(filter(t, y => y === x)))
+    round(array_max(counts).cast("double") / size(t), 4)
+  }
+
   /** PII / URL scrubbing: replace e-mail addresses, URLs, and long digit
     * runs (phone/account-number-like) with typed placeholder tokens — the
     * cheap regex pass a pretraining pipeline applies before tokenization.

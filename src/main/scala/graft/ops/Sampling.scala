@@ -30,6 +30,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mean corpus-frequency rank of a document's tokens — a cheap
+    * language-model-free proxy for "how unusual is this text" (the
+    * frequency-rank analogue of a perplexity filter). Two passes over the
+    * corpus: (1) one shuffle aggregates global token frequencies, ranked
+    * deterministically by (tf desc, token asc) and capped at `vocab` entries
+    * so the lookup side stays broadcastable at any corpus size; (2) doc
+    * tokens left-join the broadcast vocab (out-of-vocab rank = vocab+1) and
+    * aggregate per doc. The per-doc score is an INTEGER rank sum divided by
+    * the token count, so it is exact and engine-portable (no float
+    * accumulation order to disagree on). Output: (id, rarity). */
+  def tokenRarityScore(df0: DataFrame, idCol: String, textCol: String,
+                       vocab: Int = 1000): DataFrame = {
+    val df = graft.core.Par.widen(df0)
+    val toks = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    // top-`vocab` by (tf desc, token asc) via orderBy+limit — Spark plans a
+    // distributed TakeOrderedAndProject (per-partition top-k, no full sort);
+    // the row_number window then runs over ≤ vocab rows, a trivial partition.
+    val topTf = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocab)
+    val ranked = topTf
+      .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .select(col("w"), col("r"))
+    toks.join(broadcast(ranked), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(round(sum(coalesce(col("r"), lit(vocab + 1))).cast("double") /
+        count(lit(1)), 4).as("rarity"))
+  }
+
   /** Top-n most frequent tokens per group — the explode/count/window
     * shape of corpus term-frequency analytics. Ties break lexicographically
     * for determinism. Output: (group, token, tf, rank). */

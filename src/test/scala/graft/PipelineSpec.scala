@@ -160,6 +160,31 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) < got(1L))
   }
 
+  test("repetition metrics: duplicated 2-gram and top-token fractions") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 8 distinct 2-grams
+      (2L, "spam spam spam ham"),                          // grams: ss, ss, sh
+      (3L, "solo")                                         // shorter than n
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("d"),
+        TextFunctions.topTokenFraction(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.0, BigDecimal(2.0 / 9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((BigDecimal(1.0 - 2.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.75)))
+    assert(got(3L) == ((0.0, 1.0)))
+  }
+
+  test("tokenRarityScore: mean vocab rank with OOV penalty, deterministic ranks") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "z")).toDF("id", "text")
+    // tf: a=2, b=2, c=1, z=1 → ranks (tf desc, token asc): a=1, b=2; c,z OOV=3
+    val got = ops.Sampling.tokenRarityScore(df, "id", "text", vocab = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == BigDecimal(4.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L) == 2.5)
+    assert(got(3L) == 3.0)
+  }
+
   test("native cosine Expression is bit-identical to the composable form") {
     val e = core.Tables.embeddings(spark, sf("sf0.001")).limit(200)
     val pairs = e.toDF("id_a", "v_a", "l_a").crossJoin(
