@@ -782,6 +782,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end corpus pipeline: exact dedup → quality filter → stratified
+    // eval sample — the composed shape of a real pretraining-data job, with
+    // every stage individually oracle-verified elsewhere (d21, t63, d37)
+    "p67_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
+      val clean = d.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 0.3)
+      graft.ops.Sampling.stratifiedExact(clean, "lang", "doc_id", k = 10)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1264,6 +1278,22 @@ object SparkEntry {
         |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) END AS dup_2gram_frac,
         |  round(CAST(list_max([len([y for y in t if y = x]) for x in list_distinct(t)]) AS DOUBLE) / len(t), 4) AS top_token_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "p67_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM d2),
+        |parts AS (SELECT doc_id, lang,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, lang, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |filt AS (SELECT * FROM q WHERE quality >= 0.3),
+        |rn AS (SELECT doc_id, lang, quality, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM filt)
+        |SELECT doc_id, lang, quality FROM rn WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order
