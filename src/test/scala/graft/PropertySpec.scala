@@ -97,4 +97,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scrub is idempotent: placeholders contain nothing left to scrub") {
+    val wordGen = Gen.oneOf("plain", "bob@x.io", "https://a.b/c", "123456789012", "t3xt")
+    forAll(Gen.nonEmptyListOf(wordGen)) { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val once = df.select(graft.functions.TextFunctions.scrub(col("text")).as("s"))
+        .head.getString(0)
+      val twice = df.select(graft.functions.TextFunctions.scrub(
+          graft.functions.TextFunctions.scrub(col("text"))).as("s"))
+        .head.getString(0)
+      assert(once == twice, s"scrub not idempotent on: ${words.mkString(" ")}")
+    }
+  }
+
+  test("contamination: eval ⊇ corpus flags every doc with ≥1 shingle; disjoint eval flags none") {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      // self-contamination: every doc with at least one 2-gram must be flagged
+      val flagged = Dedup.contamination(df, df, "id", "text", n = 2)
+        .collect().map(_.getLong(0)).toSet
+      val withShingle = texts.zipWithIndex
+        .filter(_._1.split(" ").length >= 2).map(_._2.toLong).toSet
+      assert(flagged == withShingle)
+      // disjoint vocab eval set → nothing flagged
+      val clean = Seq((99L, "x y z x y")).toDF("id", "text")
+      assert(Dedup.contamination(df, clean, "id", "text", n = 2).count() == 0)
+    }
+  }
 }
