@@ -782,6 +782,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // true streaming dedup run: the event stream unioned with itself (every
+    // row duplicated) → dropDuplicatesWithinWatermark → append sink; the
+    // batch aggregate over the sink must equal the ORIGINAL per-type counts,
+    // proving the duplicate copy was dropped with watermark-bounded state
+    "q68_stream_dedup" -> ((s, dir) => {
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val deduped = graft.streaming.Streams.dedupStream(
+        ev.union(ev), Seq("event_id"), "ts")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny state keyspace
+      try {
+        val sq = deduped.writeStream.format("memory").queryName("graft_q68_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("graft_q68_sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // RANGE-frame window: trailing-30-day running sums per customer (value
+    // range frame, vs the ROWS frames of q44/q56)
+    "q69_range_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .withColumn("dd", datediff(to_date(col("o_orderdate")), to_date(lit("1990-01-01"))))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("dd"))
+        .rangeBetween(-30, Window.currentRow)
+      o.select(col("o_orderkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("sum_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // end-to-end corpus pipeline: exact dedup → quality filter → stratified
     // eval sample — the composed shape of a real pretraining-data job, with
     // every stage individually oracle-verified elsewhere (d21, t63, d37)
@@ -1278,6 +1320,20 @@ object SparkEntry {
         |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) END AS dup_2gram_frac,
         |  round(CAST(list_max([len([y for y in t if y = x]) for x in list_distinct(t)]) AS DOUBLE) / len(t), 4) AS top_token_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the doubled stream deduped on event_id must equal the original table
+    "q68_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q69_range_window" ->
+      """SELECT o_orderkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM (SELECT *, datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |      FROM orders WHERE o_custkey < 200)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dd RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p67_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
