@@ -782,6 +782,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // full-outer join (both-side null-extension; q15 covers left-outer) via
+    // the library joinOn — unmatched customers AND unmatched order groups
+    // both survive with nulls
+    "q70_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("total"))
+      Relational.joinOn(c, o, "c_custkey", "o_custkey", "=", "full_outer")
+        .orderBy(col("c_custkey"), col("o_custkey"))
+    }),
+
     // true streaming dedup run: the event stream unioned with itself (every
     // row duplicated) → dropDuplicatesWithinWatermark → append sink; the
     // batch aggregate over the sink must equal the ORIGINAL per-type counts,
@@ -1320,6 +1333,15 @@ object SparkEntry {
         |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) END AS dup_2gram_frac,
         |  round(CAST(list_max([len([y for y in t if y = x]) for x in list_distinct(t)]) AS DOUBLE) / len(t), 4) AS top_token_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q70_full_outer" ->
+      """WITH o AS (SELECT o_custkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+        |SELECT c_custkey, c_acctbal, o_custkey, total
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST""".stripMargin,
 
     // the doubled stream deduped on event_id must equal the original table
     "q68_stream_dedup" ->
