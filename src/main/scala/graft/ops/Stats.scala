@@ -44,6 +44,27 @@ object Stats {
       s"stack(${cols.size}, $fields) as (field, dtype, n, n_na, min, max, sum, mean, stdev)"))
   }
 
+  /** Approximate quantiles via Spark's Greenwald-Khanna sketch
+    * (`approx_percentile`) — the 100 TB tier of q39's exact percentiles: an
+    * exact quantile needs a full sort, the sketch is one pass with bounded
+    * memory and rank error ≤ 1/`accuracy`. Returns one row per group with an
+    * array column of the requested quantiles. */
+  def approxQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val pcts = typedLit(probs)
+    val grouped = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    grouped.agg(percentile_approx(col(valueCol), pcts, lit(accuracy)).as("approx_quantiles"))
+  }
+
+  /** Count-min sketch for heavy-hitter frequency estimates: constant memory,
+    * one pass, point-query estimates that only ever over-count (by ≤ eps·N
+    * with probability 1-delta) — the frequency analogue of the HLL tier in
+    * [[ScaleJoins.distinctCounts]]. Driver-side queryable sketch. */
+  def countMinSketch(df: DataFrame, valueCol: String,
+                     eps: Double = 0.001, delta: Double = 0.01,
+                     seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(valueCol, eps, delta, seed)
+
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */
   def naCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -77,6 +77,37 @@ class StatsFoldsSpec extends SparkSpec {
     assert(df.agg(Folds.productCol(col("x"))).as[Double].collect().head == 3.0)
   }
 
+  test("approxQuantiles: within rank-error of exact percentiles") {
+    val li = core.Tables.lineitem(spark, sf("sf0.001")).select(col("l_extendedprice"))
+    val exactVals = li.orderBy(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    val n = exactVals.length
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = graft.ops.Stats.approxQuantiles(li, Nil, "l_extendedprice", probs, accuracy = 1000)
+      .head.getSeq[Double](0)
+    probs.zip(got).foreach { case (p, q) =>
+      // GK guarantee: returned value's rank within n/accuracy of ceil(p*n)
+      val rank = exactVals.count(_ <= q)
+      val slack = n / 1000 + 1
+      assert(math.abs(rank - p * n) <= slack + 1,
+        s"p=$p: rank $rank vs ${p * n} (n=$n, slack=$slack)")
+    }
+  }
+
+  test("countMinSketch: never undercounts, bounded overcount") {
+    val li = core.Tables.lineitem(spark, sf("sf0.001"))
+    val total = li.count()
+    val cms = graft.ops.Stats.countMinSketch(li, "l_returnflag", eps = 0.001, delta = 0.01)
+    val exact = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS undercounted $k: $est < $c")
+      assert(est <= c + math.ceil(0.001 * total).toLong * 3,
+        s"CMS overcount beyond bound for $k: $est vs $c")
+    }
+  }
+
   test("variance formula variants (stats.rs:139-161)") {
     val df = fixture.toDF("x")
     val r = df.agg(
