@@ -222,20 +222,14 @@ object SparkEntry {
     // per user — one window pass over a tagged union, no point lookups.
     "q17_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val sign = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts_ns"), lit(1).as("tag"),
-          lit(null).cast("long").as("event_id"), col("ts_ns").as("signup_ns"))
       val pur = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"), lit(0).as("tag"),
-          col("event_id"), lit(null).cast("long").as("signup_ns"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns").asc, col("tag").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sign.unionByName(pur)
-        .withColumn("last_signup_ns", last(col("signup_ns"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 0)
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ns").as("signup_ns"))
+      graft.ops.ScaleJoins.asofJoin(pur, sign, "user_id", "ts_ns", "signup_ns",
+          payloadCols = Seq("signup_ns"))
         // µs precision: the oracle engine truncates ns-parquet to µs on read
-        .select(col("event_id"), expr("last_signup_ns div 1000").as("last_signup_us"))
+        .select(col("event_id"), expr("asof_signup_ns div 1000").as("last_signup_us"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join machinery for the cases that decide whether a plan survives a 100×
@@ -65,6 +66,41 @@ object ScaleJoins {
     val r = small
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** As-of join: attach to each left row the latest right row (by `rTime`)
+    * with `rTime <= lTime` for the same `key` — the time-series lookup
+    * (trades←quotes, purchases←signups). Implemented as a tagged union +
+    * one window per key: ONE shuffle on `key`, linear in total rows, where
+    * the naive correlated-subquery shape is a quadratic per-row point
+    * lookup. Right rows sort before left rows at equal timestamps, so an
+    * exactly-simultaneous right row counts (inclusive semantics).
+    *
+    * Output: all left columns plus `<prefix><payloadCol>` for each requested
+    * right payload column (NULL when no prior right row exists).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               lTime: String, rTime: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val leftCols = left.columns.toSeq
+    val taggedL = left
+      .select(Seq(col(key), col(lTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+    val taggedR = right
+      .select(Seq(col(key), col(rTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(taggedL.unionByName(taggedR)) { (df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 0).drop("__t", "__tag")
   }
 
   /** Banded (binned) range join: match left rows whose `lVal` column falls

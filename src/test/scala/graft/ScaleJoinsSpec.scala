@@ -125,6 +125,24 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(got == Seq(("en", "a", 3L, 1L), ("en", "b", 3L, 2L), ("fr", "x", 2L, 1L), ("fr", "y", 1L, 2L)))
   }
 
+  test("asofJoin: latest prior payload per key, inclusive ties, null when none") {
+    val trades = Seq((1L, 10L, 100), (1L, 20L, 200), (1L, 5L, 50), (2L, 10L, 999))
+      .toDF("sym", "t", "qty")
+    val quotes = Seq((1L, 10L, 1.5), (1L, 15L, 2.5), (1L, 7L, 1.0), (3L, 1L, 9.9))
+      .toDF("sym", "qt", "px")
+    val got = ScaleJoins.asofJoin(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .select(col("sym"), col("t"), col("qty"), col("asof_px"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got((1L, 10L)) == ((100, 1.5)))   // tie: quote AT t=10 counts
+    assert(got((1L, 20L)) == ((200, 2.5)))   // latest of 3 prior quotes
+    assert(got((1L, 5L))  == ((50, null)))   // no prior quote
+    assert(got((2L, 10L)) == ((999, null)))  // key with no quotes at all
+    // exactly one output row per left row — never a fan-out
+    assert(ScaleJoins.asofJoin(trades, quotes, "sym", "t", "qt", Seq("px")).count()
+      == trades.count())
+  }
+
   test("rangeJoinBinned equals the naive range join and never goes cartesian") {
     val points = (1 to 500).map(i => (i.toLong, i * 7.3 % 400)).toDF("pid", "v")
     val bands = Seq(("a", 0.0, 100.0), ("b", 100.0, 250.0), ("c", 250.0, 400.0))
