@@ -167,11 +167,8 @@ object SparkEntry {
 
     // window functions (beyond reference): per-group top-k
     "q12_window_topk" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
+      Relational.topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
@@ -469,8 +466,8 @@ object SparkEntry {
         .select(col("user_id").as("p_uid"), col("event_id"), expr("ts_ns div 1000").as("p_us"))
       val c = e.filter(col("event_type") === "click")
         .select(col("user_id").as("c_uid"), expr("ts_ns div 1000").as("c_us"))
-      p.join(c, col("p_uid") === col("c_uid") &&
-          col("c_us") >= col("p_us") - 3600000000L && col("c_us") < col("p_us"), "left")
+      graft.ops.ScaleJoins.rangeJoinKeyed(p, c, "p_uid", "c_uid", "p_us", "c_us",
+          loDelta = -3600000000L, hiDelta = 0L, joinType = "left")
         .groupBy(col("event_id")).agg(count(col("c_us")).as("n_clicks"))
         .orderBy(col("event_id"))
     }),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -111,6 +112,18 @@ object Relational {
   def union(l: DataFrame, r: DataFrame): DataFrame = l.unionByName(r)
 
   def limitRows(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** Top-k rows per group under `order` (with a ranking column `rankCol`).
+    * One shuffle on the group keys; Spark's `WindowGroupLimit` rewrite
+    * bounds the per-partition sort to k rows, so the full group is never
+    * sorted — the scale-correct "top N per key" shape. Pass a tie-breaking
+    * order (unique total order) for deterministic output. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                   k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
 
   /** Set intersection / difference with DISTINCT semantics (SQL INTERSECT /
     * EXCEPT; listed as free parity extras in SURVEY §2.7 — the reference has

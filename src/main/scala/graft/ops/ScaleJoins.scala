@@ -103,6 +103,25 @@ object ScaleJoins {
     filled.filter(col("__tag") === 0).drop("__t", "__tag")
   }
 
+  /** Keyed range join: rows of `r` whose `rVal` falls in
+    * [l.lVal + loDelta, l.lVal + hiDelta) for the same key — "events in the
+    * window before each anchor, per user". The equi key makes this a plain
+    * hash join with the range as a residual predicate: partitionable, never
+    * a cartesian. For range joins with NO shared key, use
+    * [[rangeJoinBinned]]. Alias-qualified internally, so same-lineage
+    * frames (two filters of one table) resolve correctly.
+    */
+  def rangeJoinKeyed(l: DataFrame, r: DataFrame, lKey: String, rKey: String,
+                     lVal: String, rVal: String, loDelta: Long, hiDelta: Long,
+                     joinType: String = "inner"): DataFrame = {
+    val (la, ra) = (l.alias("__rjk_l"), r.alias("__rjk_r"))
+    def lc(n: String) = col(s"__rjk_l.`$n`")
+    def rc(n: String) = col(s"__rjk_r.`$n`")
+    val cond = lc(lKey) === rc(rKey) &&
+      rc(rVal) >= lc(lVal) + loDelta && rc(rVal) < lc(lVal) + hiDelta
+    la.join(ra, cond, joinType)
+  }
+
   /** Banded (binned) range join: match left rows whose `lVal` column falls
     * in a right-side interval [`lo`, `hi`). A naive range join degenerates to
     * a broadcast-nested-loop / cartesian at scale; binning turns it into an

@@ -143,6 +143,35 @@ class ScaleJoinsSpec extends SparkSpec {
       == trades.count())
   }
 
+  test("topKPerGroup: exactly k deterministic rows per key, hash-join-free plan") {
+    val df = (1 to 100).map(i => (i % 5, i, i * 1.5)).toDF("g", "id", "v")
+    val got = ops.Relational.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), k = 2)
+    assert(got.groupBy("g").count().collect().forall(_.getLong(1) == 2))
+    // top-2 of group 0 are the two largest v values (ids 100, 95)
+    val g0 = got.filter(col("g") === 0).select("id").as[Int].collect().toSet
+    assert(g0 == Set(100, 95))
+    // WindowGroupLimit: Spark bounds the per-partition sort to k rows
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("rangeJoinKeyed: same-lineage frames, window bounds honored, no cartesian") {
+    val ev = Seq((1L, 100L, "a"), (1L, 150L, "b"), (1L, 200L, "a"),
+      (2L, 100L, "a"), (2L, 300L, "b")).toDF("uid", "ts", "kind")
+    val anchors = ev.filter(col("kind") === "b").select(col("uid").as("a_uid"), col("ts").as("a_ts"))
+    val others = ev.filter(col("kind") === "a").select(col("uid").as("o_uid"), col("ts").as("o_ts"))
+    // others in [a_ts - 100, a_ts): (1,150)←(1,100); (2,300)←nothing (gap 200)
+    val got = ScaleJoins.rangeJoinKeyed(anchors, others, "a_uid", "o_uid",
+        "a_ts", "o_ts", -100L, 0L, "left")
+      .groupBy(col("a_uid"), col("a_ts")).agg(count(col("o_ts")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 150L) -> 1L, (2L, 300L) -> 0L))
+    val plan = ScaleJoins.rangeJoinKeyed(anchors, others, "a_uid", "o_uid",
+      "a_ts", "o_ts", -100L, 0L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rangeJoinBinned equals the naive range join and never goes cartesian") {
     val points = (1 to 500).map(i => (i.toLong, i * 7.3 % 400)).toDF("pid", "v")
     val bands = Seq(("a", 0.0, 100.0), ("b", 100.0, 250.0), ("c", 250.0, 400.0))
