@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // committed per-round artifact with per-pass AND min numbers, so builder
+    // and driver benches can be diffed from the repo alone
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_local.json")
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,9 +17,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two passes, min per query: host timing noise on this VM is 2-4x
+    // Multiple passes, min per query: host timing noise on this VM is 2-4x
     // run-to-run, and the minimum is the stable estimate of true cost.
-    val passes = (1 to 2).map { pass =>
+    val passes = (1 to nPasses).map { pass =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -25,12 +29,21 @@ object Bench {
         name -> secs
       }.toMap
     }
-    val results = passes.head.keys.toSeq.sorted.map { name =>
-      name -> passes.map(_(name)).min
-    }
+    val names = passes.head.keys.toSeq.sorted
+    val results = names.map(name => name -> passes.map(_(name)).min)
+    def fmt(d: Double) = f"$d%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val detail = names.map { n =>
+      val per = passes.map(p => fmt(p(n))).mkString("[", ",", "]")
+      s""""$n":{"passes":$per,"min":${fmt(passes.map(_(n)).min)}}"""
+    }.mkString("{", ",", "}")
+    val art =
+      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"queries":$detail}"""
+    val out = java.nio.file.Paths.get(artifact)
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

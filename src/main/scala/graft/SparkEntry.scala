@@ -335,7 +335,8 @@ object SparkEntry {
     // LSH-bucketed ANN (the scale path; approximate)
     "s30_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10, planes = 6)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, planes = 6, dim = 64)
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
@@ -573,7 +574,22 @@ object SparkEntry {
     // up-front layout write for every later join skipping its shuffle, so the
     // steady-state (and benched, via min-of-passes) cost is the join alone.
     "q50_bucketed_join" -> ((s, dir) => {
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      // cache key = md5 of the full path PLUS a source-data fingerprint
+      // (file length + mtime), so distinct dirs can't collide the way a
+      // 32-bit hashCode can, and regenerated data under an unchanged path
+      // triggers a fresh bucketed write instead of silently reusing stale
+      // tables
+      val sfx = {
+        val conf = s.sparkContext.hadoopConfiguration
+        val fp = Seq("orders", "customer").map { n =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$n:${st.getLen}:${st.getModificationTime}"
+        }.mkString("|")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"$dir|$fp".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }
       val (ordersT, custT) = (s"graft_b_orders_$sfx", s"graft_b_cust_$sfx")
       if (!s.catalog.tableExists(ordersT) || !s.catalog.tableExists(custT)) {
         graft.ops.ScaleJoins.writeBucketed(
@@ -703,27 +719,28 @@ object SparkEntry {
     // true Structured Streaming execution: file source → watermarked tumbling
     // window agg → memory sink (one AvailableNow run); result equals the
     // batch oracle because windows align to epoch hours and sums are decimal
-    "q58_stream_window" -> ((s, dir) => {
+    "q58_stream_window" -> ((s0, dir) => {
+      // a child session scopes the streaming conf: same SparkContext and
+      // cache, separate SQL conf + temp catalog, so concurrent queries on
+      // the main session never see the reduced partition count
+      val s = s0.newSession()
+      // state-store instances = shuffle partitions; the keyspace here is tiny
+      // (event_type × hour), so 8 stores cut the per-micro-batch checkpoint
+      // fsync count 4× without changing the result.
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // file-stream sources take a directory; glob-filter to the events table
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
+        glob = Some("events.parquet"))
       val ev = raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       val agged = graft.streaming.Streams.windowedAgg(ev, "ts", "event_type", "1 hour",
         aggs = Seq(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total")))
-      // state-store instances = shuffle partitions; the keyspace here is tiny
-      // (event_type × hour), so 8 stores cut the per-micro-batch checkpoint
-      // fsync count 4× without changing the result. Restored after the run.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
       s.table("graft_q58_sink")
         .select(col("event_type"), unix_timestamp(col("window_start")).as("window_start_s"),
           col("n"), col("total"))
@@ -790,24 +807,22 @@ object SparkEntry {
     // row duplicated) → dropDuplicatesWithinWatermark → append sink; the
     // batch aggregate over the sink must equal the ORIGINAL per-type counts,
     // proving the duplicate copy was dropped with watermark-bounded state
-    "q68_stream_dedup" -> ((s, dir) => {
+    "q68_stream_dedup" -> ((s0, dir) => {
+      val s = s0.newSession() // scoped conf, see q58
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny state keyspace
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
+        glob = Some("events.parquet"))
       val ev = raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         .select(col("event_id"), col("ts"), col("event_type"))
       val deduped = graft.streaming.Streams.dedupStream(
         ev.union(ev), Seq("event_id"), "ts")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny state keyspace
-      try {
-        val sq = deduped.writeStream.format("memory").queryName("graft_q68_sink")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sq = deduped.writeStream.format("memory").queryName("graft_q68_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
       s.table("graft_q68_sink")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
@@ -840,6 +855,47 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedExact(clean, "lang", "doc_id", k = 10)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // deterministic hash-threshold fractional sampling — the engine-portable
+    // twin of the seeded stratifiedFraction: the sample is a pure function of
+    // row content (md5 threshold per stratum), a stateless map-side filter
+    // with zero shuffles at any corpus size; unlisted strata ('es') drop
+    "d71_stratified_frac" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedHashFraction(t(s, dir, "documents"),
+          "lang", "doc_id",
+          Map("en" -> 0.25, "fr" -> 0.5, "de" -> 0.125, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the streaming twin of p67: landing-dir file stream (doubled to simulate
+    // duplicate arrivals) → watermark-bounded exact dedup → PII scrub +
+    // quality score/filter → checkpointed parquet file sink, read back for
+    // verification. One real AvailableNow run per call, conf scoped to a
+    // child session; every stage is the same operator the batch pipeline uses
+    "p72_stream_pipeline" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny dedup keyspace
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = graft.streaming.Streams.readStream(s, dir, schema,
+        glob = Some("documents.parquet"))
+      // synthetic event-time: arrival-order surrogate derived from doc_id,
+      // shifted +1s so no row sits at epoch 0 — the initial watermark value,
+      // at-or-below which dropDuplicatesWithinWatermark discards the row
+      val ev = docs.withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val deduped = graft.streaming.Streams.dedupStream(
+        ev.union(ev), Seq("doc_id"), "ts")
+      val scored = deduped
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          md5(TextFunctions.scrub(col("text"))).as("scrub_md5"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p72").toString
+      val sq = graft.streaming.Streams.writeStreamParquet(
+        scored, s"$tmp/out", s"$tmp/ck", availableNow = true)
+      sq.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy(col("doc_id"))
     }),
 
     // ORC source/sink roundtrip (columnar format beyond the reference; the
@@ -1363,6 +1419,36 @@ object SparkEntry {
         |rn AS (SELECT doc_id, lang, quality, row_number() OVER (
         |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM filt)
         |SELECT doc_id, lang, quality FROM rn WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    // hash-threshold sampling: 0.25→40000, 0.5→80000, 0.125→20000 (fraction ×
+    // 2^20 as 5 hex chars); 'g' sorts above every hex char, so zh keeps all;
+    // es has no CASE arm → NULL threshold → dropped
+    "d71_stratified_frac" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) <
+        |  CASE lang WHEN 'en' THEN '40000' WHEN 'fr' THEN '80000'
+        |            WHEN 'de' THEN '20000' WHEN 'zh' THEN 'g' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // streaming pipeline oracle: the doubled stream deduped on doc_id equals
+    // the original table, so the batch scrub+quality over `documents` is the
+    // exact expected sink content
+    "p72_stream_pipeline" ->
+      """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, lang, text,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, lang, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS scrub_md5
+        |  FROM parts)
+        |SELECT doc_id, lang, quality, scrub_md5 FROM q
+        |WHERE quality >= 0.3 ORDER BY doc_id""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order

@@ -80,12 +80,25 @@ object TextFunctions {
   }
 
   /** Fraction of tokens taken by the single most frequent token — high for
-    * degenerate "word word word …" docs. O(u·n) per row over u distinct
-    * tokens; fine for natural-language doc lengths. */
+    * degenerate "word word word …" docs. Sort once, then one linear fold
+    * counting the longest equal-token run: O(n log n) per row, safe for the
+    * distinct-heavy documents (code, ID-laden text) where the naive
+    * count-each-distinct formulation degenerates to O(n²). */
   def topTokenFraction(text: Column): Column = {
     val t = tokens(text)
-    val counts = transform(array_distinct(t), x => size(filter(t, y => y === x)))
-    round(array_max(counts).cast("double") / size(t), 4)
+    val sorted = array_sort(t)
+    // acc = (best run, current run, previous token); `when(lit(true), x)`
+    // forces the token slot nullable so it unifies with the null zero value
+    val zero = struct(lit(0).as("best"), lit(0).as("cur"),
+      lit(null).cast("string").as("prev"))
+    val folded = aggregate(sorted, zero, (acc, x) => {
+      val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1)
+        .otherwise(lit(1))
+      struct(greatest(acc.getField("best"), cur).as("best"), cur.as("cur"),
+        when(lit(true), x).as("prev"))
+    })
+    round(greatest(folded.getField("best"), folded.getField("cur"))
+      .cast("double") / size(t), 4)
   }
 
   /** PII / URL scrubbing: replace e-mail addresses, URLs, and long digit

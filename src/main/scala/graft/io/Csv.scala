@@ -88,7 +88,10 @@ object Csv {
     * WINDOWS-1252. Checks a head sample; pass the result as `encoding`
     * to [[load]]. */
   def sniffEncoding(path: String, sampleBytes: Int = 1 << 16): String = {
-    val buf = headBytes(path, sampleBytes)
+    val raw = headBytes(path, sampleBytes)
+    // a full buffer may cut a multi-byte UTF-8 sequence at the boundary —
+    // trim the incomplete tail so a valid UTF-8 file is not misdetected
+    val buf = if (raw.length == sampleBytes) trimPartialUtf8Tail(raw) else raw
     def decodes(cs: String): Boolean = scala.util.Try {
       java.nio.charset.Charset.forName(cs).newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
@@ -97,6 +100,22 @@ object Csv {
     if (decodes("UTF-8")) "UTF-8"
     else if (decodes("ISO-8859-1")) "ISO-8859-1"
     else "WINDOWS-1252"
+  }
+
+  /** Drop a trailing incomplete UTF-8 sequence: scan back over at most 3
+    * continuation bytes to the last lead byte; if its sequence extends past
+    * the buffer end, cut the buffer at that lead byte. A complete tail (or
+    * non-UTF-8 content, where the "lead" scan finds nothing meaningful to
+    * cut) is returned unchanged. */
+  private[io] def trimPartialUtf8Tail(b: Array[Byte]): Array[Byte] = {
+    var i = b.length - 1
+    var back = 0
+    while (i >= 0 && back < 3 && (b(i) & 0xC0) == 0x80) { i -= 1; back += 1 }
+    if (i < 0) return b
+    val lead = b(i) & 0xFF
+    val need =
+      if (lead >= 0xF0) 4 else if (lead >= 0xE0) 3 else if (lead >= 0xC0) 2 else 1
+    if (i + need > b.length) java.util.Arrays.copyOf(b, i) else b
   }
 
   /** Quote-aware split (double-quote quoting, doubled-quote escape). */

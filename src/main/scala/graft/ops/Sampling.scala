@@ -14,10 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Seeded fractional sample per stratum (Spark `sampleBy`). */
+  /** Seeded fractional sample per stratum (Spark `sampleBy`). Reproducible
+    * for a fixed seed WITHIN Spark; for a sample another engine can
+    * recompute bit-for-bit, use [[stratifiedHashFraction]]. */
   def stratifiedFraction(df: DataFrame, stratumCol: String,
                          fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Content-hash fractional sample per stratum: keep a row iff the first 5
+    * hex chars of md5(id) sort below the stratum's threshold (the fraction
+    * quantized to 1/2^20). Engine-portable (md5 + lexicographic hex compare
+    * — no RNG state), a stateless map-side filter (zero shuffles at any
+    * corpus size), and stable under repartitioning, task retries, and
+    * engine swaps — the sample is a pure function of row content. Strata
+    * absent from `fractions` are dropped (same contract as `sampleBy`). */
+  def stratifiedHashFraction(df: DataFrame, stratumCol: String, idCol: String,
+                             fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    // 'g' sorts above every hex char, so f = 1.0 keeps all rows exactly
+    def hex5(f: Double): String =
+      if (f >= 1.0) "g" else f"${math.round(f * (1 << 20))}%05x"
+    val thresh = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (sv, f)) =>
+        when(col(stratumCol) === sv, lit(hex5(f))).otherwise(acc)
+      }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 5) < thresh)
+  }
 
   /** Exactly `k` rows per stratum, chosen by md5 order of `idCol` — a
     * deterministic pseudo-random total order that any engine reproduces.

@@ -37,12 +37,24 @@ object ScaleJoins {
                    key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
-  /** Salted equi-join for skewed keys: the left (large, skewed) side gets a
-    * random-but-deterministic salt in [0, salts); the right side is
-    * replicated `salts` times. Breaks a hot key's single monster partition
-    * into `salts` tasks. AQE's skew-join handles moderate skew
-    * automatically; explicit salting is for the pathological keys AQE can't
-    * split (a single key bigger than memory).
+  /** Skew-aware equi-join, size-adaptive between the two plans that beat a
+    * hot key at different scales:
+    *
+    *  - **Broadcast short-circuit** — when the small side's estimated size
+    *    (Catalyst plan statistics, no extra job) fits
+    *    `broadcastBudgetBytes`, this is a plain broadcast hash join on
+    *    `key`. A broadcast join never shuffles the large side, so there is
+    *    no hot partition to split and salting would only multiply the
+    *    broadcast build by `salts` — the exact fragility (a salts×|small|
+    *    hash relation built under heap pressure) this branch avoids.
+    *  - **Salted shuffle join** — when the small side exceeds the budget,
+    *    the large side gets a deterministic salt in [0, salts), the small
+    *    side is replicated `salts` times (exploded AFTER an explicit
+    *    repartition so the replication is distributed, and hinted
+    *    `shuffle_hash` so the plan never re-broadcasts the exploded
+    *    relation), and the join runs on (key, salt). Breaks a hot key's
+    *    single monster partition into `salts` tasks — the pathological case
+    *    AQE's skew splitter can't handle (one key bigger than memory).
     *
     * The salt hashes `key` plus `saltCols` — a NARROW natural key (e.g. a
     * line number) that varies within the hot key. Hashing only `key` would
@@ -51,21 +63,29 @@ object ScaleJoins {
     * scan. Caveat: rows identical across (key ++ saltCols) hash to the same
     * salt, so a hot key made of duplicate rows only splits if `saltCols`
     * actually varies — pick a column that does (any unique-ish id).
+    * Either branch returns exactly the rows of the plain equi-join.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, saltCols: Seq[String],
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 broadcastBudgetBytes: Long = 32L << 20): DataFrame = {
     require(salts > 1, "salts must be > 1")
     require(saltCols.nonEmpty,
       "saltCols must name at least one column that varies within a hot key")
-    // deterministic across task retries: the salt is a pure function of row
-    // content (never spark_partition_id / monotonically_increasing_id, which
-    // change on recomputation and would corrupt the join).
-    val l = large.withColumn("__salt",
-      pmod(xxhash64((key +: saltCols).map(col): _*), lit(salts)).cast("int"))
-    val r = small
-      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+    val estSmall = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estSmall <= broadcastBudgetBytes) {
+      large.join(broadcast(small), Seq(key), joinType)
+    } else {
+      // deterministic across task retries: the salt is a pure function of row
+      // content (never spark_partition_id / monotonically_increasing_id, which
+      // change on recomputation and would corrupt the join).
+      val l = large.withColumn("__salt",
+        pmod(xxhash64((key +: saltCols).map(col): _*), lit(salts)).cast("int"))
+      val r = graft.core.Par.widen(small)
+        .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+        .hint("shuffle_hash")
+      l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+    }
   }
 
   /** As-of join: attach to each left row the latest right row (by `rTime`)
@@ -75,6 +95,12 @@ object ScaleJoins {
     * the naive correlated-subquery shape is a quadratic per-row point
     * lookup. Right rows sort before left rows at equal timestamps, so an
     * exactly-simultaneous right row counts (inclusive semantics).
+    *
+    * When several right rows share (key, rTime), the one with the LARGEST
+    * payload tuple wins — the window adds the payload columns as a secondary
+    * sort, so the choice is deterministic across runs and task retries
+    * (without it, `last(ignoreNulls)` would attach an arbitrary simultaneous
+    * row).
     *
     * Output: all left columns plus `<prefix><payloadCol>` for each requested
     * right payload column (NULL when no prior right row exists).
@@ -95,7 +121,8 @@ object ScaleJoins {
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__tag").desc)
+      .orderBy(col("__t").asc +: col("__tag").desc +:
+        payloadCols.map(c => col(s"$prefix$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payloadCols.foldLeft(taggedL.unionByName(taggedR)) { (df, c) =>
       df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))

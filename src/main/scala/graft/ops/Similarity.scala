@@ -92,22 +92,29 @@ object Similarity {
     * corpus is scanned once to assign cells (then the assignment is a
     * partition key), and each query touches ~`nprobe/nlist` of the data.
     *
-    * Centroids come from `ml.KMeans` with a fixed seed on (a sample of) the
-    * corpus — deterministic for a given input.
+    * Centroids come from `ml.KMeans` with a fixed seed on a BOUNDED
+    * deterministic sample of the corpus (`trainCap` rows in md5(id) order —
+    * a content-derived pseudo-random order any engine reproduces), so
+    * training cost is constant in corpus size: the sample is one
+    * `TakeOrderedAndProject` pass, and the Lloyd iterations touch only
+    * `trainCap` rows instead of re-scanning the full corpus per iteration.
+    * A coarse partitioner needs no more — cell quality converges fast and
+    * recall comes from `nprobe`, not centroid polish.
     */
   def ivfTopK(corpus0: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 2,
+              trainCap: Int = 4096): DataFrame = {
     val corpus = graft.core.Par.widen(corpus0)
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // Coarse quantizer training: random init (one pass) + few Lloyd rounds is
-    // plenty for a *coarse* partitioner — cell quality converges fast and
-    // recall comes from nprobe, not centroid polish. At 100 TB you'd train on
-    // a bounded deterministic sample exactly like this; coalesce keeps the
-    // many tiny k-means jobs from drowning in per-task scheduling overhead.
-    val train = corpus.select(array_to_vector(
-      transform(col(vecCol), x => x.cast("double"))).as("features")).coalesce(8)
+    require(trainCap >= nlist, s"trainCap $trainCap must be >= nlist $nlist")
+    val train = corpus
+      .select(col(idCol).as("__id"), array_to_vector(
+        transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
+      .limit(trainCap)
+      .select("features")
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(3).fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
@@ -139,15 +146,20 @@ object Similarity {
   /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
     * signature; exact cosine rerank within. Trades recall for a
     * 1/2^planes candidate fraction; recall is recovered in practice with
-    * multi-probe or repeated tables (orthogonal, composable). */
+    * multi-probe or repeated tables (orthogonal, composable).
+    *
+    * Pass `dim` (the fixed embedding dimensionality) when known — it sizes
+    * the hyperplane matrix. When negative it is discovered with a one-row
+    * driver lookup, an extra (cheap) job composed pipelines can avoid. */
   def lshTopK(corpus0: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int, planes: Int = 8,
+              dim: Int = -1): DataFrame = {
     val corpus = graft.core.Par.widen(corpus0)
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head.getInt(0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket_c", lshBucket(col("cv"), planes, dim))
+      .withColumn("bucket_c", lshBucket(col("cv"), planes, d))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket_q", lshBucket(col("qv"), planes, dim)))
+      .withColumn("bucket_q", lshBucket(col("qv"), planes, d)))
     val scored = c.join(q, c("bucket_c") === q("bucket_q"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(

@@ -43,24 +43,26 @@ object Streams {
       .drop("window")
   }
 
-  /** Gap-based sessionization with typed state. A session closes when no
-    * event arrives within `gapMs` of the previous one (or, in streaming, on
-    * event-time timeout past the watermark). Emits closed sessions only.
+  /** Gap-based sessionization. A session closes when no event arrives
+    * within `gapMs` of the previous one (or, in streaming, on event-time
+    * timeout past the watermark). Emits closed sessions only.
     *
-    * State per user is O(1) — start/end/count/sum — so the operator scales
-    * with the number of *live* keys, not events.
+    * Two execution shapes, one semantics:
+    *  - **streaming**: typed state in `flatMapGroupsWithState` — O(1) state
+    *    per live key (start/end/count/sum), closed by watermark timeout.
+    *  - **batch**: the gaps-and-islands window form — `WindowExec` sorts
+    *    (user, ts) within hash(user) partitions (a spillable secondary
+    *    sort), so per-key memory is O(1) here too; a per-group in-memory
+    *    sort would buffer a pathological hot user's whole history.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val timeout =
-      if (events.isStreaming) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    val streaming = events.isStreaming
-    val src = if (streaming) events.withWatermark("ts", "10 minutes") else events
-    src
+    if (!events.isStreaming) return sessionizeBatch(events, gapMs)
+    events.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, timeout) {
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, rows, state: GroupState[SessionState]) =>
           var out = List.empty[Session]
           var st = state.getOption
@@ -69,7 +71,8 @@ object Streams {
             state.remove()
             out.iterator
           } else {
-            // batch path: rows arrive unordered — sort within the group
+            // a micro-batch's rows arrive unordered — sort within the batch
+            // (bounded by the trigger interval, not the key's full history)
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             for (e <- sorted) {
               val t = e.ts.getTime
@@ -84,18 +87,38 @@ object Streams {
               }
             }
             st.foreach { s =>
-              if (streaming) {
-                state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
-              } else {
-                // batch: group is complete — close the trailing session
-                out ::= emit(userId, s)
-                state.remove()
-              }
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
             }
             out.reverseIterator
           }
       }
+  }
+
+  /** Batch gaps-and-islands sessionize: break flag via `lag`, running sum of
+    * breaks numbers the sessions, one aggregation closes them. Identical
+    * output to the streaming operator on the same (complete) input. Gap math
+    * is at ms precision, matching the streaming path's `Timestamp.getTime`. */
+  private def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__ms"))
+    val brk = when(col("__ms") - lag(col("__ms"), 1).over(w) > gapMs, lit(1L))
+      .otherwise(lit(0L))
+    events.toDF()
+      .withColumn("__ms", unix_millis(col("ts")))
+      .withColumn("__grp",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(
+        timestamp_millis(min(col("__ms"))).as("session_start"),
+        timestamp_millis(max(col("__ms"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[Session]
   }
 
   private def emit(userId: Long, s: SessionState): Session =
@@ -114,21 +137,32 @@ object Streams {
     else df.dropDuplicates(keys)
 
   /** File-source streaming reader with the same schema as a batch table —
-    * the entry point for incremental pipelines over landing directories. */
+    * the entry point for incremental pipelines over landing directories.
+    * `glob` filters which files in the directory belong to the stream. */
   def readStream(spark: SparkSession, path: String,
-                 schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+                 schema: org.apache.spark.sql.types.StructType,
+                 glob: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    glob.map(g => r.option("pathGlobFilter", g)).getOrElse(r).parquet(path)
+  }
 
   /** Parquet file sink with checkpointing — the durable end of an
     * incremental pipeline. Exactly-once per file-sink semantics come from
-    * the checkpoint + write-ahead manifest. */
+    * the checkpoint + write-ahead manifest. `availableNow = true` drains
+    * everything currently in the source and stops (the batch-like catch-up
+    * run); otherwise the query polls every `triggerMs`. */
   def writeStreamParquet(df: DataFrame, path: String, checkpoint: String,
-                         triggerMs: Long = 5000): org.apache.spark.sql.streaming.StreamingQuery =
+                         triggerMs: Long = 5000,
+                         availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val trigger =
+      if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      else org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs)
     df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .trigger(trigger)
       .start()
+  }
 }

@@ -96,6 +96,23 @@ class CsvSpec extends SparkSpec {
     assert(Csv.sniffEncoding(latin.toString) == "ISO-8859-1")
   }
 
+  test("sniffEncoding: sample boundary splitting a multi-byte char stays UTF-8") {
+    // '\u00e9' is 2 bytes in UTF-8; sampleBytes = 4 cuts between its lead and
+    // continuation bytes \u2014 without the tail trim the strict decoder fails
+    // and a valid UTF-8 file is misdetected as a single-byte charset
+    val p = Files.createTempFile("graft_boundary", ".csv")
+    Files.write(p, "abc\u00e9x,1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Csv.sniffEncoding(p.toString, sampleBytes = 4) == "UTF-8")
+    // a 3-byte char cut after 2 of its bytes
+    val p3 = Files.createTempFile("graft_boundary3", ".csv")
+    Files.write(p3, "ab\u20ac,1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Csv.sniffEncoding(p3.toString, sampleBytes = 4) == "UTF-8")
+    // trim never eats complete content: full-buffer sample of pure ASCII
+    val pa = Files.createTempFile("graft_ascii", ".csv")
+    Files.write(pa, "abcd".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    assert(Csv.sniffEncoding(pa.toString, sampleBytes = 4) == "UTF-8")
+  }
+
   test("roundtrip: write then load preserves values") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")

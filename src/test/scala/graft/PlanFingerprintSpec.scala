@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression pins for the most expensive driver queries.
+  *
+  * Bench timings on this class of VM swing 2-4× run-to-run, so a slow
+  * BENCH_r{N} row alone cannot distinguish host noise from a real plan
+  * regression (a lost broadcast, a new shuffle, a widened scan). These pins
+  * make that decidable from artifacts: if the fingerprint spec is green, the
+  * plan did not change — inflation is noise; if it is red, the diff names
+  * exactly what changed (join strategy, Exchange count, scan width).
+  *
+  * The fingerprint is the plan's scale-relevant skeleton ONLY — shuffle and
+  * broadcast Exchange counts, join strategies, per-scan top-level column
+  * counts — so benign refactors (aliases, expression order) don't trip it.
+  */
+class PlanFingerprintSpec extends SparkSpec {
+
+  /** Count top-level fields of a `ReadSchema: struct<...>` line (commas at
+    * bracket depth 0 inside the outer struct — decimal(12,2) and nested
+    * structs/arrays don't inflate the count). */
+  private def scanWidth(line: String): Int = {
+    val body = line.substring(line.indexOf("struct<") + "struct<".length)
+    var depth = 0; var fields = 1
+    for (c <- body) c match {
+      case '<' | '(' => depth += 1
+      case '>' if depth == 0 => return fields // outer struct closes
+      case '>' | ')' => depth -= 1
+      case ',' if depth == 0 => fields += 1
+      case _ =>
+    }
+    fields
+  }
+
+  private def fingerprint(df: DataFrame): String = {
+    val fmt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val opLine = """^\(\d+\)\s+(\S+).*$""".r
+    val ops = fmt.linesIterator.collect { case opLine(name) => name }.toSeq
+    def n(p: String) = ops.count(_ == p)
+    val joins = Seq("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(j => j -> n(j)).filter(_._2 > 0)
+      .map { case (j, c) => s"$j=$c" }.mkString(",")
+    val scans = fmt.linesIterator.filter(_.contains("ReadSchema: struct<"))
+      .map(scanWidth).toSeq.sorted.mkString(",")
+    s"shuffles=${n("Exchange")} bcast=${n("BroadcastExchange")} " +
+      s"joins=[$joins] scans=[$scans]"
+  }
+
+  private def pin(name: String, expected: String): Unit = test(s"plan fingerprint: $name") {
+    val got = fingerprint(SparkEntry.queries(name)(spark, sf("sf0.001")))
+    assert(got == expected, s"\n$name plan shape changed:\n  got      $got\n  expected $expected")
+  }
+
+  // Pinned at sf0.001 (plan shape is data-independent here except for the
+  // stats-driven broadcast choices, which are deterministic for fixed data).
+  // shuffles counts EVERY Exchange node, including the small post-aggregation
+  // ones — only the first exchange of each corpus-sized relation moves bulk
+  // data, so read these as shape pins, not byte counts.
+  pin("q01_pricing_summary", "shuffles=2 bcast=0 joins=[] scans=[6]")
+  pin("q03_join_agg_revenue",
+    "shuffles=2 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,3]")
+  pin("q07_melt", "shuffles=1 bcast=0 joins=[] scans=[6]")
+  pin("q09_stats", "shuffles=1 bcast=0 joins=[] scans=[4]")
+  pin("q34_pivot", "shuffles=3 bcast=0 joins=[] scans=[4]")
+  // the broadcast short-circuit: 2-col pruned lineitem scan, no salt, 1 bcast
+  pin("q49_salted_join",
+    "shuffles=2 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+  pin("d22_jaccard_pairs",
+    "shuffles=10 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
+  pin("d23_minhash_lsh",
+    "shuffles=7 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
+  pin("d24_simhash_pairs", "shuffles=5 bcast=0 joins=[] scans=[2]")
+  // broadcast queries × streamed corpus — the NL join is the intended shape
+  pin("s29_ann_brute",
+    "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
+  pin("t66_token_rarity",
+    "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,2]")
+  pin("p67_pipeline",
+    "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,3]")
+}

@@ -22,14 +22,35 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(j.count() == core.Tables.orders(spark, sf("sf0.001")).count())
   }
 
-  test("salted join returns exactly the rows of the plain join") {
+  test("salted join returns exactly the rows of the plain join, on BOTH paths") {
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 7L else i.toLong, s"v$i")).toDF("k", "lv")
     val dim = (1L to 2000L).map(k => (k, s"d$k")).toDF("k", "rv")
     val plain = skewed.join(dim, Seq("k")).select("k", "lv", "rv")
       .collect().map(_.toSeq).toSet
-    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4, saltCols = Seq("lv"))
+    // default budget → broadcast short-circuit
+    val bcast = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4, saltCols = Seq("lv"))
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(bcast == plain)
+    // zero budget → forced salted shuffle path
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 4, saltCols = Seq("lv"),
+        broadcastBudgetBytes = 0L)
       .select("k", "lv", "rv").collect().map(_.toSeq).toSet
     assert(salted == plain)
+  }
+
+  test("salted join picks its plan by small-side size: broadcast under budget, shuffled-hash over it") {
+    val skewed = (1 to 2000).map(i => (if (i % 2 == 0) 7L else i.toLong, i.toLong)).toDF("k", "row_id")
+    val dim = (1L to 100L).map(k => (k, s"d$k")).toDF("k", "rv")
+    val bPlan = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 8, saltCols = Seq("row_id"))
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    val sPlan = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 8, saltCols = Seq("row_id"),
+        broadcastBudgetBytes = 0L)
+      .queryExecution.executedPlan.toString
+    // over budget: never builds a salts×|small| broadcast relation — the
+    // exploded side shuffles into a hash join on (key, salt)
+    assert(sPlan.contains("ShuffledHashJoin"), sPlan)
+    assert(!sPlan.contains("BroadcastHashJoin"), sPlan)
   }
 
   test("salted join salt actually splits a pathological hot key") {
@@ -47,25 +68,41 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(hot.keySet == (0 until salts).toSet, s"unoccupied salt buckets: $hot")
     val share = (n / 2).toDouble / salts
     assert(hot.values.max <= 2 * share, s"salt did not spread the hot key: $hot")
-    // and the library op over the same data equals the plain join
+    // and the library op over the same data equals the plain join — forced
+    // onto the salted shuffle path, where the salt actually matters
     val dim = Seq((7L, "hot"), (1L, "cold")).toDF("k", "rv")
     val plain = skewed.join(dim, Seq("k")).count()
-    assert(ScaleJoins.saltedJoin(skewed, dim, "k", salts, Seq("row_id")).count() == plain)
+    assert(ScaleJoins.saltedJoin(skewed, dim, "k", salts, Seq("row_id"),
+      broadcastBudgetBytes = 0L).count() == plain)
   }
 
-  test("salted join keeps column pruning: q49 lineitem scan reads only 3 cols") {
+  test("salted join keeps column pruning: q49 lineitem scan reads only the 2 referenced cols") {
+    // under the broadcast short-circuit no salt column is computed, so the
+    // lineitem scan reads only (l_orderkey, l_extendedprice)
     val q = SparkEntry.queries("q49_salted_join")(spark, sf("sf0.001"))
     val fmt = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val readSchemas = fmt.linesIterator.filter(_.contains("ReadSchema")).toSeq
     val liSchema = readSchemas.find(_.contains("l_orderkey")).getOrElse(
       fail(s"no lineitem ReadSchema in plan:\n$fmt"))
-    val wanted = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+    val wanted = Seq("l_orderkey", "l_extendedprice")
     wanted.foreach(c => assert(liSchema.contains(c), s"missing $c in $liSchema"))
     val unwanted = Seq("l_quantity", "l_shipdate", "l_returnflag", "l_discount",
-      "l_tax", "l_partkey", "l_suppkey", "l_linestatus")
+      "l_tax", "l_partkey", "l_suppkey", "l_linestatus", "l_linenumber")
     unwanted.foreach(c => assert(!liSchema.contains(c),
-      s"salt defeated pruning — scan reads $c: $liSchema"))
+      s"scan reads unreferenced $c: $liSchema"))
+    // and the forced salted path still prunes: salt adds only the saltCol
+    val li = core.Tables.lineitem(spark, sf("sf0.001"))
+    val o = core.Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = ScaleJoins.saltedJoin(li, o, "l_orderkey", 8, Seq("l_linenumber"),
+        broadcastBudgetBytes = 0L)
+      .groupBy(col("o_orderpriority")).count()
+    val sFmt = salted.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sLi = sFmt.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_orderkey")).getOrElse(fail(s"no lineitem scan:\n$sFmt"))
+    assert(sLi.contains("l_linenumber") && !sLi.contains("l_quantity"), sLi)
   }
 
   test("IVF ANN: exact when probing all cells; recall floor and score parity at nprobe=3") {
@@ -102,6 +139,48 @@ class ScaleJoinsSpec extends SparkSpec {
     val langs = ops.Sampling.stratifiedFraction(d, "lang", fr, 42L)
       .select("lang").distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("en", "fr")))
+  }
+
+  test("stratifiedHashFraction: deterministic, engine-portable thresholds, f=1.0 keeps all") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val fr = Map("en" -> 0.25, "fr" -> 1.0)
+    def run() = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id", fr)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run(), "content-hash sample must be identical across runs")
+    // f = 1.0 stratum keeps every row
+    val frAll = d.filter(col("lang") === "fr").count()
+    val frKept = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id", fr)
+      .filter(col("lang") === "fr").count()
+    assert(frKept == frAll, s"f=1.0 must keep all fr rows: $frKept/$frAll")
+    // unlisted strata are dropped
+    val langs = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id", fr)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "fr")))
+    // the en fraction lands near 0.25 (md5 uniformity; loose bound for a small table)
+    val enAll = d.filter(col("lang") === "en").count().toDouble
+    val enKept = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id", fr)
+      .filter(col("lang") === "en").count().toDouble
+    assert(enKept / enAll > 0.1 && enKept / enAll < 0.45, s"en kept $enKept of $enAll")
+    // the rule is the documented one: md5 prefix below the hex threshold
+    val ids = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id", fr)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val expected = d.filter(col("lang") === "en")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 5) < "40000")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == expected)
+  }
+
+  test("asofJoin: simultaneous right rows resolve deterministically to the max payload") {
+    val left = Seq((1L, 10L, "L")).toDF("k", "t", "tag")
+    // three quotes at the same instant — without a payload sort the attached
+    // px would be arbitrary; the contract picks the largest payload tuple
+    val right = Seq((1L, 10L, 5.0), (1L, 10L, 9.0), (1L, 10L, 7.0)).toDF("k", "qt", "px")
+    (1 to 3).foreach { _ =>
+      val got = ScaleJoins.asofJoin(left, right, "k", "t", "qt", Seq("px"))
+        .select("asof_px").as[Double].collect().toSeq
+      assert(got == Seq(9.0), s"expected deterministic max-payload tie-break, got $got")
+    }
   }
 
   test("stratifiedExact: exactly k per stratum, deterministic across runs") {
