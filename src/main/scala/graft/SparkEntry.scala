@@ -898,6 +898,21 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy(col("doc_id"))
     }),
 
+    // near-dup pairs resolved into duplicate clusters: connected components
+    // over the d22 pair graph (transitive closure — A~B plus B~C groups
+    // {A,B,C}); cluster id = min member id, plus the cluster size. The step
+    // between pair discovery and canonical-doc selection in a dedup pipeline
+    "d73_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1449,6 +1464,31 @@ object SparkEntry {
         |  FROM parts)
         |SELECT doc_id, lang, quality, scrub_md5 FROM q
         |WHERE quality >= 0.3 ORDER BY doc_id""".stripMargin,
+
+    // duplicate clusters via a recursive CTE: `reach` is the transitive
+    // closure of the symmetric pair graph (DuckDB's UNION-distinct recursion
+    // reaches a fixpoint), component = min reachable node — exactly the
+    // hash-min label the Spark operator converges to
+    "d73_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+        |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT c.node AS doc_id, c.cluster_id, n.cluster_size
+        |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order

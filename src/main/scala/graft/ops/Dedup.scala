@@ -171,6 +171,76 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected edge list — resolves near-dup
+    * PAIRS ([[jaccardPairs]]/[[minHashLsh]]/[[simHashPairs]] output) into
+    * duplicate CLUSTERS, the step a corpus pipeline needs before it can keep
+    * one canonical document per group of mutual near-duplicates (A~B, B~C
+    * groups {A,B,C} even though A and C were never paired directly).
+    *
+    * Iterative hash-min label propagation with pointer jumping: every node
+    * starts labeled with itself; each round a node takes the min of its own
+    * and its neighbors' labels, then short-circuits through its new label's
+    * label (pointer doubling), so convergence needs O(log diameter) rounds,
+    * not O(diameter). Near-dup clusters are tight in practice (a handful of
+    * rounds); `maxIter` caps a pathological chain. Each round shuffles only
+    * the edge list and the label map — both candidate-set sized, orders of
+    * magnitude below the corpus — and the driver-side loop performs one
+    * scalar count per round (a convergence check, never a data collect).
+    * Each round's label map is `localCheckpoint`ed: the round's plan
+    * references the previous map four times, so without truncating lineage
+    * the logical plan would grow 4× per round and planning time would
+    * dominate within ~8 rounds. On a cluster with executor churn you'd use
+    * a reliable `checkpoint` dir instead — same shape, durable truncation.
+    *
+    * Returns (node, component) with component = min node id reachable;
+    * isolated nodes (appearing in no edge) are absent from the output.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+      .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
+      .distinct().cache()
+    var labels = sym.select(col("n").as("node"))
+      .distinct().select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min over own + neighbors' labels
+      val viaNbr = sym.join(labels.select(col("node").as("m"), col("label")), "m")
+        .select(col("n").as("node"), col("label"))
+      val stepped = viaNbr.union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jump: follow the new label to ITS label. label(x) <= x by
+      // construction, so the jump only ever lowers (or keeps) the label.
+      val jumpTbl = labels.select(col("node").as("jn"), col("label").as("jl"))
+      val jumped = stepped.join(jumpTbl, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint()
+      val prev = labels.select(col("node"), col("label").as("prevLabel"))
+      val changed = jumped.join(prev, "node")
+        .filter(col("label") =!= col("prevLabel")).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Cluster-resolution dedup: drop every clustered document except its
+    * cluster's canonical (min-id) member; documents in no near-dup pair pass
+    * through untouched. The drop set is candidate-sized, so the only
+    * corpus-scale operation is one broadcast anti-join — the corpus is
+    * scanned once and never shuffled. */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, srcCol, dstCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Number of simhash bits: 60 = 15 hex chars of MD5, the widest slice that
     * both this engine and the SQL oracle can parse into a signed 64-bit int.
     * A portable token hash (`md5` is identical everywhere) makes the whole

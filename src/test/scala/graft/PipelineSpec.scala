@@ -216,4 +216,37 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.frameSample(media, n = 3, frameBytes = 4)
     assert(frames.count() == 12)
   }
+
+  test("connectedComponents: transitive closure, min-id labels, isolated nodes absent") {
+    // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), triangle
+    // 10-11-12, pair 20-21; node 30 appears in no edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // deterministic across runs
+    val cc2 = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cc == cc2)
+  }
+
+  test("connectedComponents: long chain converges under the iteration cap") {
+    // path of 200 nodes: hash-min alone needs ~199 rounds; pointer jumping
+    // must close it within the default 25
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+    assert(cc.select("component").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(cc.count() == 200)
+  }
+
+  test("dedupByClusters keeps one canonical doc per cluster plus singletons") {
+    // docs: 1~2 near-dup, 1=4 exact dup → pairs chain {1,2,4}; 3 is singleton
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L))
+  }
 }
