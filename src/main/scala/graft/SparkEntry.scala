@@ -913,6 +913,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // embedding near-dup at corpus scale: LSH-bucketed candidates
+    // (OR-amplified over 2 hyperplane tables), exact-cosine-verified — the
+    // scale twin of d40's broadcast-NL exact form. md5-derived planes, so
+    // the oracle recomputes identical buckets
+    "d74_embed_neardup_lsh" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, planes = 4, tables = 2, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // top-3 TF-IDF keywords per document (log-free rational idf — exact
+    // cross-engine scores; same ranking as the textbook log form)
+    "t75_tfidf" -> ((s, dir) => {
+      graft.ops.Sampling.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1342,6 +1360,26 @@ object SparkEntry {
     // the oracle recomputes the same buckets and the same rerank.
     "s30_ann_lsh" -> lshOracle(planes = 6, dim = 64, k = 10),
 
+    // same plane derivation, OR-amplified across 2 tables: candidates from
+    // either table's bucket join, UNION-deduped, exact cosine >= threshold
+    "d74_embed_neardup_lsh" ->
+      nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+
+    // log-free rational idf: integer-derived doubles + one IEEE division —
+    // bit-identical across engines (ln's last ulp is not)
+    "t75_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, token,
+        |  round(tf * (n.n - dfq.df + 0.5) / (dfq.df + 0.5), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM s)
+        |SELECT doc_id, token, tfidf, CAST(rnk AS BIGINT) AS rnk FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     // The decode stub is md5-derived (Multimodal.decodeStub): the payload
     // hashes once to a 32-hex md5 seed, and component d is (first 60 bits of
     // md5(seed || '|' || d) mod 1024)/1024 — exactly representable in float
@@ -1543,5 +1581,33 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
        |FROM ranked WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** OR-amplified LSH near-dup oracle: table `t` buckets with hyperplane
+    * rows [t·planes, (t+1)·planes) of planeMatrix(tables·planes, dim) —
+    * identical to Similarity.nearDupPairs — candidates unioned across
+    * tables (UNION dedups), then exact cosine against `threshold`. */
+  private def nearDupLshOracle(planes: Int, tables: Int, dim: Int,
+                               threshold: Double): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    def bucketExpr(tbl: Int): String = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(tbl * planes + p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map(tb =>
+      s"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 ON a.b$tb = b2.b$tb AND a.vec_id < b2.vec_id")
+      .mkString(" UNION ")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucketCols FROM v),
+       |cand AS ($cand),
+       |p AS (SELECT id_a, id_b,
+       |  list_sum([va.e[i]*vb.e[i] for i in range(1, len(va.e)+1)]) /
+       |  (sqrt(list_sum([va.e[i]*va.e[i] for i in range(1, len(va.e)+1)])) *
+       |   sqrt(list_sum([vb.e[i]*vb.e[i] for i in range(1, len(vb.e)+1)]))) AS cosine
+       |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

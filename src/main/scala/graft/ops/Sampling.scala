@@ -93,4 +93,34 @@ object Sampling {
     tf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Top-`k` TF-IDF terms per document — keyword extraction over the
+    * corpus. The idf is the log-free rational Robertson form
+    * `(N - df + 0.5) / (df + 0.5)`: every input is an integer-derived
+    * double (exact) and the single division is IEEE-exactly-rounded, so
+    * scores and the induced ranking are bit-identical across engines — a
+    * logarithm's last ulp is libm-dependent and would break exact
+    * verification. The map `x → ln((N-x+0.5)/(x+0.5))` is monotone in the
+    * rational core, so the per-doc RANKING equals the textbook log form's.
+    *
+    * Three shuffles, all term-level (never corpus-rows-squared): tf
+    * hash-agg on (doc, token); df hash-agg on token (vocab-sized); the
+    * per-doc top-k window (WindowGroupLimit-bounded). N comes from a
+    * broadcast 1-row aggregate — no driver action.
+    * Output: (id, token, tfidf, rnk), `k` rows per doc. */
+  def tfIdfTopTerms(df0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val df = graft.core.Par.widen(df0)
+    val toks = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token")).agg(count_distinct(col("id")).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (col("n") - col("df") + 0.5) / (col("df") + 0.5), 4))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("token"), col("tfidf"), col("rnk"))
+  }
 }

@@ -86,6 +86,61 @@ object Similarity {
     sigBits.reduce(_ + _)
   }
 
+  /** Per-table sign-signature buckets for OR-amplified LSH: table `t` uses
+    * hyperplane rows [t·planes, (t+1)·planes) of
+    * `planeMatrix(tables·planes, dim)`, so the tables are independent.
+    * Returns array<long> of `tables` bucket ids. */
+  private def lshBucketTables(vec: Column, planes: Int, tables: Int, dim: Int): Column = {
+    val mat = planeMatrix(planes * tables, dim)
+    val bs = (0 until tables).map { tbl =>
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, typedLit(mat(tbl * planes + p).toIndexedSeq),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(bs: _*)
+  }
+
+  /** Embedding near-duplicate pairs at corpus scale: LSH-bucketed candidate
+    * generation + exact cosine verification — never an all-pairs self-join.
+    * The corpus-scale twin of the broadcast-NL exact form (d40): candidates
+    * are pairs sharing a bucket in ANY of `tables` independent hyperplane
+    * tables (the classic OR-amplification — per-table recall for angle θ is
+    * (1-θ/π)^planes, so more tables recover the recall more planes take
+    * away), then verified with exact cosine against `threshold`.
+    *
+    * Shuffle budget: one corpus-sized exchange per side of the bucket
+    * equi-join (corpus × tables rows), then candidate-sized work only —
+    * pair dedup and the cosine filter. Bucket skew is bounded by `planes`
+    * (2^planes buckets per table); raise `planes` (and `tables` with it) as
+    * the corpus grows to keep per-bucket candidate counts flat.
+    */
+  def nearDupPairs(df0: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int = 4, tables: Int = 2,
+                   dim: Int = -1): DataFrame = {
+    val df = graft.core.Par.widen(df0)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(lshBucketTables(col("v"), planes, tables, d)).as(Seq("tbl", "bucket")))
+    val a = withB.select(col("id").as("id_a"), col("v").as("e_a"),
+      col("tbl"), col("bucket"))
+    val b = withB.select(col("id").as("id_b"), col("v").as("e_b"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair bucketed together in several tables is still one candidate;
+      // dup rows carry identical vectors, so the keep-one is deterministic
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        df.sparkSession, col("e_a"), col("e_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and reranks exactly within them. The classic billion-scale layout: the

@@ -217,6 +217,41 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() == 12)
   }
 
+  test("nearDupPairs: LSH candidates exact-verified, a subset of all-pairs, deterministic") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        spark, col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run() = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.35, planes = 4, tables = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = run()
+    assert(lsh.nonEmpty, "LSH near-dup found no pairs at sf0.001")
+    // every LSH pair is a true pair with the identical exact cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k: lsh=$c exact=${exact.get(k)}")
+    }
+    assert(lsh == run(), "bucketing must be deterministic across runs")
+  }
+
+  test("tfIdfTopTerms: rational-idf goldens, k rows per doc, lexicographic tie-break") {
+    // N=4; 'dog' df=2 -> 1*(4-2+0.5)/2.5 = 1.0; 'the' tf=2 df=3 ->
+    // 2*1.5/3.5 = 0.8571; other doc-1 tokens 1*1.5/3.5 = 0.4286 (tie ->
+    // 'brown' first); doc-3 tokens are unique to it -> all 3.5/1.5 = 2.3333
+    val r = graft.ops.Sampling.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("id", "rnk").collect()
+    assert(r.length == 12, s"expected 3 rows x 4 docs, got ${r.length}")
+    val d1 = r.filter(_.getLong(0) == 1L).map(x => (x.getString(1), x.getDouble(2))).toSeq
+    assert(d1 == Seq("dog" -> 1.0, "the" -> 0.8571, "brown" -> 0.4286), d1.toString)
+    val d3 = r.filter(_.getLong(0) == 3L).map(_.getString(1)).toSeq
+    assert(d3 == Seq("completely", "content", "different"), d3.toString)
+  }
+
   test("connectedComponents: transitive closure, min-id labels, isolated nodes absent") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), triangle
     // 10-11-12, pair 20-21; node 30 appears in no edge
