@@ -923,6 +923,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // int8 embedding quantization (the 4x storage tier): absmax codes plus
+    // per-vector scale and the mean-abs reconstruction error — all IEEE-
+    // exact double math, so codes AND the error hash-match the oracle
+    "s76_quantize_int8" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding",
+        keepVec = true)
+      val err = aggregate(
+        zip_with(col("vec"), col("qvec"),
+          (x, c) => abs(x - c.cast("double") * col("scale"))),
+        lit(0.0), (a, v) => a + v) / size(col("qvec"))
+      // err is materialized BEFORE the select that aliases round(scale) to
+      // the same name "scale": Spark 4's lateral column alias resolution
+      // would otherwise bind err's scale reference to the ROUNDED alias,
+      // skewing the error in the 3rd significant digit.
+      // Codes serialized to CSV: the driver's compare hashes scalar cells,
+      // not arrays (same reason q53 stringifies its list)
+      q.withColumn("mae_raw", err)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(col("qvec"), ",").as("qvec_csv"),
+          round(col("mae_raw"), 6).as("mae"))
+        .orderBy(col("vec_id"))
+    }),
+
     // top-3 TF-IDF keywords per document (log-free rational idf — exact
     // cross-engine scores; same ranking as the textbook log form)
     "t75_tfidf" -> ((s, dir) => {
@@ -1364,6 +1387,19 @@ object SparkEntry {
     // either table's bucket join, UNION-deduped, exact cosine >= threshold
     "d74_embed_neardup_lsh" ->
       nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+
+    // absmax int8 codes: round() is half-up (away from zero) in both
+    // engines; cast of an integral double is exact; the error fold is the
+    // same sequential left fold cosine parity already relies on
+    "s76_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max([abs(x) for x in e]) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |  [CAST(round(x / scale) AS INTEGER) for x in e] AS qvec FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(qvec, ',') AS qvec_csv,
+        |  round(list_sum([abs(e[i] - qvec[i] * scale) for i in range(1, len(e)+1)]) / len(e), 6) AS mae
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // log-free rational idf: integer-derived doubles + one IEEE division —
     // bit-identical across engines (ln's last ulp is not)

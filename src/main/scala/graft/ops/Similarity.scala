@@ -141,6 +141,34 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the storage tier for
+    * vector corpora at scale (4× smaller than float32 plus a per-vector
+    * scale; dot products on int8 codes are also ~4× cheaper). Symmetric
+    * absmax scheme: scale = max|x| / 127, code_i = round(x_i / scale) ∈
+    * [-127, 127]. The scale is hoisted into its own projection column
+    * before the per-element lambda (lambda bodies are not CSE'd — an
+    * inline absmax would re-fold the array once per element), and all the
+    * arithmetic is IEEE-exact double math plus half-up rounding, so the
+    * codes are bit-identical across engines. A zero vector quantizes to
+    * all-zero codes with scale 0. Pure projection — zero shuffles.
+    * Output: (idCol, scale, qvec) plus the double-cast source as `vec`
+    * when `keepVec` (for reconstruction-error checks). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   keepVec: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("scale",
+        aggregate(col("vec"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("qvec",
+        when(col("scale") === 0.0, transform(col("vec"), x => lit(0).cast("int")))
+          .otherwise(transform(col("vec"), x => round(x / col("scale"), 0).cast("int"))))
+    if (keepVec) base else base.drop("vec")
+  }
+
+  /** Reconstruct approximate doubles from int8 codes + scale. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and reranks exactly within them. The classic billion-scale layout: the

@@ -252,6 +252,32 @@ class PipelineSpec extends SparkSpec {
     assert(d3 == Seq("completely", "content", "different"), d3.toString)
   }
 
+  test("quantizeInt8: codes in [-127,127], per-component error <= scale/2, zero vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(3.0f, -2.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val q = Similarity.quantizeInt8(vecs, "id", "v", keepVec = true).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getDouble(2), r.getSeq[Int](3))).toMap
+    q.foreach { case (id, (vec, scale, codes)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"id=$id codes=$codes")
+      vec.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"id=$id x=$x c=$c scale=$scale")
+      }
+    }
+    // absmax lands exactly on +/-127
+    assert(q(1L)._3 == Seq(64, -127, 32, 16) && q(1L)._2 == 1.0 / 127.0)
+    assert(q(3L)._2 == 0.0 && q(3L)._3 == Seq(0, 0, 0, 0))
+    // dequantize reproduces code * scale bit-exactly
+    val deq = Similarity.quantizeInt8(vecs, "id", "v")
+      .select(col("id"), Similarity.dequantize(col("qvec"), col("scale")).as("d"))
+      .filter(col("id") === 1L).head.getSeq[Double](1)
+    assert(deq == Seq(64, -127, 32, 16).map(_ * (1.0 / 127.0)))
+  }
+
   test("connectedComponents: transitive closure, min-id labels, isolated nodes absent") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), triangle
     // 10-11-12, pair 20-21; node 30 appears in no edge

@@ -126,4 +126,46 @@ class PropertySpec extends SparkSpec {
       assert(Dedup.contamination(df, clean, "id", "text", n = 2).count() == 0)
     }
   }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+
+  test("connectedComponents equals a driver union-find on random graphs") {
+    forAll(edgesGen, cases = 8) { edges =>
+      whenever(edges.nonEmpty) {
+        // reference: plain union-find over the same edge list
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // union-find roots are path-dependent; normalize to min member id
+        val expected = nodes.groupBy(find).values
+          .flatMap(g => g.map(_ -> g.min)).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
+  test("connectedComponents/dedupByClusters: empty and self-loop edge cases") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs, "id_a", "id_b").count() == 0)
+    // no pairs → every doc passes through
+    assert(Dedup.dedupByClusters(docs, noPairs, "doc_id").count() == 2)
+    // a self-loop neither crashes nor merges anything
+    val selfLoop = Seq((1L, 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(selfLoop, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(cc == Seq(1L -> 1L))
+    assert(Dedup.dedupByClusters(docs, selfLoop, "doc_id").count() == 2)
+  }
 }
