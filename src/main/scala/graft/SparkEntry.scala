@@ -954,6 +954,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // parquet schema evolution: two writer generations with different
+    // column sets under one table root, read back with mergeSchema — the
+    // data-lake pattern where late-added columns surface as NULL for files
+    // written before the column existed
+    "q77_schema_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+      o.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      o.filter(col("o_orderkey") % 100 === 50)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1387,6 +1405,14 @@ object SparkEntry {
     // either table's bucket join, UNION-deduped, exact cosine >= threshold
     "d74_embed_neardup_lsh" ->
       nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+
+    // schema-merge oracle from the ORIGINAL table: gen-1 rows never carried
+    // o_orderpriority, so it is NULL for them after the merged read
+    "q77_schema_merge" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 100 = 50 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0 OR o_orderkey % 100 = 50
+        |ORDER BY o_orderkey""".stripMargin,
 
     // absmax int8 codes: round() is half-up (away from zero) in both
     // engines; cast of an integral double is exact; the error fold is the
