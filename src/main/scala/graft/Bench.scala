@@ -7,7 +7,7 @@ object Bench {
     // committed per-round artifact with per-pass AND min numbers, so builder
     // and driver benches can be diffed from the repo alone
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_local.json")
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +31,9 @@ object Bench {
     }
     val names = passes.head.keys.toSeq.sorted
     val results = names.map(name => name -> passes.map(_(name)).min)
-    def fmt(d: Double) = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -1421,7 +1421,7 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |s AS (SELECT vec_id, e, list_max([abs(x) for x in e]) / 127.0 AS scale FROM v),
         |q AS (SELECT vec_id, e, scale,
-        |  [CAST(round(x / scale) AS INTEGER) for x in e] AS qvec FROM s)
+        |  [CAST(coalesce(round(x / nullif(scale, 0)), 0) AS INTEGER) for x in e] AS qvec FROM s)
         |SELECT vec_id, round(scale, 6) AS scale,
         |  array_to_string(qvec, ',') AS qvec_csv,
         |  round(list_sum([abs(e[i] - qvec[i] * scale) for i in range(1, len(e)+1)]) / len(e), 6) AS mae

@@ -225,6 +225,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // a partially-converged label map would silently split real clusters
+    // (and dedupByClusters would keep several "canonical" docs per cluster)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds; " +
+        "raise maxIter (pointer jumping needs ~log2(graph diameter) rounds)")
     labels.withColumnRenamed("label", "component")
   }
 

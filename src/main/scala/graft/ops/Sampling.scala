@@ -32,9 +32,14 @@ object Sampling {
                              fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    // 'g' sorts above every hex char, so f = 1.0 keeps all rows exactly
-    def hex5(f: Double): String =
-      if (f >= 1.0) "g" else f"${math.round(f * (1 << 20))}%05x"
+    // 'g' sorts above every hex char, so a full fraction keeps all rows
+    // exactly; quantization can round a near-1.0 fraction up to 2^20,
+    // whose 6-char hex would break the 5-char lexicographic compare — any
+    // quantized value at the cap means "keep everything" too
+    def hex5(f: Double): String = {
+      val q = math.round(f * (1 << 20))
+      if (q >= (1 << 20)) "g" else f"$q%05x"
+    }
     val thresh = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("string")) { case (acc, (sv, f)) =>
         when(col(stratumCol) === sv, lit(hex5(f))).otherwise(acc)

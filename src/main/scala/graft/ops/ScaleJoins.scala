@@ -63,7 +63,11 @@ object ScaleJoins {
     * scan. Caveat: rows identical across (key ++ saltCols) hash to the same
     * salt, so a hot key made of duplicate rows only splits if `saltCols`
     * actually varies — pick a column that does (any unique-ish id).
-    * Either branch returns exactly the rows of the plain equi-join.
+    * Either branch returns exactly the rows of the plain equi-join for the
+    * supported join types: inner, left (outer), left_semi, left_anti.
+    * Right/full outer are rejected — on the salted path an unmatched
+    * small-side row exists once per salt, so the null-extended output
+    * would carry `salts` duplicate copies.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, saltCols: Seq[String],
@@ -72,6 +76,10 @@ object ScaleJoins {
     require(salts > 1, "salts must be > 1")
     require(saltCols.nonEmpty,
       "saltCols must name at least one column that varies within a hot key")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support join type '$joinType': unmatched " +
+        "small-side rows would be emitted once per salt")
     val estSmall = small.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estSmall <= broadcastBudgetBytes) {
       large.join(broadcast(small), Seq(key), joinType)
@@ -96,11 +104,12 @@ object ScaleJoins {
     * lookup. Right rows sort before left rows at equal timestamps, so an
     * exactly-simultaneous right row counts (inclusive semantics).
     *
-    * When several right rows share (key, rTime), the one with the LARGEST
-    * payload tuple wins — the window adds the payload columns as a secondary
-    * sort, so the choice is deterministic across runs and task retries
-    * (without it, `last(ignoreNulls)` would attach an arbitrary simultaneous
-    * row).
+    * The payload travels as ONE struct column, so the attached values are
+    * always a single right row's tuple — a per-column fill could stitch a
+    * tuple together from different simultaneous rows when some payload
+    * column is NULL. When several right rows share (key, rTime), the
+    * largest payload struct (Spark's lexicographic struct order) wins:
+    * deterministic across runs and task retries.
     *
     * Output: all left columns plus `<prefix><payloadCol>` for each requested
     * right payload column (NULL when no prior right row exists).
@@ -110,24 +119,25 @@ object ScaleJoins {
                prefix: String = "asof_"): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     val leftCols = left.columns.toSeq
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val taggedL = left
       .select(Seq(col(key), col(lTime).as("__t"), lit(0).as("__tag")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(pType).as("__p"): _*)
     val taggedR = right
       .select(Seq(col(key), col(rTime).as("__t"), lit(1).as("__tag")) ++
         leftCols.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc +: col("__tag").desc +:
-        payloadCols.map(c => col(s"$prefix$c").asc): _*)
+      .orderBy(col("__t").asc, col("__tag").desc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(taggedL.unionByName(taggedR)) { (df, c) =>
-      df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 0).drop("__t", "__tag")
+    taggedL.unionByName(taggedR)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__p").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** Keyed range join: rows of `r` whose `rVal` falls in

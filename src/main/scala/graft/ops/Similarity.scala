@@ -72,6 +72,16 @@ object Similarity {
       ((h % 2000001L) - 1000000L).toDouble / 1000000.0
     }
 
+  /** Guard against a caller-supplied `dim` that disagrees with the data:
+    * zip_with null-pads the shorter side, every projection would go NULL,
+    * every row would land in bucket 0, and the bucket join would silently
+    * degenerate to the quadratic self-join LSH exists to avoid. Failing
+    * per-row is cheap (one size comparison) and loud. */
+  private def requireDim(vec: Column, dim: Int, bucket: Column): Column =
+    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
+      lit("lshBucket: vector length "), size(vec).cast("string"),
+      lit(s" != dim $dim"))))
+
   /** Sign-signature under `planes` deterministic hyperplanes → integer
     * bucket. `dim` is the (fixed) embedding dimensionality. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
@@ -83,7 +93,7 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    sigBits.reduce(_ + _)
+    requireDim(vec, dim, sigBits.reduce(_ + _))
   }
 
   /** Per-table sign-signature buckets for OR-amplified LSH: table `t` uses
@@ -101,7 +111,7 @@ object Similarity {
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    array(bs: _*)
+    requireDim(vec, dim, array(bs: _*))
   }
 
   /** Embedding near-duplicate pairs at corpus scale: LSH-bucketed candidate

@@ -300,6 +300,20 @@ class PipelineSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
     assert(cc.select("component").distinct().as[Long].collect().toSeq == Seq(1L))
     assert(cc.count() == 200)
+    // hitting the cap before convergence must fail loudly, not return a
+    // partially-merged (wrong) clustering
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
+  test("LSH buckets fail loudly on a dim mismatch instead of collapsing to bucket 0") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val ex = intercept[Exception] {
+      Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.35, planes = 4, tables = 2, dim = 32).count()
+    }
+    assert(ex.getMessage.contains("lshBucket"), ex.getMessage)
   }
 
   test("dedupByClusters keeps one canonical doc per cluster plus singletons") {

@@ -169,6 +169,11 @@ class ScaleJoinsSpec extends SparkSpec {
       .filter(substring(md5(col("doc_id").cast("string")), 1, 5) < "40000")
       .select("doc_id").as[Long].collect().toSet
     assert(ids == expected)
+    // a fraction that quantizes UP to 2^20 must keep everything (a naive
+    // 6-hex-char threshold would keep ~1/16 of rows)
+    val near1 = ops.Sampling.stratifiedHashFraction(d, "lang", "doc_id",
+      Map("en" -> 0.9999996)).count()
+    assert(near1 == enAll.toLong, s"near-1.0 fraction kept $near1 of ${enAll.toLong}")
   }
 
   test("asofJoin: simultaneous right rows resolve deterministically to the max payload") {
@@ -181,6 +186,32 @@ class ScaleJoinsSpec extends SparkSpec {
         .select("asof_px").as[Double].collect().toSeq
       assert(got == Seq(9.0), s"expected deterministic max-payload tie-break, got $got")
     }
+  }
+
+  test("asofJoin: the attached payload is one right row's tuple, never a cross-row mix") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // winning tuple (px=9.0) has qty NULL; a per-column fill would stitch
+    // (9.0, 1) — a tuple no right row contains
+    val right = Seq((1L, 10L, Some(5.0), Some(1L)), (1L, 10L, Some(9.0), None))
+      .toDF("k", "qt", "px", "qty")
+    val got = ScaleJoins.asofJoin(left, right, "k", "t", "qt", Seq("px", "qty"))
+      .select("asof_px", "asof_qty").collect().head
+    assert(got.getDouble(0) == 9.0 && got.isNullAt(1),
+      s"expected the atomic (9.0, null) tuple, got $got")
+  }
+
+  test("saltedJoin rejects right/full outer (salts would duplicate unmatched rows)") {
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((2L, "b")).toDF("k", "rv")
+    Seq("right", "full_outer", "full").foreach { jt =>
+      intercept[IllegalArgumentException] {
+        ScaleJoins.saltedJoin(l, r, "k", salts = 2, saltCols = Seq("lv"), joinType = jt)
+      }
+    }
+    // left outer stays supported: unmatched LARGE rows appear exactly once
+    val lo = ScaleJoins.saltedJoin(l, r, "k", salts = 4, saltCols = Seq("lv"),
+      joinType = "left", broadcastBudgetBytes = 0L)
+    assert(lo.count() == 1)
   }
 
   test("stratifiedExact: exactly k per stratum, deterministic across runs") {
