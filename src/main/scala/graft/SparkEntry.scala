@@ -972,6 +972,58 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // date-partitioned layout + partition pruning: events written
+    // partitionBy(event_date) once per (JVM, source fingerprint) — same
+    // cache rule as q50's bucketed tables — then a 3-day filter reads ONLY
+    // those directories (PlanFingerprintSpec pins the pruned partition
+    // count). At 100 TB this is the difference between scanning 30 days
+    // and scanning 3
+    "q78_partition_prune" -> ((s, dir) => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val st = src.getFileSystem(conf).getFileStatus(src)
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|events:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_part_$sfx"
+      val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
+      if (!done.getFileSystem(conf).exists(done)) {
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(root)
+      }
+      s.read.parquet(root)
+        .filter(col("event_date").between(lit("2024-01-10"), lit("2024-01-12")))
+        .groupBy(col("event_type"), col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"), col("event_date"))
+    }),
+
+    // Bloom-prefiltered incremental dedup: a new batch (fresh docs plus
+    // re-arrivals of history docs under new ids) deduped against the
+    // history corpus. Bloom over history md5s, broadcast probe, exact
+    // anti-join confirm for the maybes — result is exact (oracle is the
+    // plain anti-join), the bloom only decides who pays for the join
+    "d79_bloom_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 4 === 0).unionByName(
+        history.filter(col("doc_id") % 10 === 7)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val key = (d: DataFrame) => d.withColumn("fp", md5(col("text")))
+      Dedup.incrementalDedup(key(arrivals), key(history), "fp")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // overlapping token-window chunking (pretraining prep): each document
+    // exploded into 64-token windows every 32 tokens — zero-shuffle
+    // map-side transform, sequence/slice built-ins only
+    "t80_chunk_windows" -> ((s, dir) => {
+      graft.ops.Chunking.tokenWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1534,6 +1586,39 @@ object SparkEntry {
         |rn AS (SELECT doc_id, lang, quality, row_number() OVER (
         |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM filt)
         |SELECT doc_id, lang, quality FROM rn WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    // pruning is a layout property, so the oracle just filters the original
+    // table by day — a hash match proves the partitioned roundtrip lost and
+    // invented nothing
+    "q78_partition_prune" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the bloom is a prefilter only; the exact result is the plain anti-join
+    "d79_bloom_increment" ->
+      """WITH history AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+        |arrivals AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM history WHERE doc_id % 10 = 7)
+        |SELECT a.doc_id, a.lang FROM arrivals a
+        |WHERE md5(a.text) NOT IN (SELECT md5(text) FROM history)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // 1-based starts every 32 tokens; list_slice caps at the tail exactly
+    // like Spark's slice(toks, st, 64)
+    "t80_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, greatest(len(toks), 1), 32)) AS st FROM t)
+        |SELECT doc_id, CAST((st - 1) // 32 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[st : st + 63], ' ') AS chunk,
+        |  CAST(len(toks[st : st + 63]) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     // hash-threshold sampling: 0.25→40000, 0.5→80000, 0.125→20000 (fraction ×
     // 2^20 as 5 hex chars); 'g' sorts above every hex char, so zh keeps all;

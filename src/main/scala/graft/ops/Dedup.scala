@@ -295,4 +295,63 @@ object Dedup {
         col("p.dist").cast("long").as("dist"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ---- Bloom-prefiltered incremental dedup ---------------------------------
+  // The landing-zone pattern: a (small) new batch arrives and must be deduped
+  // against a (huge) historical corpus. A Bloom filter over the history keys
+  // is built ONCE (O(numBits/8) bytes however large the history), broadcast
+  // into a codegen'd probe, and lets every definitely-new row skip the join
+  // entirely; only the "maybe" fraction (true dups + fpp) joins the history.
+  // The final result is EXACT — the bloom has no false negatives, and the
+  // maybes are confirmed with an exact anti-join.
+
+  /** The k bit positions of `key`: pmod(xxhash64(key, i), numBits) for
+    * i = 0..k-1. Deterministic, all codegen'd builtins. */
+  private def bloomPositions(key: Column, numBits: Int, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(numBits.toLong))): _*)
+
+  /** Build the bitset as Array[Long] words. Distributed shape: one narrow
+    * projection explodes each key to its k positions, partial `bit_or`
+    * combines map-side, and the shuffle carries at most numBits/64 rows per
+    * partition — O(filter size), never O(history size). Only the finished
+    * words (≤ numBits/64 rows) reach the driver. */
+  def bloomBuild(df: DataFrame, key: Column, numBits: Int, numHashes: Int): Array[Long] = {
+    require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits must be a positive multiple of 64")
+    val words = df
+      .select(explode(bloomPositions(key, numBits, numHashes)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), col("p").bitwiseAND(lit(63L)).cast("int")).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Probe: true iff all k bits for `key` are set. `bits` rides along as a
+    * single array Literal (one object, not numBits/64 expression nodes), so
+    * the whole predicate stays inside whole-stage codegen. */
+  def bloomMightContain(key: Column, bits: Array[Long], numBits: Int, numHashes: Int): Column =
+    (0 until numHashes).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+      val word = element_at(lit(bits), (shiftright(pos, 6) + 1).cast("int"))
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Rows of `batch` whose `keyCol` does not occur in `history` (exact
+    * anti-join semantics). Bloom-definitely-new rows never touch the join;
+    * maybes are confirmed against the real history keys. At 100 TB the
+    * history-side scan for the confirm join is irreducible, but the batch
+    * side shrinks to the duplicate fraction — the bloom turns a full
+    * batch-vs-history shuffle into a maybes-vs-history one. */
+  def incrementalDedup(batch: DataFrame, history: DataFrame, keyCol: String,
+                       numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    val bits = bloomBuild(history, col(keyCol), numBits, numHashes)
+    val maybe = bloomMightContain(col(keyCol), bits, numBits, numHashes)
+    batch.filter(!maybe).unionByName(
+      batch.filter(maybe)
+        .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Chunking, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Corpus-pipeline operators: dedup, similarity, text analysis, multimodal
@@ -323,5 +323,44 @@ class PipelineSpec extends SparkSpec {
     val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(1L, 3L))
+  }
+
+  test("bloom: no false negatives, incremental dedup exact vs plain anti-join") {
+    val history = (1L to 300L).map(i => s"doc-$i").toDF("fp")
+    val (bitsN, k) = (1 << 12, 4)
+    val bits = Dedup.bloomBuild(history, col("fp"), bitsN, k)
+    // a bloom filter NEVER misses a member — this is what makes the final
+    // result exact rather than approximate
+    assert(history.filter(!Dedup.bloomMightContain(col("fp"), bits, bitsN, k)).count() == 0)
+    // batch overlaps history on 250..300: result must be exactly 301..400
+    val batch = (250L to 400L).map(i => s"doc-$i").toDF("fp")
+    val got = Dedup.incrementalDedup(batch, history, "fp", bitsN, k)
+      .as[String].collect().toSeq.sorted
+    assert(got == (301L to 400L).map(i => s"doc-$i").sorted)
+    // deterministic build: same keys → same bitset
+    assert(java.util.Arrays.equals(bits, Dedup.bloomBuild(history, col("fp"), bitsN, k)))
+  }
+
+  test("bloom prefilter prunes: disjoint batch produces (almost) no maybes") {
+    val history = (1L to 200L).map(i => s"h-$i").toDF("fp")
+    val (bitsN, k) = (1 << 14, 4)
+    val bits = Dedup.bloomBuild(history, col("fp"), bitsN, k)
+    // E[false positives] = 200 · (200·4/16384)^4 ≈ 0.001 — allow a couple
+    val maybes = (1L to 200L).map(i => s"b-$i").toDF("fp")
+      .filter(Dedup.bloomMightContain(col("fp"), bits, bitsN, k)).count()
+    assert(maybes <= 2, s"false-positive rate far above bound: $maybes/200")
+  }
+
+  test("tokenWindows: overlapping chunks, short tail, zero-shuffle plan") {
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = Chunking.tokenWindows(df, "doc_id", "text", window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e", 1L),
+      (2L, 0L, "x", 1L)))
+    val plan = Chunking.tokenWindows(df, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 }

@@ -80,4 +80,24 @@ class PlanFingerprintSpec extends SparkSpec {
     "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,2]")
   pin("p67_pipeline",
     "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,3]")
+
+  test("q78 scan is partition-pruned to exactly the 3 filtered days") {
+    val df = SparkEntry.queries("q78_partition_prune")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan match {
+      // AQE wraps the physical plan in a leaf node; unwrap to see the scan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the date filter must reach the directory layout, not the row level:
+    // 3 of the ~30 day-partitions selected, and the pushed partition filter
+    // names the partition column
+    assert(scans.head.selectedPartitions.partitionCount == 3,
+      s"expected 3 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
+    val meta = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(meta.contains("event_date"), s"no partition filter pushed: $meta")
+  }
 }
