@@ -1015,6 +1015,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-balanced language mixing (α=0.5): skewed langs flattened
+    // toward uniform — en (218 docs at sf0.01) keeps sqrt(64/218)≈54%, the
+    // smallest (fr) keeps all. Fractions are DATA-derived in-plan; sqrt is
+    // correctly-rounded IEEE so the sample is engine-exact
+    "d81_lang_balance" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureBalance(t(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -1608,6 +1618,22 @@ object SparkEntry {
         |SELECT a.doc_id, a.lang FROM arrivals a
         |WHERE md5(a.text) NOT IN (SELECT md5(text) FROM history)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // f·2^20 is a power-of-two scale of an exact sqrt — floor and the
+    // %05x hex render identically in both engines; q=2^20 (the min
+    // stratum) caps to 'g' which sorts above every hex char
+    "d81_lang_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS minn FROM c),
+        |th AS (SELECT lang,
+        |  CASE WHEN CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT) >= 1048576
+        |       THEN 'g'
+        |       ELSE printf('%05x', CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT))
+        |  END AS thresh
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh
+        |ORDER BY d.doc_id""".stripMargin,
 
     // 1-based starts every 32 tokens; list_slice caps at the tail exactly
     // like Spark's slice(toks, st, 64)

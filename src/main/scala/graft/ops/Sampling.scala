@@ -47,6 +47,39 @@ object Sampling {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 5) < thresh)
   }
 
+  /** Temperature-balanced stratum mixing at α = 0.5 — the pretraining
+    * source-weighting step that flattens a skewed corpus toward (but not
+    * all the way to) uniform: each stratum keeps fraction
+    * `f_s = sqrt(min_n / n_s)`, so the smallest stratum keeps 100% and a
+    * stratum 4× the smallest keeps 50%. The fractions come from the data
+    * (one count aggregate, broadcast back); the keep decision is the same
+    * engine-portable md5-threshold rule as [[stratifiedHashFraction]].
+    *
+    * α is fixed at 0.5 because `sqrt` is IEEE correctly-rounded in every
+    * engine while `pow`/`ln` are libm-dependent in their last ulp — this
+    * keeps the sample bit-reproducible across engines. The ×2^20 quantize
+    * is a power-of-two scale (exact), so no rounding ambiguity exists
+    * anywhere in the pipeline.
+    *
+    * Scale shape: one stratum-count shuffle over the corpus, then a
+    * stateless broadcast-joined map-side filter — nothing corpus-sized
+    * shuffles twice. */
+  def temperatureBalance(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val thresh = counts.crossJoin(broadcast(minN))
+      .withColumn("__q", floor(sqrt(col("__minn").cast("double") /
+        col("__n").cast("double")) * (1 << 20)).cast("long"))
+      // the min stratum's f = 1.0 exactly → q = 2^20, whose 6-char hex would
+      // break the 5-char compare; 'g' sorts above all hex → keep everything
+      .withColumn("__thresh", when(col("__q") >= (1 << 20), lit("g"))
+        .otherwise(format_string("%05x", col("__q"))))
+      .select(col(stratumCol), col("__thresh"))
+    df.join(broadcast(thresh), Seq(stratumCol))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 5) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Exactly `k` rows per stratum, chosen by md5 order of `idCol` — a
     * deterministic pseudo-random total order that any engine reproduces.
     * One window shuffle on the stratum key. */

@@ -168,4 +168,18 @@ class PropertySpec extends SparkSpec {
     assert(cc == Seq(1L -> 1L))
     assert(Dedup.dedupByClusters(docs, selfLoop, "doc_id").count() == 2)
   }
+
+  test("bloom incremental dedup ≡ exact anti-join for arbitrary key sets") {
+    val keysGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12))).map(_.distinct)
+    forAll(Gen.zip(keysGen, keysGen), cases = 5) { case (hist, batch) =>
+      whenever(hist.nonEmpty && batch.nonEmpty) {
+        val h = hist.toDF("fp")
+        val b = batch.toDF("fp")
+        val got = Dedup.incrementalDedup(b, h, "fp", numBits = 1 << 10, numHashes = 3)
+          .as[String].collect().toSeq.sorted
+        val want = batch.filterNot(hist.toSet).sorted
+        assert(got == want, s"hist=$hist batch=$batch")
+      }
+    }
+  }
 }

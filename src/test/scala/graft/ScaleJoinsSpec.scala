@@ -176,6 +176,30 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(near1 == enAll.toLong, s"near-1.0 fraction kept $near1 of ${enAll.toLong}")
   }
 
+  test("temperatureBalance: min stratum kept whole, skewed strata flatten by sqrt") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val bal = ops.Sampling.temperatureBalance(d, "lang", "doc_id")
+    // deterministic (pure function of content)
+    assert(bal.select("doc_id").as[Long].collect().toSet ==
+      ops.Sampling.temperatureBalance(d, "lang", "doc_id")
+        .select("doc_id").as[Long].collect().toSet)
+    val before = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = bal.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minN = before.values.min
+    // every min-count stratum survives completely (f = 1.0 exactly)
+    before.filter(_._2 == minN).keys.foreach { l =>
+      assert(after(l) == minN, s"min stratum $l must keep all: ${after(l)}/$minN")
+    }
+    // each stratum lands near its sqrt(min/n) target (md5 uniformity, small-
+    // sample slack) and never exceeds its original count
+    before.foreach { case (l, n) =>
+      val target = math.sqrt(minN.toDouble / n) * n
+      val kept = after.getOrElse(l, 0L).toDouble
+      assert(kept <= n && math.abs(kept - target) <= math.max(6.0, 0.5 * target),
+        s"$l kept $kept, target $target of $n")
+    }
+  }
+
   test("asofJoin: simultaneous right rows resolve deterministically to the max payload") {
     val left = Seq((1L, 10L, "L")).toDF("k", "t", "tag")
     // three quotes at the same instant — without a payload sort the attached
