@@ -1034,6 +1034,42 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // concat-and-cut sequence packing: per-lang shards, docs laid end-to-
+    // end in md5 order and cut into 2048-token bins — integer arithmetic
+    // only, so the assignment is engine-exact. The step after t80 in a
+    // pretraining pipeline (ragged docs → uniform training sequences)
+    "t82_sequence_pack" -> ((s, dir) => {
+      graft.ops.Chunking.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2048, shardCols = Seq("lang"))
+        .orderBy(col("lang"), col("bin"), col("doc_id"))
+    }),
+
+    // compacted parquet write: output bounded to ceil(rows/target) files
+    // (small-files hygiene — the sink-side twin of q78's layout story);
+    // oracle reads the ORIGINAL table, so the hash match proves the
+    // compaction pass is lossless
+    "q83_compacted_write" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      graft.io.Sinks.writeCompacted(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        s"$tmp/out", targetRows = 200L)
+      s.read.parquet(s"$tmp/out").orderBy(col("doc_id"))
+    }),
+
+    // key-wise upsert (batch MERGE-into-snapshot): a simulated CDC batch —
+    // 10% of customers with updated balances plus new keys — merged into
+    // the snapshot: updates win, new keys append, the rest pass through
+    "q85_upsert_snapshot" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(base.filter(col("c_custkey") % 25 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 100000L))
+      graft.ops.Relational.upsert(base, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1645,6 +1681,42 @@ object SparkEntry {
         |  array_to_string(toks[st : st + 63], ' ') AS chunk,
         |  CAST(len(toks[st : st + 63]) AS BIGINT) AS n_tokens
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the running sum and integer // reproduce Spark's window + div exactly
+    "t82_sequence_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_tokens AS strt
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST(strt // 2048 AS BIGINT) AS bin,
+        |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY lang, bin, doc_id""".stripMargin,
+
+    // +1000 on a 2-dp double is an exact float op — both engines compute
+    // the identical bits; result keys are unique so the order is total
+    "q85_upsert_snapshot" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 25 = 0)
+        |SELECT * FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        |UNION ALL SELECT * FROM updates
+        |ORDER BY c_custkey""".stripMargin,
+
+    // compaction is a layout change only — the original table is the oracle
+    "q83_compacted_write" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // hash-threshold sampling: 0.25→40000, 0.5→80000, 0.125→20000 (fraction ×
     // 2^20 as 5 hex chars); 'g' sorts above every hex char, so zh keeps all;

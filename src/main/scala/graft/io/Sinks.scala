@@ -43,4 +43,20 @@ object Sinks {
 
   /** Display sink (reference MAX_DISP_ROWS=1000, view.rs:472). */
   def show(df: DataFrame, n: Int = 1000): Unit = df.show(n, truncate = false)
+
+  /** Compacted parquet write: bounds the output to ceil(rows/targetRows)
+    * files. The small-files problem is the classic 100 TB sink failure —
+    * a shuffle-heavy job ending in 200k tiny files makes every downstream
+    * scan pay 200k file-open round-trips; compaction trades ONE extra
+    * round-robin exchange for a bounded file count. Returns the file count.
+    *
+    * (Row count as the size proxy keeps the op deterministic; a byte-based
+    * target would need sampled row widths — same shape, fuzzier bound.) */
+  def writeCompacted(df: DataFrame, path: String, targetRows: Long): Int = {
+    require(targetRows > 0, s"targetRows=$targetRows must be positive")
+    val n = df.count()
+    val files = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
+    df.repartition(files).write.mode("overwrite").parquet(path)
+    files
+  }
 }

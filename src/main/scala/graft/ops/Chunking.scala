@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document chunking for training-data preparation (beyond the reference
@@ -39,5 +40,37 @@ object Chunking {
             size(slice(col("__toks"), st, lit(window))).cast("long").as("n_tokens")))))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+  }
+
+  /** Concat-and-cut sequence packing: documents are laid end-to-end in a
+    * deterministic pseudo-random order (md5 of id — the standard corpus
+    * shuffle, engine-reproducible unlike an RNG) and cut into fixed
+    * `budget`-token bins; each document is assigned the bin where its
+    * first token lands. This is the step after [[tokenWindows]] in a
+    * pretraining pipeline: it turns ragged documents into uniformly-sized
+    * training sequences with no padding waste.
+    *
+    * Packing is a running sum, so it needs a total order — which at 100 TB
+    * must NOT be global. `shardCols` partitions the packing (each shard is
+    * packed independently, one window shuffle, shards fill executors in
+    * parallel); an empty `shardCols` gives the single-total-order form and
+    * is only for small inputs.
+    *
+    * All arithmetic is integer (token counts, `div`), so the assignment is
+    * exact on any engine. Output: shardCols ++ (id, n_tokens, bin,
+    * bin_offset) where bin_offset is the document's first-token position
+    * within its bin. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shardCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(shardCols.map(col) ++ Seq(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")): _*)
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"__start div $budget"))
+      .withColumn("bin_offset", col("__start") - col("bin") * budget)
+      .drop("__start")
   }
 }

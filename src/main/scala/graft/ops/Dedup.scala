@@ -305,6 +305,18 @@ object Dedup {
   // The final result is EXACT — the bloom has no false negatives, and the
   // maybes are confirmed with an exact anti-join.
 
+  /** Optimal (numBits, numHashes) for an expected `n` history keys at
+    * false-positive rate `fpp`: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) —
+    * the textbook sizing. numBits rounds up to a multiple of 64 (whole
+    * words); both floors at sane minimums so tiny inputs stay valid. */
+  def bloomParams(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"n=$n fpp=$fpp out of range")
+    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+    val bits = (((m.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong - 63).toInt.max(64)
+    val k = math.max(1, math.round(bits.toDouble / n * math.log(2)).toInt)
+    (bits, k)
+  }
+
   /** The k bit positions of `key`: pmod(xxhash64(key, i), numBits) for
     * i = 0..k-1. Deterministic, all codegen'd builtins. */
   private def bloomPositions(key: Column, numBits: Int, numHashes: Int): Column =

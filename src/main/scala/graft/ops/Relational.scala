@@ -168,6 +168,22 @@ object Relational {
   def antiJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
     l.join(r, keys, "left_anti")
 
+  /** Key-wise upsert (batch MERGE-into-snapshot): rows of `updates` replace
+    * same-key rows of `base`; new keys append; untouched base rows pass
+    * through. Both frames must share a schema. The incremental-pipeline
+    * primitive for rewriting a snapshot from a change batch.
+    *
+    * Scale shape: the base crosses the network at most once (the anti-join
+    * shuffles it on the key — or not at all when the update keyset is small
+    * enough to broadcast, the common CDC case Catalyst picks automatically);
+    * updates are appended unshuffled. No window, no global order. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"upsert needs identical schemas: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+  }
+
   /** Multi-key group-by with standard fold columns (agnes `aggregate`,
     * src/view.rs:1496-1586, generalized to multiple simultaneous aggs —
     * the reference allows only one value column per call).

@@ -122,4 +122,22 @@ class CsvSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
+
+  test("writeCompacted: file count bounded to ceil(rows/target), lossless") {
+    import spark.implicits._
+    val docs = core.Tables.documents(spark, sf("sf0.001")).select("doc_id", "lang")
+    val n = docs.count()
+    val target = 20L
+    val expectFiles = ((n + target - 1) / target).toInt
+    val dir = Files.createTempDirectory("graft_compact_spec").toString
+    val reported = Sinks.writeCompacted(docs, s"$dir/out", target)
+    assert(reported == expectFiles)
+    val parts = new java.io.File(s"$dir/out").listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == expectFiles, s"expected $expectFiles part files, found $parts")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == n)
+    assert(back.select("doc_id").as[Long].collect().toSet ==
+      docs.select("doc_id").as[Long].collect().toSet)
+  }
 }

@@ -341,6 +341,17 @@ class PipelineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bits, Dedup.bloomBuild(history, col("fp"), bitsN, k)))
   }
 
+  test("bloomParams: textbook sizing, word-aligned, sane at the extremes") {
+    val (m, k) = Dedup.bloomParams(1000000L, 0.01)
+    // -n·ln(.01)/ln(2)² ≈ 9.585 bits/key; k ≈ 6.6 rounds to 7
+    assert(m % 64 == 0 && m >= 9585000 && m <= 9586048, s"m=$m")
+    assert(k == 7, s"k=$k")
+    val (m1, k1) = Dedup.bloomParams(1L, 0.5)
+    assert(m1 == 64 && k1 >= 1)
+    intercept[IllegalArgumentException](Dedup.bloomParams(0L, 0.01))
+    intercept[IllegalArgumentException](Dedup.bloomParams(10L, 1.0))
+  }
+
   test("bloom prefilter prunes: disjoint batch produces (almost) no maybes") {
     val history = (1L to 200L).map(i => s"h-$i").toDF("fp")
     val (bitsN, k) = (1 << 14, 4)
@@ -349,6 +360,36 @@ class PipelineSpec extends SparkSpec {
     val maybes = (1L to 200L).map(i => s"b-$i").toDF("fp")
       .filter(Dedup.bloomMightContain(col("fp"), bits, bitsN, k)).count()
     assert(maybes <= 2, s"false-positive rate far above bound: $maybes/200")
+  }
+
+  test("packSequences: exact concat-and-cut assignment, budget invariants") {
+    val data = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+    val got = Chunking.packSequences(data.toDF("doc_id", "text"), "doc_id", "text",
+        budget = 4)
+      .orderBy("bin", "bin_offset")
+      .select("doc_id", "n_tokens", "bin", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent walk: md5 order, running offset, integer cut
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val counts = data.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+    var off = 0L
+    val want = data.map(_._1).sortBy(id => (m(id.toString), id)).map { id =>
+      val start = off; off += counts(id)
+      (id, counts(id), start / 4, start % 4)
+    }.sortBy(r => (r._3, r._4))
+    assert(got == want)
+    assert(got.forall(r => r._4 >= 0 && r._4 < 4), "bin_offset must lie inside the budget")
+    assert(got.map(_._2).sum == counts.values.sum, "token mass conserved")
+    // sharded form: each shard packs independently from offset 0
+    val sharded = Chunking.packSequences(
+      data.map { case (id, t) => (id, if (id % 2 == 0) "even" else "odd", t) }
+        .toDF("doc_id", "shard", "text"),
+      "doc_id", "text", budget = 4, shardCols = Seq("shard"))
+    val perShardFirst = sharded.groupBy("shard")
+      .agg(min(col("bin")).as("b"), min(col("bin") * 4 + col("bin_offset")).as("s"))
+      .select("b", "s").as[(Long, Long)].collect().toSeq
+    assert(perShardFirst.forall(_ == (0L, 0L)), "every shard starts at bin 0 offset 0")
   }
 
   test("tokenWindows: overlapping chunks, short tail, zero-shuffle plan") {

@@ -81,6 +81,20 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("p67_pipeline",
     "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,3]")
 
+  // the confirm anti-join is pushed through the arrivals union
+  // (PushLeftSemiLeftAntiThroughJoin family): one broadcast anti per leg,
+  // history key scans pruned to 2 cols — the bloom probe itself is a scan-
+  // side filter and never appears as a join
+  pin("d79_bloom_increment",
+    "shuffles=3 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,3,3,3,3]")
+  // count agg (1-col scans) → crossJoin(min) is the 1-row BNL, thresholds
+  // broadcast-hash-joined back into the 2-col corpus scan
+  pin("d81_lang_balance",
+    "shuffles=4 bcast=2 joins=[BroadcastHashJoin=1,BroadcastNestedLoopJoin=1] scans=[1,1,2]")
+  // one 3-col scan; the two exchanges are the per-lang window hash
+  // partitioning and the final presentation sort
+  pin("t82_sequence_pack", "shuffles=2 bcast=0 joins=[] scans=[3]")
+
   test("q78 scan is partition-pruned to exactly the 3 filtered days") {
     val df = SparkEntry.queries("q78_partition_prune")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan match {

@@ -141,4 +141,20 @@ class RelationalSpec extends SparkSpec {
     assert(semi.count() + anti.count() == 7)
     assert(anti.select("EmpName").as[String].collect().toSet == Set("Louise", "Ann"))
   }
+
+  test("upsert: updates win, new keys append, untouched rows pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val got = Relational.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // duplicate update keys: ALL update rows land (dedup is the caller's
+    // CDC-compaction step), but the base row is still replaced exactly once
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    assert(Relational.upsert(base, dup, Seq("k")).count() == 4)
+    // schema mismatch fails loudly instead of silently misaligning
+    intercept[IllegalArgumentException] {
+      Relational.upsert(base, updates.select("s", "k", "v"), Seq("k"))
+    }
+  }
 }
