@@ -312,7 +312,9 @@ object Dedup {
   def bloomParams(n: Long, fpp: Double): (Int, Int) = {
     require(n > 0 && fpp > 0 && fpp < 1, s"n=$n fpp=$fpp out of range")
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-    val bits = (((m.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong - 63).toInt.max(64)
+    // capped at bloomBuild's 2^28 plan-literal budget: past it the caller
+    // gets the best fpp the budget allows rather than a rejected build
+    val bits = (((m.toLong + 63) / 64) * 64).min(1L << 28).toInt.max(64)
     val k = math.max(1, math.round(bits.toDouble / n * math.log(2)).toInt)
     (bits, k)
   }
@@ -330,6 +332,12 @@ object Dedup {
     * words (≤ numBits/64 rows) reach the driver. */
   def bloomBuild(df: DataFrame, key: Column, numBits: Int, numHashes: Int): Array[Long] = {
     require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits must be a positive multiple of 64")
+    // the probe embeds the bitset as a plan Literal, which ships with every
+    // serialized task — loud cap at 2^28 bits (32 MB) before that becomes
+    // the job's real payload; beyond it, register the bitset as a broadcast
+    // variable behind a custom Expression instead (VectorExpressions shows
+    // the doGenCode pattern)
+    require(numBits <= (1 << 28), s"numBits=$numBits exceeds the 2^28 plan-literal budget")
     val words = df
       .select(explode(bloomPositions(key, numBits, numHashes)).as("p"))
       .select(shiftright(col("p"), 6).cast("int").as("w"),
@@ -353,17 +361,20 @@ object Dedup {
     }.reduce(_ && _)
 
   /** Rows of `batch` whose `keyCol` does not occur in `history` (exact
-    * anti-join semantics). Bloom-definitely-new rows never touch the join;
-    * maybes are confirmed against the real history keys. At 100 TB the
-    * history-side scan for the confirm join is irreducible, but the batch
-    * side shrinks to the duplicate fraction — the bloom turns a full
-    * batch-vs-history shuffle into a maybes-vs-history one. */
+    * anti-join semantics). The probe key is nulled for bloom-definitely-new
+    * rows, and a null key never matches an anti-join — so those rows pass
+    * through the single batch scan without ever probing the history hash
+    * table; only maybes (true dups + fpp) are confirmed against the real
+    * keys. At 100 TB the history-side scan for the confirm join is
+    * irreducible per call — amortize it by building [[bloomBuild]] once and
+    * reusing the bitset across arriving batches. */
   def incrementalDedup(batch: DataFrame, history: DataFrame, keyCol: String,
                        numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val bits = bloomBuild(history, col(keyCol), numBits, numHashes)
     val maybe = bloomMightContain(col(keyCol), bits, numBits, numHashes)
-    batch.filter(!maybe).unionByName(
-      batch.filter(maybe)
-        .join(history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
+    batch.withColumn("__bloom_k", when(maybe, col(keyCol)))
+      .join(history.select(col(keyCol).as("__bloom_k")).distinct(),
+        Seq("__bloom_k"), "left_anti")
+      .drop("__bloom_k")
   }
 }

@@ -81,12 +81,12 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("p67_pipeline",
     "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,3]")
 
-  // the confirm anti-join is pushed through the arrivals union
-  // (PushLeftSemiLeftAntiThroughJoin family): one broadcast anti per leg,
-  // history key scans pruned to 2 cols — the bloom probe itself is a scan-
-  // side filter and never appears as a join
+  // single-scan form: each arrivals union leg is scanned ONCE (the nulled
+  // probe key lets definite-new rows ride through the anti-join unmatched),
+  // and the confirm anti is pushed through the union — one broadcast anti
+  // per leg, history key scans pruned to 2 cols
   pin("d79_bloom_increment",
-    "shuffles=3 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,3,3,3,3]")
+    "shuffles=3 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,3,3]")
   // count agg (1-col scans) → crossJoin(min) is the 1-row BNL, thresholds
   // broadcast-hash-joined back into the 2-col corpus scan
   pin("d81_lang_balance",
@@ -94,6 +94,10 @@ class PlanFingerprintSpec extends SparkSpec {
   // one 3-col scan; the two exchanges are the per-lang window hash
   // partitioning and the final presentation sort
   pin("t82_sequence_pack", "shuffles=2 bcast=0 joins=[] scans=[3]")
+  // the CDC shape: the update KEYSET broadcasts (two 1-col key scans),
+  // the snapshot is anti-joined in place and never shuffles pre-union
+  pin("q85_upsert_snapshot",
+    "shuffles=2 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,1,4,4,4]")
 
   test("q78 scan is partition-pruned to exactly the 3 filtered days") {
     val df = SparkEntry.queries("q78_partition_prune")(spark, sf("sf0.001"))
