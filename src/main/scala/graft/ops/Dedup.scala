@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *    shuffle plus in-row pair expansion, never a quadratic self-join.
   *    Verification joins the (tiny) candidate set back to the corpus via
   *    broadcast, and shingles the matched docs only, post-join.
+  *  - Bloom incremental: a new batch dedups against a huge history through
+  *    an O(bits)-byte filter built once (reusable across batches) and a
+  *    single-scan anti-join confirm — see the bloom section below.
   *
   * At 100 TB the candidate/duplicate side is orders of magnitude smaller
   * than the corpus; every join here keeps the corpus on the streamed side
