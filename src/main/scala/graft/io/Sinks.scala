@@ -54,9 +54,15 @@ object Sinks {
     * target would need sampled row widths — same shape, fuzzier bound.) */
   def writeCompacted(df: DataFrame, path: String, targetRows: Long): Int = {
     require(targetRows > 0, s"targetRows=$targetRows must be positive")
-    val n = df.count()
-    val files = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
-    df.repartition(files).write.mode("overwrite").parquet(path)
-    files
+    // staged: the count and the write are two actions — without a persist
+    // an expensive upstream pipeline would execute twice (spilling
+    // MEMORY_AND_DISK keeps this safe when the stage exceeds memory)
+    val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = staged.count()
+      val files = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
+      staged.repartition(files).write.mode("overwrite").parquet(path)
+      files
+    } finally staged.unpersist()
   }
 }

@@ -35,9 +35,12 @@ object Chunking {
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)),
+          // n_tokens is pure arithmetic — a second slice() here would copy
+          // every window twice (lambda bodies get no CSE, see
+          // TextFunctions' shingle note)
           st => struct(
             array_join(slice(col("__toks"), st, lit(window)), " ").as("chunk"),
-            size(slice(col("__toks"), st, lit(window))).cast("long").as("n_tokens")))))
+            least(lit(window), size(col("__toks")) - st + 1).cast("long").as("n_tokens")))))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
   }

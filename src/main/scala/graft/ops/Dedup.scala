@@ -335,6 +335,7 @@ object Dedup {
     * words (≤ numBits/64 rows) reach the driver. */
   def bloomBuild(df: DataFrame, key: Column, numBits: Int, numHashes: Int): Array[Long] = {
     require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits must be a positive multiple of 64")
+    require(numHashes > 0, s"numHashes=$numHashes must be positive")
     // the probe embeds the bitset as a plan Literal, which ships with every
     // serialized task — loud cap at 2^28 bits (32 MB) before that becomes
     // the job's real payload; beyond it, register the bitset as a broadcast
@@ -355,13 +356,18 @@ object Dedup {
   /** Probe: true iff all k bits for `key` are set. `bits` rides along as a
     * single array Literal (one object, not numBits/64 expression nodes), so
     * the whole predicate stays inside whole-stage codegen. */
-  def bloomMightContain(key: Column, bits: Array[Long], numBits: Int, numHashes: Int): Column =
+  def bloomMightContain(key: Column, bits: Array[Long], numBits: Int, numHashes: Int): Column = {
+    require(numHashes > 0, s"numHashes=$numHashes must be positive")
+    // hoisted so all k probes share ONE Literal node — k fresh lit() calls
+    // would each convert the (up to 32 MB) array into their own ArrayData
+    val bitsLit = lit(bits)
     (0 until numHashes).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
-      val word = element_at(lit(bits), (shiftright(pos, 6) + 1).cast("int"))
+      val word = element_at(bitsLit, (shiftright(pos, 6) + 1).cast("int"))
       call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) =!= lit(0L)
     }.reduce(_ && _)
+  }
 
   /** Rows of `batch` whose `keyCol` does not occur in `history` (exact
     * anti-join semantics). The probe key is nulled for bloom-definitely-new

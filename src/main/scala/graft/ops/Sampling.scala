@@ -65,7 +65,12 @@ object Sampling {
     * stateless broadcast-joined map-side filter — nothing corpus-sized
     * shuffles twice. */
   def temperatureBalance(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // NULL-stratum rows are dropped (the sampleBy/stratifiedHashFraction
+    // contract for unlisted strata) — and they must not join the counts
+    // either, or a large NULL group would shrink min_n and silently
+    // under-sample every real stratum
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val minN = counts.agg(min(col("__n")).as("__minn"))
     val thresh = counts.crossJoin(broadcast(minN))
       .withColumn("__q", floor(sqrt(col("__minn").cast("double") /

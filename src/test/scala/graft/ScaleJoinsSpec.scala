@@ -200,6 +200,19 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureBalance: NULL stratum drops without distorting min_n") {
+    // 2 null-stratum rows (would be the min group if counted) + en×8, fr×4
+    val rows = (1L to 8L).map(i => (i, "en")) ++
+      (9L to 12L).map(i => (i, "fr")) ++ Seq((13L, null), (14L, null))
+    val d = rows.toDF("doc_id", "lang")
+    val bal = ops.Sampling.temperatureBalance(d, "lang", "doc_id")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    assert(!bal.exists(_._2 == null), "NULL-stratum rows must be dropped")
+    // min_n must be fr's 4 (not the NULL group's 2): fr keeps ALL its rows
+    assert(bal.count(_._2 == "fr") == 4,
+      s"fr must keep all 4 rows (min stratum): $bal")
+  }
+
   test("asofJoin: simultaneous right rows resolve deterministically to the max payload") {
     val left = Seq((1L, 10L, "L")).toDF("k", "t", "tag")
     // three quotes at the same instant — without a payload sort the attached
