@@ -774,6 +774,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-lang quality-percentile pruning: keep the top 25% of each lang
+    // by quality score — the relative-threshold curation step (stable mix
+    // as quality drifts, unlike p67's absolute cutoff). Deterministic
+    // md5 tie-break, so the kept set is engine-exact
+    "t86_quality_prune" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      graft.ops.Sampling.topFractionByScore(scored, "lang", "doc_id", "quality",
+          frac = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filters: duplicated-2-gram fraction and
     // most-frequent-token fraction — per-row array math, no shuffle
     "t65_repetition" -> ((s, dir) => {
@@ -1584,6 +1596,25 @@ object SparkEntry {
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // same quality expression as t63 wrapped in the rank window; ceil of
+    // an exact small-int product is engine-identical
+    "t86_quality_prune" ->
+      """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, lang,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, lang, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality
+        |  FROM parts),
+        |r AS (SELECT doc_id, lang, quality,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+        |SELECT doc_id, lang, quality FROM r
+        |WHERE rk <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
 
     "t65_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -85,6 +85,26 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Quality-percentile pruning: keep the top `frac` of each stratum by
+    * `scoreCol` — the relative-threshold curation step (an absolute score
+    * cutoff like p67's keeps different amounts per source as quality
+    * drifts; a percentile keeps the mix stable). Rank = row_number over
+    * (score desc, md5(id), id) — fully deterministic under ties and
+    * engine-reproducible; keep rank ≤ ceil(frac · stratum size), the
+    * stratum size from a frame-less count over the SAME window partition
+    * (no second shuffle). One window shuffle total. */
+  def topFractionByScore(df: DataFrame, stratumCol: String, idCol: String,
+                         scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac=$frac must be in (0, 1]")
+    val rankW = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val sizeW = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rk", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(sizeW))
+      .filter(col("__rk") <= ceil(col("__n") * frac))
+      .drop("__rk", "__n")
+  }
+
   /** Exactly `k` rows per stratum, chosen by md5 order of `idCol` — a
     * deterministic pseudo-random total order that any engine reproduces.
     * One window shuffle on the stratum key. */

@@ -200,6 +200,22 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("topFractionByScore: ceil(frac·n) per stratum, md5-deterministic ties") {
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6), (5L, "a", 0.5),
+      (6L, "b", 0.4), (7L, "b", 0.4), (8L, "b", 0.4)
+    ).toDF("id", "g", "score")
+    val kept = ops.Sampling.topFractionByScore(d, "g", "id", "score", 0.4)
+      .select("id").as[Long].collect().toSet
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a: ceil(5·0.4)=2 top scores; b: all tied at 0.4 → first 2 in md5 order
+    val bKept = Seq(6L, 7L, 8L).sortBy(i => m(i.toString)).take(2).toSet
+    assert(kept == Set(1L, 2L) ++ bKept, s"kept=$kept expected b-ties=$bKept")
+    // frac = 1.0 keeps everything
+    assert(ops.Sampling.topFractionByScore(d, "g", "id", "score", 1.0).count() == 8)
+  }
+
   test("temperatureBalance: NULL stratum drops without distorting min_n") {
     // 2 null-stratum rows (would be the min group if counted) + en×8, fr×4
     val rows = (1L to 8L).map(i => (i, "en")) ++
