@@ -169,6 +169,50 @@ class PropertySpec extends SparkSpec {
     assert(Dedup.dedupByClusters(docs, selfLoop, "doc_id").count() == 2)
   }
 
+  test("packSequences: token mass conserved, offsets in budget, bins contiguous") {
+    val docsGen = Gen.listOf(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1, 12)))
+      .map(_.distinctBy(_._1))
+    forAll(docsGen, cases = 5) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val out = graft.ops.Chunking.packSequences(df, "doc_id", "text", budget = 8)
+          .select("doc_id", "n_tokens", "bin", "bin_offset")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        // independent concat-and-cut walk in (md5, id) order — a doc longer
+        // than the budget legitimately leaves bins no doc STARTS in, so the
+        // full assignment is the property, not bin contiguity
+        def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        var off = 0L
+        val want = docs.sortBy { case (id, _) => (m(id.toString), id) }
+          .map { case (id, n) =>
+            val s = off; off += n; (id, n.toLong, s / 8, s % 8)
+          }.toSet
+        assert(out == want)
+      }
+    }
+  }
+
+  test("temperatureBalance: output ⊆ input rows, min strata intact") {
+    val rowsGen2 = Gen.listOf(Gen.zip(Gen.choose(1L, 400L), Gen.oneOf("a", "b", "c")))
+      .map(_.distinctBy(_._1))
+    forAll(rowsGen2, cases = 5) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "g")
+        val out = graft.ops.Sampling.temperatureBalance(df, "g", "id")
+          .select("id", "g").as[(Long, String)].collect().toSeq
+        assert(out.toSet.subsetOf(rows.toSet), "sample must be a subset")
+        val before = rows.groupBy(_._2).view.mapValues(_.size).toMap
+        val after = out.groupBy(_._2).view.mapValues(_.size).toMap
+        val minN = before.values.min
+        before.filter(_._2 == minN).keys.foreach { g =>
+          assert(after.getOrElse(g, 0) == minN, s"min stratum $g must keep all")
+        }
+      }
+    }
+  }
+
   test("bloom incremental dedup ≡ exact anti-join for arbitrary key sets") {
     val keysGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12))).map(_.distinct)
     forAll(Gen.zip(keysGen, keysGen), cases = 5) { case (hist, batch) =>
