@@ -123,6 +123,29 @@ class CsvSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("dynamic partition overwrite replaces only the rewritten day") {
+    import spark.implicits._
+    // the idempotent-reprocessing contract q78's layout relies on: re-running
+    // one day's job must replace that day's directory and NOTHING else
+    // (static overwrite mode would wipe every other partition)
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+        .toDF("id", "day").write.partitionBy("day").mode("overwrite").parquet(dir)
+      Seq((99L, "2024-01-02"))
+        .toDF("id", "day").write.partitionBy("day").mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir).select("id", "day")
+        .as[(Long, String)].collect().toSet
+      assert(back == Set((1L, "2024-01-01"), (99L, "2024-01-02")),
+        s"day 01 must survive, day 02 must be replaced: $back")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("writeCompacted: file count bounded to ceil(rows/target), lossless") {
     import spark.implicits._
     val docs = core.Tables.documents(spark, sf("sf0.001")).select("doc_id", "lang")
