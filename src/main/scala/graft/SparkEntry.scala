@@ -869,10 +869,11 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
-    // deterministic hash-threshold fractional sampling — the engine-portable
-    // twin of the seeded stratifiedFraction: the sample is a pure function of
-    // row content (md5 threshold per stratum), a stateless map-side filter
-    // with zero shuffles at any corpus size; unlisted strata ('es') drop
+    // deterministic hash-threshold fractional sampling — the sample is a
+    // pure function of row content (md5 threshold per stratum), a stateless
+    // map-side filter with zero shuffles at any corpus size; unlisted strata
+    // ('es') drop. (This form retired the seeded sampleBy wrapper in r5:
+    // content-hash is reproducible across engines, RNG seeds are not.)
     "d71_stratified_frac" -> ((s, dir) => {
       graft.ops.Sampling.stratifiedHashFraction(t(s, dir, "documents"),
           "lang", "doc_id",
@@ -999,9 +1000,25 @@ object SparkEntry {
         .map("%02x".format(_)).mkString.take(12)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_part_$sfx"
       val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
-      if (!done.getFileSystem(conf).exists(done)) {
+      val fs = done.getFileSystem(conf)
+      if (!fs.exists(done)) {
+        // stage under a process-unique dir and rename into place: two JVMs
+        // (e.g. Verify and Bench) can race this check, and an in-place
+        // overwrite would delete the directory out from under the other's
+        // read. rename is atomic on a local fs; the loser just cleans up.
+        val stage = s"$root.stage.${java.lang.ProcessHandle.current().pid()}"
+        val stageP = new org.apache.hadoop.fs.Path(stage)
         t(s, dir, "events").withColumn("event_date", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("event_date").parquet(root)
+          .write.mode("overwrite").partitionBy("event_date").parquet(stage)
+        if (fs.exists(done) ||
+            !fs.rename(stageP, new org.apache.hadoop.fs.Path(root))) {
+          fs.delete(stageP, true) // lost the race: the winner's layout stands
+        } else {
+          // a winner sneaking in between the exists and the rename makes
+          // POSIX rename drop stage INSIDE root — detect and remove
+          val nested = new org.apache.hadoop.fs.Path(s"$root/${stageP.getName}")
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
       }
       s.read.parquet(root)
         .filter(col("event_date").between(lit("2024-01-10"), lit("2024-01-12")))

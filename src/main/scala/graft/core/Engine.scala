@@ -43,11 +43,37 @@ object Engine {
   * would serialize the whole pipeline on one core. `widen` repartitions up to
   * the cluster's default parallelism — and leaves already-parallel inputs
   * (the 100 TB case) untouched, so it never shrinks a big scan.
+  *
+  * The partition count is read off the planned physical tree instead of
+  * `df.rdd`: materializing the RDD would bolt a row-deserializing conversion
+  * onto every widened query (and, under AQE, `.rdd` on a plan containing a
+  * shuffle would eagerly EXECUTE the upstream stages). The physical plan is
+  * cached on the Dataset, so the common wide case (returned unchanged) plans
+  * exactly once.
   */
 object Par {
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan // AQE wraps the tree in a leaf
+      case p => p
+    }
+    // a shuffle anywhere upstream already spread the data across
+    // spark.sql.shuffle.partitions — nothing to widen
+    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df
+    // a broadcast join's output rides its streamed side, so the relevant
+    // width is the WIDEST leaf; file-split counts are computed driver-side
+    // from the (cached) file listing — no job. Non-file leaves (literal
+    // tables, RDD scans) are treated as narrow: they are driver-local data.
+    val parts = plan.collectLeaves().map {
+      case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+      case _ => 1
+    }.foldLeft(1)(math.max)
+    if (parts < target) df.repartition(target) else df
   }
 }
 

@@ -24,14 +24,28 @@ object Multimodal {
 
   /** Wrap a source column as an opaque media payload with metadata — the
     * ingestion shape for binary assets. (Here the payload is the UTF-8 bytes
-    * of a text column; in production it's file bytes from
-    * `spark.read.format("binaryFile")`.) */
+    * of a text column; for real files use [[attachBinaryFiles]].) */
   def attachBinary(df: DataFrame, idCol: String, srcCol: String): DataFrame =
     df.select(col(idCol).as("media_id"),
       encode(col(srcCol), "UTF-8").as("media"),
       struct(lit("fake/raw").as("format"),
         lit(64).as("width"), lit(64).as("height"),
         length(col(srcCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** The production ingestion path: adapt a
+    * `spark.read.format("binaryFile")` DataFrame (schema: path,
+    * modificationTime, length, content) to the (media_id, media, meta)
+    * contract the rest of the pipeline consumes. media_id = xxhash64(path)
+    * — stable across re-reads of the same layout; width/height are unknown
+    * until decode and surface as NULL. binaryFile streams each file as one
+    * row, so partitioning follows the file listing — already the widest
+    * layout for per-file work. */
+  def attachBinaryFiles(files: DataFrame, format: String = "application/octet-stream"): DataFrame =
+    files.select(xxhash64(col("path")).as("media_id"),
+      col("content").as("media"),
+      struct(lit(format).as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        col("length").cast("long").as("n_bytes")).as("meta"))
 
   // ==========================================================================
   // STUB: stands in for a real media decoder (e.g. libjpeg/ffmpeg frame

@@ -189,23 +189,29 @@ object Dedup {
     * the edge list and the label map — both candidate-set sized, orders of
     * magnitude below the corpus — and the driver-side loop performs one
     * scalar count per round (a convergence check, never a data collect).
-    * Each round's label map is `localCheckpoint`ed: the round's plan
-    * references the previous map four times, so without truncating lineage
-    * the logical plan would grow 4× per round and planning time would
-    * dominate within ~8 rounds. On a cluster with executor churn you'd use
-    * a reliable `checkpoint` dir instead — same shape, durable truncation.
+    * Each round's label map is checkpointed: the round's plan references the
+    * previous map four times, so without truncating lineage the logical plan
+    * would grow 4× per round and planning time would dominate within ~8
+    * rounds. By default the truncation is `localCheckpoint` (executor-local
+    * blocks — fastest, fine single-node and on stable clusters); pass
+    * `checkpointDir` to use a reliable `checkpoint` to durable storage
+    * instead, which survives executor churn on a real cluster — same shape,
+    * durable truncation.
     *
     * Returns (node, component) with component = min node id reachable;
     * isolated nodes (appearing in no edge) are absent from the output.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
       .distinct().cache()
-    var labels = sym.select(col("n").as("node"))
-      .distinct().select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    var labels = truncate(sym.select(col("n").as("node"))
+      .distinct().select(col("node"), col("node").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -217,9 +223,8 @@ object Dedup {
       // pointer jump: follow the new label to ITS label. label(x) <= x by
       // construction, so the jump only ever lowers (or keeps) the label.
       val jumpTbl = labels.select(col("node").as("jn"), col("label").as("jl"))
-      val jumped = stepped.join(jumpTbl, col("label") === col("jn"), "left")
-        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
-        .localCheckpoint()
+      val jumped = truncate(stepped.join(jumpTbl, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label")))
       val prev = labels.select(col("node"), col("label").as("prevLabel"))
       val changed = jumped.join(prev, "node")
         .filter(col("label") =!= col("prevLabel")).count()
@@ -262,10 +267,16 @@ object Dedup {
     * distance. Returns (id, simhash). */
   def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = graft.core.Par.widen(df0)
+    // 60-bit portable hash: first 15 hex chars of md5, parsed base-16.
+    // Materialized ONCE in this projection — the 60 vote aggregates below
+    // all read the same h column; an inline hash expression would be
+    // re-evaluated per aggregate (60 md5 digests per token, the dominant
+    // cost of the whole query)
     val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-    // 60-bit portable hash: first 15 hex chars of md5, parsed base-16
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val h = col("h")
     val aggs = (0 until SimHashBits).map { b =>
       sum(shiftright(h, b).bitwiseAND(1).cast("int") * 2 - 1).as(s"b$b")
     }
@@ -308,65 +319,90 @@ object Dedup {
   // The final result is EXACT — the bloom has no false negatives, and the
   // maybes are confirmed with an exact anti-join.
 
+  /** Bitsets at or below this ride the plan as an inlined array Literal
+    * (32 MB — serialized with every task, cheap at this size and free of
+    * broadcast bookkeeping); above it [[bloomMightContain]] switches to a
+    * broadcast-variable-backed expression
+    * ([[graft.functions.BloomBitsetContains]]) that ships to each executor
+    * once, so a 100 TB history (~10^10 keys → ~1.5 GB of bits at 1% fpp)
+    * keeps its advertised false-positive rate instead of silently degrading
+    * to fpp≈1. */
+  val BloomLiteralMaxBits: Long = 1L << 28
+
+  /** Hard ceiling: the words array must stay indexable (Int.MaxValue longs
+    * ≈ 1.4×10^11 bits ≈ 16 GB) — beyond this, shard the filter by key range. */
+  val BloomMaxBits: Long = Int.MaxValue.toLong * 64L
+
   /** Optimal (numBits, numHashes) for an expected `n` history keys at
     * false-positive rate `fpp`: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) —
     * the textbook sizing. numBits rounds up to a multiple of 64 (whole
     * words); both floors at sane minimums so tiny inputs stay valid. */
-  def bloomParams(n: Long, fpp: Double): (Int, Int) = {
+  def bloomParams(n: Long, fpp: Double): (Long, Int) = {
     require(n > 0 && fpp > 0 && fpp < 1, s"n=$n fpp=$fpp out of range")
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-    // capped at bloomBuild's 2^28 plan-literal budget: past it the caller
-    // gets the best fpp the budget allows rather than a rejected build
-    val bits = (((m.toLong + 63) / 64) * 64).min(1L << 28).toInt.max(64)
+    // clamp in DOUBLE space before any long arithmetic: an astronomical n
+    // would saturate m.toLong at Long.MaxValue and the +63 word-rounding
+    // would overflow negative, collapsing the sizing to the 64-bit floor
+    val mc = math.min(m, BloomMaxBits.toDouble).toLong
+    val bits = (((mc + 63) / 64) * 64).max(64L)
     val k = math.max(1, math.round(bits.toDouble / n * math.log(2)).toInt)
     (bits, k)
   }
 
   /** The k bit positions of `key`: pmod(xxhash64(key, i), numBits) for
-    * i = 0..k-1. Deterministic, all codegen'd builtins. */
-  private def bloomPositions(key: Column, numBits: Int, numHashes: Int): Column =
+    * i = 0..k-1. Deterministic, all codegen'd builtins; shared by the build
+    * side and BOTH probe forms, so they can never disagree on the hash. */
+  private def bloomPositions(key: Column, numBits: Long, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      pmod(xxhash64(key, lit(i)), lit(numBits.toLong))): _*)
+      pmod(xxhash64(key, lit(i)), lit(numBits))): _*)
 
   /** Build the bitset as Array[Long] words. Distributed shape: one narrow
     * projection explodes each key to its k positions, partial `bit_or`
     * combines map-side, and the shuffle carries at most numBits/64 rows per
     * partition — O(filter size), never O(history size). Only the finished
     * words (≤ numBits/64 rows) reach the driver. */
-  def bloomBuild(df: DataFrame, key: Column, numBits: Int, numHashes: Int): Array[Long] = {
+  def bloomBuild(df: DataFrame, key: Column, numBits: Long, numHashes: Int): Array[Long] = {
     require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits must be a positive multiple of 64")
+    require(numBits <= BloomMaxBits, s"numBits=$numBits exceeds the $BloomMaxBits indexable max")
     require(numHashes > 0, s"numHashes=$numHashes must be positive")
-    // the probe embeds the bitset as a plan Literal, which ships with every
-    // serialized task — loud cap at 2^28 bits (32 MB) before that becomes
-    // the job's real payload; beyond it, register the bitset as a broadcast
-    // variable behind a custom Expression instead (VectorExpressions shows
-    // the doGenCode pattern)
-    require(numBits <= (1 << 28), s"numBits=$numBits exceeds the 2^28 plan-literal budget")
     val words = df
       .select(explode(bloomPositions(key, numBits, numHashes)).as("p"))
       .select(shiftright(col("p"), 6).cast("int").as("w"),
         call_function("shiftleft", lit(1L), col("p").bitwiseAND(lit(63L)).cast("int")).as("m"))
       .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
       .collect()
-    val arr = new Array[Long](numBits / 64)
+    val arr = new Array[Long]((numBits / 64).toInt)
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr
   }
 
-  /** Probe: true iff all k bits for `key` are set. `bits` rides along as a
-    * single array Literal (one object, not numBits/64 expression nodes), so
-    * the whole predicate stays inside whole-stage codegen. */
-  def bloomMightContain(key: Column, bits: Array[Long], numBits: Int, numHashes: Int): Column = {
+  /** Probe: true iff all k bits for `key` are set. Two transports for the
+    * bitset, picked by size:
+    *  - ≤ [[BloomLiteralMaxBits]]: a single array Literal (one object, not
+    *    numBits/64 expression nodes) serialized with each task — cheapest
+    *    at small sizes, and the whole predicate is codegen'd builtins;
+    *  - above it: a broadcast variable behind
+    *    [[graft.functions.BloomBitsetContains]] (ships once per executor,
+    *    probe codegen'd via its `doGenCode`) — the 100 TB path, where the
+    *    bitset is hundreds of MBs and a per-task literal would dominate the
+    *    job's payload. */
+  def bloomMightContain(key: Column, bits: Array[Long], numBits: Long, numHashes: Int): Column = {
     require(numHashes > 0, s"numHashes=$numHashes must be positive")
-    // hoisted so all k probes share ONE Literal node — k fresh lit() calls
-    // would each convert the (up to 32 MB) array into their own ArrayData
-    val bitsLit = lit(bits)
-    (0 until numHashes).map { i =>
-      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
-      val word = element_at(bitsLit, (shiftright(pos, 6) + 1).cast("int"))
-      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
-        .bitwiseAND(lit(1L)) =!= lit(0L)
-    }.reduce(_ && _)
+    if (numBits > BloomLiteralMaxBits) {
+      graft.functions.BloomExpressions.bitsetContains(
+        org.apache.spark.sql.SparkSession.active,
+        bloomPositions(key, numBits, numHashes), bits)
+    } else {
+      // hoisted so all k probes share ONE Literal node — k fresh lit() calls
+      // would each convert the (up to 32 MB) array into their own ArrayData
+      val bitsLit = lit(bits)
+      (0 until numHashes).map { i =>
+        val pos = pmod(xxhash64(key, lit(i)), lit(numBits))
+        val word = element_at(bitsLit, (shiftright(pos, 6) + 1).cast("int"))
+        call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) =!= lit(0L)
+      }.reduce(_ && _)
+    }
   }
 
   /** Rows of `batch` whose `keyCol` does not occur in `history` (exact
@@ -378,12 +414,16 @@ object Dedup {
     * irreducible per call — amortize it by building [[bloomBuild]] once and
     * reusing the bitset across arriving batches. */
   def incrementalDedup(batch: DataFrame, history: DataFrame, keyCol: String,
-                       numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+                       numBits: Long = 1L << 16, numHashes: Int = 4): DataFrame = {
     val bits = bloomBuild(history, col(keyCol), numBits, numHashes)
     val maybe = bloomMightContain(col(keyCol), bits, numBits, numHashes)
-    batch.withColumn("__bloom_k", when(maybe, col(keyCol)))
-      .join(history.select(col(keyCol).as("__bloom_k")).distinct(),
-        Seq("__bloom_k"), "left_anti")
-      .drop("__bloom_k")
+    // probe column name dodges any same-named batch column (withColumn
+    // REPLACES silently, which would corrupt such inputs)
+    val kcol = Iterator.iterate("__bloom_k")(_ + "_")
+      .dropWhile(batch.columns.contains).next()
+    batch.withColumn(kcol, when(maybe, col(keyCol)))
+      .join(history.select(col(keyCol).as(kcol)).distinct(),
+        Seq(kcol), "left_anti")
+      .drop(kcol)
   }
 }

@@ -79,10 +79,12 @@ object Relational {
     * available plan for an inherently positional operation.
     */
   def bindColumns(left: DataFrame, right: DataFrame): DataFrame = {
-    val (lc, rc) = (left.count(), right.count())
+    // the row-count precondition reuses the indexing pass's per-partition
+    // counts — a separate count() per side would cost two extra full scans
+    // just for the error message
+    val (l, lc) = withRowIndexCounted(left, "__bind_idx")
+    val (r, rc) = withRowIndexCounted(right, "__bind_idx2")
     require(lc == rc, s"bindColumns: row count mismatch ($lc vs $rc)")
-    val l = withRowIndex(left, "__bind_idx")
-    val r = withRowIndex(right, "__bind_idx2")
     l.join(r, l("__bind_idx") === r("__bind_idx2"), "inner")
       .drop("__bind_idx", "__bind_idx2")
   }
@@ -92,6 +94,26 @@ object Relational {
     val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** [[withRowIndex]] plus the total row count, for the same two passes
+    * zipWithIndex costs: one per-partition count job (whose sum IS the
+    * total), then the indexed scan with the offsets broadcast in the
+    * closure. No shuffle at any size. */
+  private def withRowIndexCounted(df: DataFrame, name: String): (DataFrame, Long) = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val src = df.rdd
+    val counts = src
+      .mapPartitionsWithIndex { (i, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((i, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val indexed = src.mapPartitionsWithIndex { (i, it) =>
+      var idx = offsets(i) - 1
+      it.map { row => idx += 1; Row.fromSeq(row.toSeq :+ idx) }
+    }
+    (df.sparkSession.createDataFrame(indexed, schema), offsets.last)
   }
 
   /** Wide→long melt (agnes `melt`, src/view.rs:1276-1376): the N `meltCols`

@@ -6,20 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines (beyond the reference
   * surface). Two flavors:
-  *  - fractional: Spark-native Bernoulli/stratified sampling (seeded);
-  *  - exact-count: deterministic k-per-stratum via a content-hash order —
-  *    reproducible across runs AND across engines (md5 is portable), which
-  *    a seeded RNG sample is not. The standard way to cut a fixed-size,
-  *    stable eval slice out of a moving corpus.
+  *  - fractional: per-stratum keep rates via a content-hash threshold;
+  *  - exact-count: deterministic k-per-stratum via a content-hash order.
+  * Every sample here is a pure function of row content (md5 is portable):
+  * reproducible across runs, repartitioning, task retries AND engines. A
+  * seeded-RNG form (Spark's `df.stat.sampleBy`) existed through round 4 and
+  * was retired: it is reproducible only within one Spark version's RNG and
+  * is strictly dominated by [[stratifiedHashFraction]] — callers who want
+  * the RNG behavior can call `sampleBy` directly.
   */
 object Sampling {
-
-  /** Seeded fractional sample per stratum (Spark `sampleBy`). Reproducible
-    * for a fixed seed WITHIN Spark; for a sample another engine can
-    * recompute bit-for-bit, use [[stratifiedHashFraction]]. */
-  def stratifiedFraction(df: DataFrame, stratumCol: String,
-                         fractions: Map[String, Double], seed: Long = 42L): DataFrame =
-    df.stat.sampleBy(stratumCol, fractions, seed)
 
   /** Content-hash fractional sample per stratum: keep a row iff the first 5
     * hex chars of md5(id) sort below the stratum's threshold (the fraction

@@ -80,6 +80,11 @@ object ScaleJoins {
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support join type '$joinType': unmatched " +
         "small-side rows would be emitted once per salt")
+    // optimizer ESTIMATE: exact for a freshly-scanned file source, but a
+    // post-shuffle intermediate with no stats can land either side of the
+    // budget. Acceptable — an over-estimate only costs the salted path's
+    // extra shuffle, an under-estimate broadcasts something biggish once,
+    // and AQE re-checks the physical join choice from runtime sizes anyway.
     val estSmall = small.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estSmall <= broadcastBudgetBytes) {
       large.join(broadcast(small), Seq(key), joinType)

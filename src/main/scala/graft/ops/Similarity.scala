@@ -123,28 +123,39 @@ object Similarity {
     * away), then verified with exact cosine against `threshold`.
     *
     * Shuffle budget: one corpus-sized exchange per side of the bucket
-    * equi-join (corpus × tables rows), then candidate-sized work only —
-    * pair dedup and the cosine filter. Bucket skew is bounded by `planes`
-    * (2^planes buckets per table); raise `planes` (and `tables` with it) as
-    * the corpus grows to keep per-bucket candidate counts flat.
+    * equi-join — carrying (id, table, bucket) ONLY. The embeddings stay out
+    * of the exchange (they would multiply the shuffled bytes by dim ×
+    * tables) and are fetched afterward for the candidate-sized pair set via
+    * two broadcast joins back to the corpus: two extra column-pruned scans,
+    * orders of magnitude cheaper than a vector-wide shuffle at 100 TB.
+    * Bucket skew is bounded by `planes` (2^planes buckets per table); raise
+    * `planes` (and `tables` with it) as the corpus grows to keep per-bucket
+    * candidate counts flat.
     */
   def nearDupPairs(df0: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 4, tables: Int = 2,
                    dim: Int = -1): DataFrame = {
     val df = graft.core.Par.widen(df0)
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(lshBucketTables(col("v"), planes, tables, d)).as(Seq("tbl", "bucket")))
-    val a = withB.select(col("id").as("id_a"), col("v").as("e_a"),
-      col("tbl"), col("bucket"))
-    val b = withB.select(col("id").as("id_b"), col("v").as("e_b"),
-      col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("tbl"), col("bucket"))
+    // a pair bucketed together in several tables is still one candidate
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // a pair bucketed together in several tables is still one candidate;
-      // dup rows carry identical vectors, so the keep-one is deterministic
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    // vector fetch: candidates (small by design) broadcast through two
+    // corpus scans pruned to (id, vec); the e_a-carrying intermediate is
+    // still candidate-sized, so it broadcasts too. Reads df0, NOT the
+    // widened df: these scans do no per-row work pre-join, so the widen
+    // repartition would just round-robin the vectors for nothing
+    val vecs = df0.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withA = vecs.select(col("id").as("id_a"), col("v").as("e_a"))
+      .join(broadcast(cand), "id_a")
+    vecs.select(col("id").as("id_b"), col("v").as("e_b"))
+      .join(broadcast(withA), "id_b")
       .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
         df.sparkSession, col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)

@@ -362,6 +362,110 @@ class PipelineSpec extends SparkSpec {
     assert(maybes <= 2, s"false-positive rate far above bound: $maybes/200")
   }
 
+  test("bloom broadcast path: numBits > 2^28 stays exact and codegen'd") {
+    // past the plan-literal budget the probe switches to the broadcast-
+    // variable-backed Expression; build and probe share the same position
+    // hash, so the no-false-negative guarantee (and the exact final result)
+    // must survive the transport change
+    val bitsN = Dedup.BloomLiteralMaxBits + 64L
+    val k = 4
+    val history = (1L to 300L).map(i => s"doc-$i").toDF("fp")
+    val bits = Dedup.bloomBuild(history, col("fp"), bitsN, k)
+    assert(bits.length == (bitsN / 64).toInt)
+    // fallback off: a broken doGenCode must THROW here, not silently revert
+    // to interpreted eval
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(history.filter(!Dedup.bloomMightContain(col("fp"), bits, bitsN, k)).count() == 0)
+      val batch = (250L to 400L).map(i => s"doc-$i").toDF("fp")
+      val got = Dedup.incrementalDedup(batch, history, "fp", bitsN, k)
+        .as[String].collect().toSeq.sorted
+      assert(got == (301L to 400L).map(i => s"doc-$i").sorted)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("bloomParams: 100 TB-scale n sizes past the literal cap; huge n clamps, not overflows") {
+    val (m10, k10) = Dedup.bloomParams(10000000000L, 0.01) // ~10^10 history keys
+    assert(m10 > Dedup.BloomLiteralMaxBits && m10 % 64 == 0 && k10 == 7, s"m=$m10 k=$k10")
+    // astronomical n: m saturates in double space; the old long arithmetic
+    // would overflow negative and collapse to the 64-bit floor
+    val (mx, kx) = Dedup.bloomParams(Long.MaxValue / 2, 1e-9)
+    assert(mx == Dedup.BloomMaxBits && kx >= 1, s"m=$mx k=$kx")
+  }
+
+  test("incrementalDedup tolerates a batch column named __bloom_k") {
+    val history = Seq("a", "b").toDF("fp")
+    val batch = Seq(("a", 7L), ("c", 9L)).toDF("fp", "__bloom_k")
+    val got = Dedup.incrementalDedup(batch, history, "fp")
+    assert(got.columns.toSeq == Seq("fp", "__bloom_k"))
+    assert(got.as[(String, Long)].collect().toSeq == Seq(("c", 9L)))
+  }
+
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // durable truncation really went to the dir (RDD checkpoint files exist)
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("binaryFile ingestion: attachBinaryFiles → extractFeatures (production entry path)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+    Seq("a.bin" -> "alpha payload", "b.bin" -> "beta").foreach { case (n, s) =>
+      java.nio.file.Files.write(tmp.resolve(n), s.getBytes("UTF-8")) }
+    val files = spark.read.format("binaryFile").load(tmp.toString)
+    val media = Multimodal.attachBinaryFiles(files, "application/x-fake")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val metas = media.select(col("meta.format"), col("meta.n_bytes"))
+      .as[(String, Long)].collect().toSet
+    assert(metas == Set(("application/x-fake", 13L), ("application/x-fake", 4L)))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 2 && feats.values.forall(_.length == 8))
+    // features are a pure function of the BYTES: the file route and the
+    // text-column route must agree on identical payloads
+    val viaText = Multimodal.extractFeatures(Multimodal.attachBinary(
+        Seq((1L, "alpha payload")).toDF("doc_id", "text"), "doc_id", "text"), dim = 8)
+      .collect().head.getSeq[Float](1)
+    val aId = files.filter(col("path").endsWith("a.bin"))
+      .select(xxhash64(col("path"))).head.getLong(0)
+    assert(feats(aId) == viaText)
+  }
+
+  test("nearDupPairs: no hash-partitioned exchange carries an embedding column") {
+    // broadcast off so the bucket join plans as the shuffle join it becomes
+    // at corpus scale (small-side broadcast hides the exchange at sf0.001);
+    // the explicit broadcast() hints on the candidate fetch still hold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = core.Tables.embeddings(spark, sf("sf0.001"))
+      val df = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.35, planes = 4, tables = 2, dim = 64)
+      // formatted explain includes the EnsureRequirements-inserted exchanges
+      // (AQE's inputPlan predates them); each node block lists its Input
+      // columns, so a hash exchange carrying a vector is directly visible
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val hashExchanges = fmt.split("\n\n").toSeq.filter { b =>
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+          b.contains("hashpartitioning")
+      }
+      // the bucket join and the pair dedup shuffle — all must be vector-free
+      // (the only array-carrying movement is the widen repartition and the
+      // candidate-sized broadcasts)
+      assert(hashExchanges.nonEmpty, s"no hash exchange found:\n$fmt")
+      hashExchanges.foreach { b =>
+        assert(!b.contains("array<"), s"vector rides a bucket exchange:\n$b")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("packSequences: exact concat-and-cut assignment, budget invariants") {
     val data = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
     val got = Chunking.packSequences(data.toDF("doc_id", "text"), "doc_id", "text",

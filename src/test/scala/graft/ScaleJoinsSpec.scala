@@ -127,20 +127,6 @@ class ScaleJoinsSpec extends SparkSpec {
     overlap.foreach(k => assert(ivf(k) == brute(k)))
   }
 
-  test("stratifiedFraction: seeded determinism, strata respected") {
-    val d = core.Tables.documents(spark, sf("sf0.001"))
-    val fr = Map("en" -> 0.5, "fr" -> 0.2)
-    def run(seed: Long) = ops.Sampling.stratifiedFraction(d, "lang", fr, seed)
-      .select("doc_id").as[Long].collect().toSet
-    val s1 = run(42L)
-    assert(s1 == run(42L), "same seed must reproduce the same sample")
-    assert(s1.nonEmpty)
-    // only requested strata appear
-    val langs = ops.Sampling.stratifiedFraction(d, "lang", fr, 42L)
-      .select("lang").distinct().as[String].collect().toSet
-    assert(langs.subsetOf(Set("en", "fr")))
-  }
-
   test("stratifiedHashFraction: deterministic, engine-portable thresholds, f=1.0 keeps all") {
     val d = core.Tables.documents(spark, sf("sf0.001"))
     val fr = Map("en" -> 0.25, "fr" -> 1.0)
