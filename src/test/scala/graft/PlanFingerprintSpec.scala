@@ -72,7 +72,10 @@ class PlanFingerprintSpec extends SparkSpec {
     "shuffles=10 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
   pin("d23_minhash_lsh",
     "shuffles=7 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
-  pin("d24_simhash_pairs", "shuffles=5 bcast=0 joins=[] scans=[2]")
+  // bucket equi-join form (r5): the (band, bsig) join broadcasts at this
+  // scale; at corpus scale it is a two-exchange shuffle join of 32-byte rows
+  pin("d24_simhash_pairs",
+    "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   // broadcast queries × streamed corpus — the NL join is the intended shape
   pin("s29_ann_brute",
     "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
