@@ -19,8 +19,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Multiple passes, min per query: host timing noise on this VM is 2-4x
     // run-to-run, and the minimum is the stable estimate of true cost.
+    // optional comma-separated query filter (e.g. the dedup/ANN family for
+    // the sf1 stress artifact, whose dir has only documents + embeddings)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val passes = (1 to nPasses).map { pass =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val secs = (System.nanoTime() - t0) / 1e9

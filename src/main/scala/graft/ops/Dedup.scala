@@ -212,6 +212,15 @@ object Dedup {
       .distinct().cache()
     var labels = truncate(sym.select(col("n").as("node"))
       .distinct().select(col("node"), col("node").as("label")))
+    // convergence probe: labels only ever DECREASE (min-propagation + a jump
+    // that follows label(x) <= x), so the label map changed iff its exact
+    // sum dropped — one aggregate over the just-checkpointed map, instead of
+    // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
+    // any id range (a wrapped bigint sum could collide and stop us early).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: SUM() is NULL
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -225,11 +234,10 @@ object Dedup {
       val jumpTbl = labels.select(col("node").as("jn"), col("label").as("jl"))
       val jumped = truncate(stepped.join(jumpTbl, col("label") === col("jn"), "left")
         .select(col("node"), coalesce(col("jl"), col("label")).as("label")))
-      val prev = labels.select(col("node"), col("label").as("prevLabel"))
-      val changed = jumped.join(prev, "node")
-        .filter(col("label") =!= col("prevLabel")).count()
+      val curSum = labelSum(jumped)
       labels = jumped
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     sym.unpersist()

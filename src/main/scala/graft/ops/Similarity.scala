@@ -125,12 +125,15 @@ object Similarity {
     * Shuffle budget: one corpus-sized exchange per side of the bucket
     * equi-join — carrying (id, table, bucket) ONLY. The embeddings stay out
     * of the exchange (they would multiply the shuffled bytes by dim ×
-    * tables) and are fetched afterward for the candidate-sized pair set via
-    * two broadcast joins back to the corpus: two extra column-pruned scans,
-    * orders of magnitude cheaper than a vector-wide shuffle at 100 TB.
+    * tables) and are fetched afterward for the candidate-sized pair set by
+    * joining back to the corpus: two extra column-pruned scans, orders of
+    * magnitude cheaper than a vector-wide shuffle at 100 TB, with AQE
+    * picking broadcast (typical: candidates tiny) or shuffle (undersized
+    * `planes` → quadratic candidates) from runtime sizes.
     * Bucket skew is bounded by `planes` (2^planes buckets per table); raise
     * `planes` (and `tables` with it) as the corpus grows to keep per-bucket
-    * candidate counts flat.
+    * candidate counts flat — candidates ≈ n²/(2·2^planes)·tables, so planes
+    * must grow ~log₂(n) for linear total work.
     */
   def nearDupPairs(df0: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 4, tables: Int = 2,
@@ -146,16 +149,20 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"))
-    // vector fetch: candidates (small by design) broadcast through two
-    // corpus scans pruned to (id, vec); the e_a-carrying intermediate is
-    // still candidate-sized, so it broadcasts too. Reads df0, NOT the
-    // widened df: these scans do no per-row work pre-join, so the widen
-    // repartition would just round-robin the vectors for nothing
+    // vector fetch: two corpus scans pruned to (id, vec) join the candidate
+    // set. No broadcast hint on purpose: when `planes`/`tables` are sized to
+    // the corpus (the documented contract) candidates are tiny and AQE
+    // broadcasts them from runtime stats, but with UNDERSIZED planes the
+    // candidate set goes quadratic, and a forced broadcast would drag
+    // gigabytes through the driver — AQE's shuffle join degrades gracefully
+    // instead. Reads df0, NOT the widened df: these scans do no per-row
+    // work pre-join, so the widen repartition would just round-robin the
+    // vectors for nothing.
     val vecs = df0.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withA = vecs.select(col("id").as("id_a"), col("v").as("e_a"))
-      .join(broadcast(cand), "id_a")
+      .join(cand, "id_a")
     vecs.select(col("id").as("id_b"), col("v").as("e_b"))
-      .join(broadcast(withA), "id_b")
+      .join(withA, "id_b")
       .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
         df.sparkSession, col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)

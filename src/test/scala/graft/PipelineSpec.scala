@@ -452,15 +452,16 @@ class PipelineSpec extends SparkSpec {
       // columns, so a hash exchange carrying a vector is directly visible
       val fmt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val hashExchanges = fmt.split("\n\n").toSeq.filter { b =>
+      // the CORPUS-sized exchanges are the bucket-join sides, partitioned on
+      // (tbl, bucket) — those must be vector-free. (The candidate-set fetch
+      // joins are adaptive: AQE broadcasts them when small; under forced
+      // shuffle they carry candidate-sized — not corpus-sized — vectors.)
+      val bucketExchanges = fmt.split("\n\n").toSeq.filter { b =>
         b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
-          b.contains("hashpartitioning")
+          b.contains("hashpartitioning(tbl")
       }
-      // the bucket join and the pair dedup shuffle — all must be vector-free
-      // (the only array-carrying movement is the widen repartition and the
-      // candidate-sized broadcasts)
-      assert(hashExchanges.nonEmpty, s"no hash exchange found:\n$fmt")
-      hashExchanges.foreach { b =>
+      assert(bucketExchanges.nonEmpty, s"no bucket exchange found:\n$fmt")
+      bucketExchanges.foreach { b =>
         assert(!b.contains("array<"), s"vector rides a bucket exchange:\n$b")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
