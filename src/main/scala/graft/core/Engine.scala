@@ -52,26 +52,37 @@ object Engine {
   * exactly once.
   */
 object Par {
+  import org.apache.spark.sql.catalyst.plans.logical._
   import org.apache.spark.sql.execution.FileSourceScanExec
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // any operator that induces its own exchange (aggregate/join/sort/
+    // distinct/repartition/window) already spreads the data across
+    // spark.sql.shuffle.partitions — widen only ever touches scan-shaped
+    // plans. (Checked on the LOGICAL plan: the pre-AQE physical tree has no
+    // Exchange nodes yet — EnsureRequirements runs inside AQE — so a
+    // physical ShuffleExchange probe would silently never fire.)
+    val inducesExchange = df.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Distinct | _: RepartitionOperation |
+           _: Window | _: Sort => true
+      case _ => false
+    }
+    if (inducesExchange) return df
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan // AQE wraps the tree in a leaf
       case p => p
     }
-    // a shuffle anywhere upstream already spread the data across
-    // spark.sql.shuffle.partitions — nothing to widen
-    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df
-    // a broadcast join's output rides its streamed side, so the relevant
-    // width is the WIDEST leaf; file-split counts are computed driver-side
-    // from the (cached) file listing — no job. Non-file leaves (literal
-    // tables, RDD scans) are treated as narrow: they are driver-local data.
+    // the relevant width is the WIDEST leaf; file-split counts are computed
+    // driver-side from the (cached) file listing — no job. Non-file leaves
+    // (literal tables, RDD scans) are treated as narrow: driver-local data.
     val parts = plan.collectLeaves().map {
       case f: FileSourceScanExec => f.inputRDD.getNumPartitions
-      case _ => 1
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // cached relation: layout is whatever was cached — don't re-shuffle it
+        m.relation.cachedPlan.outputPartitioning.numPartitions.max(target)
+      case _ => 1 // LocalTableScan & friends: driver-local, assume narrow
     }.foldLeft(1)(math.max)
     if (parts < target) df.repartition(target) else df
   }

@@ -467,6 +467,25 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Par.widen: repartitions narrow file scans; leaves shuffled and cached inputs alone") {
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    val d = core.Tables.documents(spark, sf("sf0.001")) // one file split < 4 cores
+    assert(shuffles(core.Par.widen(d)) == shuffles(d) + 1, "narrow scan must widen")
+    // an upstream shuffle already spread the data — widen must be identity
+    val agged = d.groupBy("lang").count()
+    assert(core.Par.widen(agged) eq agged, "post-shuffle input must not re-shuffle")
+    // a cached relation's layout is whatever was cached — don't re-shuffle it
+    val cached = d.repartition(8).cache()
+    try {
+      cached.count()
+      assert(shuffles(core.Par.widen(cached)) == shuffles(cached),
+        "cached input must not gain a repartition")
+    } finally cached.unpersist()
+  }
+
   test("packSequences: exact concat-and-cut assignment, budget invariants") {
     val data = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
     val got = Chunking.packSequences(data.toDF("doc_id", "text"), "doc_id", "text",
