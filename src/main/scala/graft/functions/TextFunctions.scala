@@ -17,12 +17,20 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles as strings; rows with fewer than n tokens yield an
-    * empty array. */
-  /** Built from `slice` + `zip_with` rather than `transform(sequence(...),
-    * element_at)`: lambda bodies are NOT common-subexpression-eliminated, so
-    * an element_at formulation re-splits the text per shingle (O(len²) per
-    * row); here the split is evaluated a constant number of times per row. */
-  def shingles(text: Column, n: Int): Column = {
+    * empty array. Native one-pass expression ([[WordShingles]]): shingles
+    * are emitted as byte-range views of the source string in a single
+    * whole-stage-codegen call — the composable `slice` + chained `zip_with`
+    * form (kept below as the parity baseline) pays n-1 interpreted
+    * higher-order passes with an intermediate array each. */
+  def shingles(text: Column, n: Int): Column =
+    ShingleExpression.wordShingles(text, n)
+
+  /** The composable formulation of [[shingles]] — `slice` + `zip_with`
+    * rather than `transform(sequence(...), element_at)` because lambda
+    * bodies are not common-subexpression-eliminated (an element_at form
+    * re-splits the text per shingle, O(len²) per row). Semantically
+    * identical to the native expression; retained as the spec baseline. */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val t = tokens(text)
     val m = size(t) - (n - 1) // shingle count
     when(m <= 0, array().cast("array<string>"))

@@ -467,6 +467,34 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("native word shingles ≡ composable form (edge cases + corpus), codegen'd") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // broken doGenCode must throw
+    try {
+      // empty string, consecutive/leading/trailing spaces (empty tokens),
+      // multibyte text, fewer-tokens-than-n, single token
+      val tricky = Seq("", " ", "a", "a b", "a  b", " a b ", "a b c d",
+        "héllo wörld ünïcode テスト 中文 text", "x " * 50 + "x").toDF("text")
+      for (n <- Seq(1, 2, 3, 8)) {
+        val both = tricky.select(
+          TextFunctions.shingles(col("text"), n).as("native"),
+          TextFunctions.shinglesComposable(col("text"), n).as("composable"))
+        assert(both.filter(col("native") =!= col("composable")).count() == 0,
+          s"n=$n mismatch: ${both.filter(col("native") =!= col("composable"))
+            .collect().mkString("; ")}")
+      }
+      val d = core.Tables.documents(spark, sf("sf0.001"))
+      val both = d.select(
+        TextFunctions.shingles(col("text"), 3).as("native"),
+        TextFunctions.shinglesComposable(col("text"), 3).as("composable"))
+      assert(both.filter(col("native") =!= col("composable")).count() == 0)
+      // null text propagates null
+      val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+        .select(TextFunctions.shingles(col("text"), 3).as("s"))
+      assert(nulls.filter(col("s").isNull).count() == 1)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("Par.widen: repartitions narrow file scans; leaves shuffled and cached inputs alone") {
     def shuffles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.explainString(
