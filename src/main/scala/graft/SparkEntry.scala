@@ -1054,6 +1054,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-doc repeated-substring signal (Lee et al. exact-substring dedup
+    // statistic): per doc, the fraction of its strided 50-char spans that
+    // occur verbatim in another document — catches boilerplate and mirrored
+    // spans that survive document-level dedup. md5 span hashes + char-based
+    // substr are engine-portable, so the oracle is exact
+    "d87_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          spanChars = 50, stride = 25)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -1820,6 +1832,22 @@ object SparkEntry {
         |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
         |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // span hashes are md5 over char-based substr — identical in both
+    // engines; Spark sequence(0, stop) is inclusive = DuckDB range(0,
+    // stop+1); the HUGEINT sum is cast back to BIGINT for the compare
+    "d87_repeated_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id, unnest([md5(substr(text, o + 1, 50))
+        |                         for o in range(0, len(text) - 50 + 1, 25)]) AS h
+        |  FROM documents WHERE len(text) >= 50),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h),
+        |j AS (SELECT s.doc_id, CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END AS rep
+        |      FROM spans s JOIN nd USING (h))
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(rep) AS BIGINT) AS n_repeated,
+        |  round(sum(rep) * 1.0 / count(*), 4) AS repeat_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order

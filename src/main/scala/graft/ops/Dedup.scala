@@ -336,6 +336,42 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("dist"))
   }
 
+  /** Cross-document repeated-substring signal (the exact-substring dedup
+    * statistic of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): per document, how many of its fixed-length character
+    * spans (sampled every `stride` chars) also occur verbatim in ANOTHER
+    * document. High `repeat_frac` marks boilerplate, mirrored pages, and
+    * licence blocks that survive document-level dedup.
+    *
+    * Shape: spans are md5-hashed in the scan projection (char-based
+    * `substr`, engine-portable); ONE shuffle groups by span hash carrying
+    * (hash → doc list + distinct-doc count); the doc lists explode back and
+    * ONE doc-keyed shuffle aggregates per document — the corpus-sized span
+    * stream crosses the network once, and no join re-shuffles it. Documents
+    * shorter than `spanChars` have no spans and are absent from the output.
+    *
+    * Returns (id, n_spans, n_repeated, repeat_frac). */
+  def repeatedSpans(df0: DataFrame, idCol: String, textCol: String,
+                    spanChars: Int = 50, stride: Int = 25): DataFrame = {
+    require(spanChars > 0 && stride > 0, s"spanChars=$spanChars stride=$stride must be positive")
+    val df = graft.core.Par.widen(df0)
+    val spans = df.filter(length(col(textCol)) >= spanChars)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), length(col(textCol)) - spanChars, lit(stride))).as("off"),
+        col(textCol).as("__t"))
+      .select(col("id"), md5(col("__t").substr(col("off") + 1, lit(spanChars))).as("h"))
+    // repeated = the span occurs in >1 DISTINCT doc (a doc repeating its own
+    // span is self-similarity, not corpus duplication)
+    val perSpan = spans.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"), collect_list(col("id")).as("ids"))
+    perSpan.select((col("nd") > 1).as("rep"), explode(col("ids")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeat_frac",
+        round(col("n_repeated").cast("double") / col("n_spans"), 4))
+  }
+
   // ---- Bloom-prefiltered incremental dedup ---------------------------------
   // The landing-zone pattern: a (small) new batch arrives and must be deduped
   // against a (huge) historical corpus. A Bloom filter over the history keys

@@ -467,6 +467,21 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("repeatedSpans: cross-doc verbatim spans counted, self-repeats ignored") {
+    // spanChars=4, stride=2 → offsets 0,2,4,…  doc1/doc2 share "abcd"-family
+    // spans; doc3 repeats its own span but shares nothing cross-doc; doc4 is
+    // shorter than a span and must be absent
+    val docs = Seq(
+      (1L, "abcdefgh"),   // spans: abcd cdef efgh
+      (2L, "abcdXYZW"),   // spans: abcd cdXY XYZW → shares abcd with doc1
+      (3L, "QQQQQQ"),     // spans: QQQQ QQQQ — self-repeat only
+      (4L, "zz")          // too short
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", spanChars = 4, stride = 2)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 0.3333), (2L, 3L, 1L, 0.3333), (3L, 2L, 0L, 0.0)))
+  }
+
   test("native word shingles ≡ composable form (edge cases + corpus), codegen'd") {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false") // broken doGenCode must throw

@@ -213,6 +213,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simHashPairs ≡ brute-force Hamming pairs for random 60-bit fingerprints") {
+    // pins the banded bucket join AND the first-collision-band uniqueness
+    // rule: every distance ≤ 3 pair found exactly once (pigeonhole over the
+    // 4 bands), nothing above 3, no duplicates from multi-band collisions.
+    // Fingerprints are biased toward shared prefixes so bands DO collide.
+    val fpGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, (1L << 60) - 1), Gen.choose(0, 63)).map {
+        case (base, flips) => base & ~((1L << (flips % 8)) - 1)
+      }).map(_.distinct)
+    forAll(fpGen, cases = 5) { fps =>
+      whenever(fps.size > 1) {
+        val ids = fps.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+        val got = Dedup.simHashPairs(ids.toDF("id", "simhash"), maxDist = 3)
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        val want = (for {
+          (a, ia) <- ids; (b, ib) <- ids if a < b
+          d = java.lang.Long.bitCount(ia ^ ib) if d <= 3
+        } yield (a, b, d.toLong)).sorted
+        assert(got == want, s"got=${got.take(5)}… want=${want.take(5)}…")
+      }
+    }
+  }
+
   test("bloom incremental dedup ≡ exact anti-join for arbitrary key sets") {
     val keysGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12))).map(_.distinct)
     forAll(Gen.zip(keysGen, keysGen), cases = 5) { case (hist, batch) =>
