@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *  - exact: one hash-aggregate shuffle on the content key.
   *  - ngram-Jaccard: ONE shuffle builds the inverted index as per-shingle
   *    doc-id lists (`groupBy(shingle).collect_list`); candidate pairs are
-  *    expanded *inside* the aggregated row with codegen'd array expressions
-  *    instead of a second corpus-sized self-join shuffle. Per-doc set sizes
-  *    are derived from the same exchange (reused, not recomputed).
+  *    expanded *inside* the aggregated row instead of a second corpus-sized
+  *    self-join shuffle (per-shingle lists are small, so the interpreted
+  *    higher-order expansion is cheap here — contrast simHashPairs, whose
+  *    wide Hamming buckets warranted a codegen'd equi-join). Per-doc set
+  *    sizes are derived from the same exchange (reused, not recomputed).
   *    `maxShingleDf` drops ultra-common shingles, the standard skew guard (a
   *    shingle appearing in k docs contributes k² candidate pairs).
   *  - MinHash-LSH: signature via one explode + hash-aggregate (flat,
@@ -24,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    shuffle plus in-row pair expansion, never a quadratic self-join.
   *    Verification joins the (tiny) candidate set back to the corpus via
   *    broadcast, and shingles the matched docs only, post-join.
+  *  - SimHash: per-bit majority vote in one flat hash-aggregate; pairs via
+  *    a codegen'd (band, signature) equi-join with first-collision-band
+  *    unique emission — see [[simHashPairs]].
+  *  - Repeated spans: strided char-span hashes, one span-hash shuffle (doc
+  *    lists ride the aggregate) + one doc-keyed shuffle — the Lee-et-al
+  *    exact-substring dedup statistic, see [[repeatedSpans]].
   *  - Bloom incremental: a new batch dedups against a huge history through
   *    an O(bits)-byte filter built once (reusable across batches) and a
   *    single-scan anti-join confirm — see the bloom section below.

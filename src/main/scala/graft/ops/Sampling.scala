@@ -163,16 +163,19 @@ object Sampling {
     * rational core, so the per-doc RANKING equals the textbook log form's.
     *
     * Three shuffles, all term-level (never corpus-rows-squared): tf
-    * hash-agg on (doc, token); df hash-agg on token (vocab-sized); the
-    * per-doc top-k window (WindowGroupLimit-bounded). N comes from a
-    * broadcast 1-row aggregate — no driver action.
+    * hash-agg on (doc, token); df hash-agg on token (vocab-sized) — over
+    * the ALREADY-AGGREGATED tf relation (one row per (doc, token), so
+    * count(*) per token IS the document frequency), which spares a second
+    * corpus-scale tokenize+explode pass; the per-doc top-k window
+    * (WindowGroupLimit-bounded). N comes from a broadcast 1-row aggregate
+    * — no driver action.
     * Output: (id, token, tfidf, rnk), `k` rows per doc. */
   def tfIdfTopTerms(df0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val df = graft.core.Par.widen(df0)
     val toks = df.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("token")).agg(count_distinct(col("id")).as("df"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("tfidf",
