@@ -369,10 +369,13 @@ object Dedup {
         col(textCol).as("__t"))
       .select(col("id"), md5(col("__t").substr(col("off") + 1, lit(spanChars))).as("h"))
     // repeated = the span occurs in >1 DISTINCT doc (a doc repeating its own
-    // span is self-similarity, not corpus duplication)
+    // span is self-similarity, not corpus duplication). The distinct count
+    // comes from the already-collected list — a count_distinct aggregate
+    // would add a second span-stream exchange for its two-phase plan
     val perSpan = spans.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("nd"), collect_list(col("id")).as("ids"))
-    perSpan.select((col("nd") > 1).as("rep"), explode(col("ids")).as("id"))
+      .agg(collect_list(col("id")).as("ids"))
+    perSpan.select((size(array_distinct(col("ids"))) > 1).as("rep"),
+        explode(col("ids")).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("rep"), 1L).otherwise(0L)).as("n_repeated"))

@@ -84,6 +84,17 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("p67_pipeline",
     "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,3]")
 
+  // bucket join + pair-dedup exchanges carry ids only (vector-free — the
+  // dedicated PipelineSpec assertion); vectors enter via the two candidate
+  // fetch joins, broadcast at this scale by AQE stats
+  pin("d74_embed_neardup_lsh",
+    "shuffles=4 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
+  // widen + the span-hash agg (doc lists ride it; the distinct-doc count
+  // is a projection over the collected list, NOT a count_distinct — that
+  // would add a second span-stream exchange) + the doc-keyed agg + the
+  // presentation sort; single 2-col scan
+  pin("d87_repeated_spans", "shuffles=4 bcast=0 joins=[] scans=[2]")
+
   // single-scan form: each arrivals union leg is scanned ONCE (the nulled
   // probe key lets definite-new rows ride through the anti-join unmatched),
   // and the confirm anti is pushed through the union — one broadcast anti
