@@ -236,6 +236,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans ≡ driver brute force on random multibyte docs") {
+    // small alphabet with a multibyte char → frequent cross-doc repeats AND
+    // a char-vs-byte indexing trap: substr must count CHARACTERS
+    val docGen = Gen.listOfN(12,
+      Gen.listOfN(14, Gen.oneOf("a", "b", "é", " ")).map(_.mkString)).map(_.distinct)
+    val (span, stride) = (4, 3)
+    forAll(docGen, cases = 5) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        def spansOf(t: String): Seq[String] =
+          if (t.length < span) Nil
+          else (0 to (t.length - span) by stride).map(o => t.substring(o, o + span))
+        val repeated = docs.flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
+          .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+        val want = docs.flatMap { case (id, t) =>
+          val sp = spansOf(t)
+          if (sp.isEmpty) None
+          else {
+            val nRep = sp.count(repeated)
+            Some((id, sp.size.toLong, nRep.toLong,
+              BigDecimal(nRep.toDouble / sp.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }.sortBy(_._1)
+        val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+            spanChars = span, stride = stride)
+          .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+        assert(got == want, s"texts=$texts\ngot=$got\nwant=$want")
+      }
+    }
+  }
+
   test("bloom incremental dedup ≡ exact anti-join for arbitrary key sets") {
     val keysGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12))).map(_.distinct)
     forAll(Gen.zip(keysGen, keysGen), cases = 5) { case (hist, batch) =>
