@@ -23,12 +23,19 @@ object Bench {
     // the sf1 stress artifact, whose dir has only documents + embeddings)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a throwing query must surface as a FAILURE, not masquerade as a fast
+    // timing — the artifact records it and the process exits non-zero
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val passes = (1 to nPasses).map { pass =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+        }
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] pass$pass $name $secs%.2f s")
         spark.catalog.clearCache() // drop operator-internal persists between queries
@@ -47,12 +54,17 @@ object Bench {
       val per = passes.map(p => fmt(p(n))).mkString("[", ",", "]")
       s""""$n":{"passes":$per,"min":${fmt(passes.map(_(n)).min)}}"""
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val art =
-      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"queries":$detail}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"failed":$failedJson,"queries":$detail}"""
     val out = java.nio.file.Paths.get(artifact)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
