@@ -37,7 +37,7 @@ object StressData {
     dN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val eN = (0 until copies).map { k =>
       val e = emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
       val s = (7 * k) % dim

@@ -226,7 +226,7 @@ object Dedup {
     // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
     // any id range (a wrapped bigint sum could collide and stop us early).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph: SUM() is NULL
     var prevSum = labelSum(labels)
     var iter = 0

@@ -139,7 +139,7 @@ object Similarity {
                    threshold: Double, planes: Int = 4, tables: Int = 2,
                    dim: Int = -1): DataFrame = {
     val df = graft.core.Par.widen(df0)
-    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
     val bucketed = df.select(col(idCol).as("id"),
       posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("id").as("id_a"), col("tbl"), col("bucket"))
@@ -266,7 +266,7 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, planes: Int = 8,
               dim: Int = -1): DataFrame = {
     val corpus = graft.core.Par.widen(corpus0)
-    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head.getInt(0)
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head().getInt(0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket_c", lshBucket(col("cv"), planes, d))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
