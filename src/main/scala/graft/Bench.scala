@@ -1,13 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint (driver contract: ONE JSON line on stdout).
+  *
+  * Also writes a committed per-round artifact with per-pass AND min numbers
+  * plus per-pass JVM warmup markers (JIT compilation + GC time deltas), so
+  * builder and driver benches can be diffed from the repo alone AND a
+  * cold-JVM drift (pass-1 slow, JIT delta large) is distinguishable from a
+  * plan regression (all passes slow, JIT quiet) without re-running anything.
+  */
 object Bench {
+  private def jitMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+  }
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // committed per-round artifact with per-pass AND min numbers, so builder
-    // and driver benches can be diffed from the repo alone
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_local.json")
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // min-of-5 matches the external driver's pass count, so builder and
+    // driver artifacts estimate the same statistic
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,30 +39,48 @@ object Bench {
     // Multiple passes, min per query: host timing noise on this VM is 2-4x
     // run-to-run, and the minimum is the stable estimate of true cost.
     // optional comma-separated query filter (e.g. the dedup/ANN family for
-    // the sf1 stress artifact, whose dir has only documents + embeddings)
+    // the sf1 stress artifact, whose dir has only documents + embeddings).
+    // Bench-only queries (composed stress flows, measured alternatives) join
+    // the pool ONLY when named explicitly — an unfiltered run benches
+    // exactly the driver's correctness surface.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val pool =
+      if (only.isDefined) SparkEntry.queries ++ SparkEntry.benchOnlyQueries
+      else SparkEntry.queries
     // a throwing query must surface as a FAILURE, not masquerade as a fast
-    // timing — the artifact records it and the process exits non-zero
+    // timing — its partial elapsed is recorded as None (null in the
+    // artifact, excluded from min/total), and the process exits non-zero
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val passes = (1 to nPasses).map { pass =>
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmups = scala.collection.mutable.ArrayBuffer[String]()
+    val passes: Seq[Map[String, Option[Double]]] = (1 to nPasses).map { pass =>
+      val (jit0, gc0, t0p) = (jitMs, gcMs, System.nanoTime())
+      val res = pool.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-        }
-        val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass$pass $name $secs%.2f s")
-        spark.catalog.clearCache() // drop operator-internal persists between queries
-        name -> secs
-      }.toMap
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+              false
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] pass$pass $name $secs%.2f s${if (ok) "" else " (FAILED)"}")
+          spark.catalog.clearCache() // drop operator-internal persists between queries
+          name -> (if (ok) Some(secs) else None)
+        }.toMap
+      val wall = (System.nanoTime() - t0p) / 1e9
+      val wallS = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wall))
+      warmups += s"""{"pass":$pass,"wall_s":$wallS,"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0}}"""
+      res
     }
     val names = passes.head.keys.toSeq.sorted
-    val results = names.map(name => name -> passes.map(_(name)).min)
+    def minOf(n: String): Option[Double] = {
+      val ok = passes.flatMap(_(n))
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    val results = names.flatMap(n => minOf(n).map(n -> _))
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -51,12 +88,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val detail = names.map { n =>
-      val per = passes.map(p => fmt(p(n))).mkString("[", ",", "]")
-      s""""$n":{"passes":$per,"min":${fmt(passes.map(_(n)).min)}}"""
+      val per = passes.map(p => p(n).map(fmt).getOrElse("null")).mkString("[", ",", "]")
+      s""""$n":{"passes":$per,"min":${minOf(n).map(fmt).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val art =
-      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"failed":$failedJson,"queries":$detail}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"failed":$failedJson,"warmup":${warmups.mkString("[", ",", "]")},"queries":$detail}"""
     val out = java.nio.file.Paths.get(artifact)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))

@@ -1124,6 +1124,53 @@ object SparkEntry {
     })
   )
 
+  /** Bench-only queries: runnable by [[Bench]] when explicitly named in
+    * SPARK_GRAFT_QUERIES, never part of the driver correctness surface
+    * (`queries`/`oracleSql`) — so they don't perturb the round-over-round
+    * shared-query bench comparison either.
+    *  - p90_composed_corpus: the full corpus pass a real pipeline ships —
+    *    exact dedup → quality floor → repeated-span boilerplate prune →
+    *    minhash-LSH near-dup pairs → connected-component cluster resolution
+    *    → temperature-balanced mixing, chained end to end. Every stage is an
+    *    oracle-verified operator (d21/t63/d87/d23/d73/d81); what this adds
+    *    is the composed-plan evidence at stress scale (the 10× artifact).
+    *  - x23_minhash_lsh_inrow: d23 with `pairJoin = false` — the measured
+    *    alternative candidate-pair shape (in-row bucket-list expansion);
+    *    committed evidence that the streamed equi-join default costs
+    *    nothing at d23's bucket sizes (1.28 vs 1.31 s min-of-6, a tie)
+    *    while staying bounded on degenerate buckets. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p90_composed_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
+      val clean = d.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 0.3)
+      // drop documents that are mostly cross-doc boilerplate; the span cap
+      // bounds the hot-span aggregate however common a licence block is
+      val boiler = Dedup.repeatedSpans(clean, "doc_id", "text",
+          spanChars = 50, stride = 25, maxSpanDf = 10000)
+        .filter(col("repeat_frac") >= 0.5)
+        .select(col("id").as("doc_id"))
+      // boiler's size is data-dependent (could be most of a mirrored corpus)
+      // — no forced broadcast, AQE picks the join strategy from real stats
+      val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
+      graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+    "x23_minhash_lsh_inrow" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8,
+          pairJoin = false)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
   // ---- oracle SQL (DuckDB dialect, same parquet tables) --------------------
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

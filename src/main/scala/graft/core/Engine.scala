@@ -75,14 +75,26 @@ object Par {
       case p => p
     }
     // the relevant width is the WIDEST leaf; file-split counts are computed
-    // driver-side from the (cached) file listing — no job. Non-file leaves
-    // (literal tables, RDD scans) are treated as narrow: driver-local data.
+    // driver-side from the (cached) file listing / split planning — no job.
     val parts = plan.collectLeaves().map {
       case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+      case b: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanExecBase =>
+        // v2 scans (parquet under v2, Delta/Iceberg connectors): split count
+        // comes from the connector's driver-side partition planning
+        b.inputRDD.getNumPartitions
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.inputRDDs().head.getNumPartitions
+      case r: org.apache.spark.sql.execution.ExternalRDDScanExec[_] => r.rdd.getNumPartitions
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         // cached relation: layout is whatever was cached — don't re-shuffle it
         m.relation.cachedPlan.outputPartitioning.numPartitions.max(target)
-      case _ => 1 // LocalTableScan & friends: driver-local, assume narrow
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => 1 // driver-local literal
+      case _ =>
+        // unknown leaf: ASSUME WIDE. Widen's contract is "never shrink a big
+        // scan"; a leaf we can't measure might be one, and skipping the
+        // repartition merely costs an unknown narrow source its speedup —
+        // the conservative direction. (Assuming narrow would round-robin
+        // re-shuffle — and possibly SHRINK — a many-thousand-partition input.)
+        target
     }.foldLeft(1)(math.max)
     if (parts < target) df.repartition(target) else df
   }

@@ -75,18 +75,49 @@ case class BloomBitsetContains(child: Expression, words: Broadcast[Array[Long]])
 
 object BloomExpressions {
 
-  /** Broadcast `words` and return a probe Column over `positions`
-    * (array<bigint> of bit positions). Registry-based construction keeps us
-    * on the public Column surface (same pattern as
-    * [[VectorExpressions.cosineNative]]); the function name embeds the
-    * broadcast id so concurrent probes over different bitsets never clobber
-    * each other's builder. */
+  /** One Broadcast per distinct bitset ARRAY (identity-keyed): the
+    * documented usage probes many arriving batches against one history
+    * bitset, and a fresh broadcast per probe would re-ship a potentially
+    * multi-GB bitset every batch and leak one broadcast's bookkeeping per
+    * call. A WeakHashMap scopes each entry to the caller's array: while the
+    * caller holds the bits (the reuse window) probes share one broadcast;
+    * once the array is dropped the entry goes with it and Spark's
+    * ContextCleaner reclaims the executor blocks (TorrentBroadcast holds
+    * its driver-side value softly, so the value never pins the key).
+    * [[release]] is the eager path for long-lived sessions. */
+  private val broadcasts =
+    new java.util.WeakHashMap[Array[Long], Broadcast[Array[Long]]]()
+
+  private def name(bc: Broadcast[_]): String = s"graft_bloom_bitset_${bc.id}"
+
+  /** Broadcast `words` (or reuse the live broadcast for this exact array)
+    * and return a probe Column over `positions` (array<bigint> of bit
+    * positions). Registry-based construction keeps us on the public Column
+    * surface (same pattern as [[VectorExpressions.cosineNative]]); the
+    * function name embeds the broadcast id so concurrent probes over
+    * different bitsets never clobber each other's builder. */
   def bitsetContains(spark: SparkSession, positions: Column,
                      words: Array[Long]): Column = {
-    val bc = spark.sparkContext.broadcast(words)
-    val name = s"graft_bloom_bitset_${bc.id}"
+    val bc = broadcasts.synchronized {
+      var b = broadcasts.get(words)
+      if (b == null) { b = spark.sparkContext.broadcast(words); broadcasts.put(words, b) }
+      b
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomBitsetContains(exprs.head, bc), "built-in")
-    org.apache.spark.sql.functions.call_function(name, positions)
+      name(bc), exprs => BloomBitsetContains(exprs.head, bc), "built-in")
+    org.apache.spark.sql.functions.call_function(name(bc), positions)
+  }
+
+  /** Eagerly tear down the probe for `words`: unregister its temp function
+    * and destroy the backing broadcast (blocking until executors drop their
+    * blocks). No-op if `words` has no live probe. Call after the last batch
+    * probed against a bitset in a long-lived session. */
+  def release(spark: SparkSession, words: Array[Long]): Unit = {
+    val bc = broadcasts.synchronized(broadcasts.remove(words))
+    if (bc != null) {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name(bc)))
+      bc.destroy()
+    }
   }
 }

@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *  - SimHash: per-bit majority vote in one flat hash-aggregate; pairs via
   *    a codegen'd (band, signature) equi-join with first-collision-band
   *    unique emission — see [[simHashPairs]].
-  *  - Repeated spans: strided char-span hashes, one span-hash shuffle (doc
-  *    lists ride the aggregate) + one doc-keyed shuffle — the Lee-et-al
-  *    exact-substring dedup statistic, see [[repeatedSpans]].
+  *  - Repeated spans: strided char-span hashes, a (span, doc) hash-aggregate
+  *    + a thin per-span distinct-doc aggregate + one doc-keyed shuffle — all
+  *    partial-combining, every row O(1) bytes however hot the span — the
+  *    Lee-et-al exact-substring dedup statistic, see [[repeatedSpans]].
   *  - Bloom incremental: a new batch dedups against a huge history through
   *    an O(bits)-byte filter built once (reusable across batches) and a
   *    single-scan anti-join confirm — see the bloom section below.
@@ -136,15 +137,29 @@ object Dedup {
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * shingle(n) → `numHashes` minhashes → `bands` banded signatures →
-    * (band, signature) bucket lists → in-row pair expansion → distinct
-    * candidate pairs, optionally verified with exact Jaccard
-    * (`verifyThreshold` > 0 broadcast-joins the candidates back to the
-    * corpus and shingles only the matched docs — the classic LSH + verify
-    * pipeline). With b bands of r rows, P(candidate | J=s) = 1-(1-s^r)^b.
+    * (band, signature) bucket candidates, optionally verified with exact
+    * Jaccard (`verifyThreshold` > 0 broadcast-joins the candidates back to
+    * the corpus and shingles only the matched docs — the classic LSH +
+    * verify pipeline). With b bands of r rows, P(candidate | J=s) =
+    * 1-(1-s^r)^b.
+    *
+    * Candidate expansion (`pairJoin`): the default is a codegen'd
+    * (band, bsig) self equi-join with first-collision-band unique emission
+    * (the simHashPairs shape) — every bucket is STREAMED through the join,
+    * so no per-bucket array ever materializes (a bucket of k mutually-equal
+    * docs is the skew case LSH invites; AQE's skew-join split applies to a
+    * join but cannot split one k-element aggregate row), and the k² loop
+    * runs in whole-stage codegen. `pairJoin = false` keeps the in-row
+    * expansion: one exchange fewer, 24-byte exchange rows, but an
+    * interpreted (CodegenFallback) pair lambda and one collected id list
+    * per bucket. Measured r6 at sf0.1 min-of-6: 1.28 s in-row vs 1.31 s
+    * join — a statistical tie at this corpus's near-singleton bucket
+    * sizes, so the bounded-memory shape is the default.
     */
   def minHashLsh(df0: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
-                 verifyThreshold: Double = 0.0): DataFrame = {
+                 verifyThreshold: Double = 0.0,
+                 pairJoin: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val df = graft.core.Par.widen(df0)
     val r = numHashes / bands
@@ -153,17 +168,45 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val shingles = docs.select(col("id"), explode(col("sh")).as("shingle"))
     val sig = minHashSignatures(shingles, numHashes)
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((0 until r).map(j => col(s"h${b * r + j}")): _*)
-      }: _*)).as(Seq("band", "bsig"))) // columns: (id, band, bsig)
-    val cand = banded.groupBy(col("band"), col("bsig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val bandsArr = array((0 until bands).map { b =>
+      xxhash64((0 until r).map(j => col(s"h${b * r + j}")): _*)
+    }: _*)
+    val cand = if (pairJoin) {
+      // codegen'd (band, bsig) equi-join with first-collision-band unique
+      // emission — the simHashPairs shape: the O(k²) per-bucket loop stays
+      // inside whole-stage codegen and no distinct pass exists. Rows carry
+      // the full band array (8·bands bytes) so the first-collision
+      // predicate can compare lower bands in-row.
+      val banded = sig.select(col("id"), bandsArr.as("bands"))
+        .select(col("id"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "bsig")))
+      val a = banded.select(col("id").as("id_a"), col("bands").as("ba"),
+        col("band"), col("bsig"))
+      val b = banded.select(col("id").as("id_b"), col("bands").as("bb"),
+        col("band"), col("bsig"))
+      // first-collision band: every band BELOW this bucket's must differ
+      val first = (0 until bands - 1).foldLeft(lit(true)) { (acc, j) =>
+        acc && (lit(j) >= col("band") ||
+          element_at(col("ba"), j + 1) =!= element_at(col("bb"), j + 1))
+      }
+      a.join(b, Seq("band", "bsig"))
+        .filter(col("id_a") < col("id_b") && first)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      // in-row expansion: one exchange fewer and 24-byte exchange rows; the
+      // pair lambda runs interpreted (CodegenFallback) and each bucket
+      // materializes one collected id list — a tie with the join at this
+      // corpus's near-singleton buckets (1.28 vs 1.31 s), but unbounded on
+      // a degenerate all-duplicates bucket, hence not the default
+      val banded = sig.select(col("id"),
+        posexplode(bandsArr).as(Seq("band", "bsig")))
+      banded.groupBy(col("band"), col("bsig"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(orderedPairs(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
     if (verifyThreshold <= 0) cand
     else {
       // Verify: broadcast the (small) candidate set through the corpus twice,
@@ -188,23 +231,30 @@ object Dedup {
     * one canonical document per group of mutual near-duplicates (A~B, B~C
     * groups {A,B,C} even though A and C were never paired directly).
     *
-    * Iterative hash-min label propagation with pointer jumping: every node
-    * starts labeled with itself; each round a node takes the min of its own
-    * and its neighbors' labels, then short-circuits through its new label's
-    * label (pointer doubling), so convergence needs O(log diameter) rounds,
-    * not O(diameter). Near-dup clusters are tight in practice (a handful of
-    * rounds); `maxIter` caps a pathological chain. Each round shuffles only
-    * the edge list and the label map — both candidate-set sized, orders of
-    * magnitude below the corpus — and the driver-side loop performs one
-    * scalar count per round (a convergence check, never a data collect).
+    * Iterative hash-min label propagation with pointer jumping: each round a
+    * node takes the min of its own and its neighbors' labels, then
+    * short-circuits TWICE through the previous map (label(label), then once
+    * more — each hop is a cheap label-map-sized join, and two hops per
+    * edge-join round roughly halves the rounds a chain needs), so
+    * convergence needs O(log diameter) rounds, not O(diameter). The
+    * identity-label start round is fused into initialization: the first
+    * "min of self and neighbors" over identity labels IS `min(n, min(m))
+    * group by n`, one aggregate — no separate node-list round. Near-dup
+    * clusters are tight in practice (a couple of rounds); `maxIter` caps a
+    * pathological chain. Each round shuffles only the edge list and the
+    * label map — both candidate-set sized, orders of magnitude below the
+    * corpus — and the driver-side loop performs one scalar aggregate per
+    * round (a convergence check, never a data collect).
     * Each round's label map is checkpointed: the round's plan references the
-    * previous map four times, so without truncating lineage the logical plan
-    * would grow 4× per round and planning time would dominate within ~8
-    * rounds. By default the truncation is `localCheckpoint` (executor-local
-    * blocks — fastest, fine single-node and on stable clusters); pass
-    * `checkpointDir` to use a reliable `checkpoint` to durable storage
-    * instead, which survives executor churn on a real cluster — same shape,
-    * durable truncation.
+    * previous map several times, so without truncating lineage the logical
+    * plan would grow multiplicatively per round and planning time would
+    * dominate within ~8 rounds. By default the truncation is a LAZY
+    * `localCheckpoint` (executor-local blocks; the convergence probe's
+    * aggregate is the action that caches it, so each round runs exactly one
+    * job instead of a materialize-then-probe pair); pass `checkpointDir` to
+    * use a reliable eager `checkpoint` to durable storage instead, which
+    * survives executor churn on a real cluster — same shape, durable
+    * truncation.
     *
     * Returns (node, component) with component = min node id reachable;
     * isolated nodes (appearing in no edge) are absent from the output.
@@ -213,15 +263,30 @@ object Dedup {
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // LAZY local truncation: lineage is cut now, blocks cache at the next
+    // action — which is always the convergence probe below, so each round
+    // pays one job, not a materialize-then-probe pair. The reliable path
+    // stays EAGER: a lazy reliable checkpoint recomputes its RDD a second
+    // time when the checkpoint file is written (it does not cache), which
+    // would cost more than the extra job it saves.
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(eager = false)
+    // cached pre-partitioned on m — the per-round neighbor join's key — so
+    // the edge list (the one relation here that isn't label-map-thin)
+    // crosses the network ONCE at build, not once per round: the cached
+    // layout's HashPartitioning(m) satisfies the join's distribution
+    // requirement every round
     val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
-      .distinct().cache()
-    var labels = truncate(sym.select(col("n").as("node"))
-      .distinct().select(col("node"), col("node").as("label")))
-    // convergence probe: labels only ever DECREASE (min-propagation + a jump
-    // that follows label(x) <= x), so the label map changed iff its exact
+      .distinct().repartition(col("m")).cache()
+    // round 0 fused into initialization: over identity start labels, "min of
+    // own and neighbors' labels" IS min(n, min(m)) grouped by n — one
+    // aggregate replaces the identity-map build plus a full first round
+    var labels = truncate(sym.groupBy(col("n")).agg(min(col("m")).as("__mn"))
+      .select(col("n").as("node"), least(col("n"), col("__mn")).as("label")))
+    // convergence probe: labels only ever DECREASE (min-propagation + jumps
+    // that follow label(x) <= x), so the label map changed iff its exact
     // sum dropped — one aggregate over the just-checkpointed map, instead of
     // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
     // any id range (a wrapped bigint sum could collide and stop us early).
@@ -237,11 +302,17 @@ object Dedup {
         .select(col("n").as("node"), col("label"))
       val stepped = viaNbr.union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-      // pointer jump: follow the new label to ITS label. label(x) <= x by
-      // construction, so the jump only ever lowers (or keeps) the label.
+      // pointer jump ×2: follow the new label through the previous map, then
+      // follow THAT through it again. label(x) <= x by construction, so each
+      // hop only ever lowers (or keeps) the label; two label-map-sized joins
+      // per edge-join round walk ancestor chains twice as fast for the same
+      // number of expensive rounds.
       val jumpTbl = labels.select(col("node").as("jn"), col("label").as("jl"))
-      val jumped = truncate(stepped.join(jumpTbl, col("label") === col("jn"), "left")
-        .select(col("node"), coalesce(col("jl"), col("label")).as("label")))
+      val hop1 = stepped.join(jumpTbl, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+      val jumpTbl2 = labels.select(col("node").as("kn"), col("label").as("kl"))
+      val jumped = truncate(hop1.join(jumpTbl2, col("label") === col("kn"), "left")
+        .select(col("node"), coalesce(col("kl"), col("label")).as("label")))
       val curSum = labelSum(jumped)
       labels = jumped
       converged = curSum.compareTo(prevSum) == 0
@@ -325,6 +396,11 @@ object Dedup {
     * needs no distinct and the 4×-duplicated pair stream never exists, let
     * alone shuffles. */
   def simHashPairs(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+    // 4 bands guarantee recall only through distance 3 (pigeonhole: 4
+    // differing bits can avoid sharing any band) — a larger maxDist would
+    // silently drop qualifying pairs, so refuse it
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist: 4-band simhash LSH guarantees recall only for maxDist <= 3")
     def sig(fp: Column, j: Int): Column = shiftright(fp, j * 15).bitwiseAND(0x7FFFL)
     val banded = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b => sig(col("simhash"), b)): _*))
@@ -352,15 +428,30 @@ object Dedup {
     * licence blocks that survive document-level dedup.
     *
     * Shape: spans are md5-hashed in the scan projection (char-based
-    * `substr`, engine-portable); ONE shuffle groups by span hash carrying
-    * (hash → doc list + distinct-doc count); the doc lists explode back and
-    * ONE doc-keyed shuffle aggregates per document — the corpus-sized span
-    * stream crosses the network once, and no join re-shuffles it. Documents
-    * shorter than `spanChars` have no spans and are absent from the output.
+    * `substr`, engine-portable); per-(span, doc) occurrence counts come from
+    * one (h, id) hash-aggregate, per-span distinct-doc counts from a second,
+    * THIN aggregate over those (h, id) rows — both partial-combining, so a
+    * boilerplate span held by millions of documents contributes at most one
+    * partial row per task and every aggregate row stays O(1) bytes. (The
+    * round-5 shape collected the per-span doc list in one `collect_list`
+    * row — one k-element array for a k-doc span, an executor-OOM magnet on
+    * exactly the licence-block data this operator targets.) Only spans seen
+    * in more than one document enter the flag join's build side; the corpus
+    * bulk (unique spans) never joins at all, and AQE picks broadcast vs
+    * skew-split shuffle for the join from the real duplicate rate.
+    * Documents shorter than `spanChars` have no spans and are absent from
+    * the output.
+    *
+    * `maxSpanDf` (0 = off): spans occurring in more than this many distinct
+    * documents are boilerplate by fiat and are EXCLUDED from the statistic
+    * (both `n_spans` and `n_repeated`) — the curation knob for corpora where
+    * a licence header would otherwise dominate every document's score. A
+    * document whose every span is over-cap drops out of the output.
     *
     * Returns (id, n_spans, n_repeated, repeat_frac). */
   def repeatedSpans(df0: DataFrame, idCol: String, textCol: String,
-                    spanChars: Int = 50, stride: Int = 25): DataFrame = {
+                    spanChars: Int = 50, stride: Int = 25,
+                    maxSpanDf: Long = 0L): DataFrame = {
     require(spanChars > 0 && stride > 0, s"spanChars=$spanChars stride=$stride must be positive")
     val df = graft.core.Par.widen(df0)
     val spans = df.filter(length(col(textCol)) >= spanChars)
@@ -368,17 +459,23 @@ object Dedup {
         explode(sequence(lit(0), length(col(textCol)) - spanChars, lit(stride))).as("off"),
         col(textCol).as("__t"))
       .select(col("id"), md5(col("__t").substr(col("off") + 1, lit(spanChars))).as("h"))
+    val perDoc = spans.groupBy(col("h"), col("id")).agg(count(lit(1)).as("c"))
     // repeated = the span occurs in >1 DISTINCT doc (a doc repeating its own
-    // span is self-similarity, not corpus duplication). The distinct count
-    // comes from the already-collected list — a count_distinct aggregate
-    // would add a second span-stream exchange for its two-phase plan
-    val perSpan = spans.groupBy(col("h"))
-      .agg(collect_list(col("id")).as("ids"))
-    perSpan.select((size(array_distinct(col("ids"))) > 1).as("rep"),
-        explode(col("ids")).as("id"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("rep"), 1L).otherwise(0L)).as("n_repeated"))
+    // span is self-similarity, not corpus duplication): distinct-doc count
+    // per span = plain row count over the (h, id) aggregate — never a
+    // count_distinct (whose two-phase plan would re-shuffle the span stream)
+    val perHash = perDoc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val flags = perHash.filter(col("nd") > 1)
+      .select(col("h"),
+        (if (maxSpanDf > 0) col("nd") <= maxSpanDf else lit(true)).as("rep"))
+    // left join: unmatched = unique span (rep null → kept, not repeated);
+    // rep=false = over-cap boilerplate (dropped when the cap is on)
+    val joined = perDoc.join(flags, Seq("h"), "left")
+    val kept =
+      if (maxSpanDf > 0) joined.filter(coalesce(col("rep"), lit(true))) else joined
+    kept.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(coalesce(col("rep"), lit(false)), col("c")).otherwise(0L)).as("n_repeated"))
       .withColumn("repeat_frac",
         round(col("n_repeated").cast("double") / col("n_spans"), 4))
   }
@@ -458,7 +555,10 @@ object Dedup {
     *    [[graft.functions.BloomBitsetContains]] (ships once per executor,
     *    probe codegen'd via its `doGenCode`) — the 100 TB path, where the
     *    bitset is hundreds of MBs and a per-task literal would dominate the
-    *    job's payload. */
+    *    job's payload. Repeated probes against the SAME bits array reuse one
+    *    broadcast (identity-keyed), so the batch-loop reuse pattern ships
+    *    the bitset once; [[graft.functions.BloomExpressions.release]] tears
+    *    it down eagerly when a long-lived session is done with it. */
   def bloomMightContain(key: Column, bits: Array[Long], numBits: Long, numHashes: Int): Column = {
     require(numHashes > 0, s"numHashes=$numHashes must be positive")
     if (numBits > BloomLiteralMaxBits) {

@@ -42,6 +42,19 @@ class PipelineSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh == exact)
     assert(exact.nonEmpty) // the corpus has planted near-dups
+    // the codegen'd equi-join candidate shape (first-collision-band unique
+    // emission) must produce the identical verified pair set — it is the
+    // same banding, only the pair-expansion strategy differs
+    val joined = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16,
+        verifyThreshold = 0.8, pairJoin = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(joined == exact)
+    // and the UNVERIFIED candidate sets match too (the emission rule itself)
+    val candInRow = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16)
+      .as[(Long, Long)].collect().toSet
+    val candJoin = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16, pairJoin = true)
+      .as[(Long, Long)].collect().toSet
+    assert(candJoin == candInRow)
   }
 
   test("simhash: identical docs collide, different docs differ") {
@@ -482,6 +495,50 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L, 0.3333), (2L, 3L, 1L, 0.3333), (3L, 2L, 0L, 0.0)))
   }
 
+  test("repeatedSpans: hot boilerplate span stays bounded; maxSpanDf excludes it") {
+    // the operator's own target workload: one licence-like span ("LIC!")
+    // verbatim in EVERY doc. spanChars=4, stride=4 → non-overlapping spans
+    val hot = Seq(
+      (1L, "LIC!dupA"), (2L, "LIC!dupA"), // also share a real near-dup span
+      (3L, "LIC!un3x"), (4L, "LIC!un4x"), (5L, "LIC!un5x"), (6L, "LIC!un6x"),
+      (7L, "LIC!")                        // ONLY the boilerplate span
+    ).toDF("doc_id", "text")
+    def run(cap: Long) =
+      Dedup.repeatedSpans(hot, "doc_id", "text", spanChars = 4, stride = 4,
+        maxSpanDf = cap)
+    // no unbounded per-span aggregation row anywhere in the plan: the r5
+    // collect_list shape materialized the 7-doc list in ONE aggregate row —
+    // at corpus scale, one row per million-doc licence span
+    val fmt = run(0).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("collect_list"), s"unbounded list aggregate:\n$fmt")
+    // default (cap off): exact statistic, boilerplate counts as repeated
+    val exact = run(0).orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(exact == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 2L, 1.0),
+      (3L, 2L, 1L, 0.5), (4L, 2L, 1L, 0.5), (5L, 2L, 1L, 0.5), (6L, 2L, 1L, 0.5),
+      (7L, 1L, 1L, 1.0)))
+    // tight cap: the 7-doc "LIC!" span (df > 3) is boilerplate by fiat and
+    // leaves the statistic; doc 7 (nothing but boilerplate) drops out
+    val capped = run(3).orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0), (4L, 1L, 0L, 0.0), (5L, 1L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
+  }
+
+  test("repeatedSpans: the (span,doc) aggregate runs once — AQE reuses the stage") {
+    // the flag join and the per-span distinct-doc count both consume the
+    // (h, id) aggregate (a diamond): the STATIC plan prints the subtree — and
+    // its corpus scan — twice, but AQE's stage cache materializes the
+    // exchange once and rewires the second consumer onto it. Without the
+    // reuse, the corpus would be scanned and span-hashed twice.
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val res = Dedup.repeatedSpans(d, "doc_id", "text", spanChars = 50, stride = 25)
+    res.collect() // drive to the final adaptive plan
+    val fin = res.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), fin)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      s"the (h,id) aggregate stage was not reused:\n$fin")
+  }
+
   test("native word shingles ≡ composable form (edge cases + corpus), codegen'd") {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false") // broken doGenCode must throw
@@ -527,6 +584,41 @@ class PipelineSpec extends SparkSpec {
       assert(shuffles(core.Par.widen(cached)) == shuffles(cached),
         "cached input must not gain a repartition")
     } finally cached.unpersist()
+  }
+
+  test("Par.widen: v2 and RDD-backed leaves report real width — wide inputs never shrink") {
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    val target = spark.sparkContext.defaultParallelism
+    // an already-wide RDD-backed DataFrame (e.g. bindColumns output): the
+    // ExternalRDDScanExec leaf carries its true partition count — widen must
+    // NOT round-robin (= shrink to defaultParallelism) a wider-than-target input
+    val wideRdd = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq.tabulate(64)(i => org.apache.spark.sql.Row(i.toLong)), target + 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    assert(shuffles(core.Par.widen(wideRdd)) == shuffles(wideRdd),
+      "wide RDD-backed input must not be re-shuffled")
+    // the same file under the V2 read path (BatchScanExec leaf): a narrow
+    // scan still widens — the v2 leaf's split count is read, not assumed
+    val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val v2 = core.Tables.documents(spark, sf("sf0.001"))
+      val leaves = v2.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan.collectLeaves()
+        case p => p.collectLeaves()
+      }
+      assert(leaves.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.BatchScanExec]),
+        s"expected a v2 BatchScanExec leaf, got: $leaves")
+      assert(shuffles(core.Par.widen(v2)) == shuffles(v2) + 1,
+        "narrow v2 scan must widen")
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
   }
 
   test("packSequences: exact concat-and-cut assignment, budget invariants") {

@@ -70,8 +70,12 @@ class PlanFingerprintSpec extends SparkSpec {
     "shuffles=2 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   pin("d22_jaccard_pairs",
     "shuffles=10 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
+  // r6 streamed-bucket form: candidates via the codegen'd (band, bsig)
+  // self equi-join (first-collision-band emission, no distinct pass, no
+  // per-bucket collected list); the signature-agg exchange feeds both join
+  // sides (AQE reuses the stage), verify joins broadcast at this scale
   pin("d23_minhash_lsh",
-    "shuffles=7 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
+    "shuffles=7 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // bucket equi-join form (r5): the (band, bsig) join broadcasts at this
   // scale; at corpus scale it is a two-exchange shuffle join of 32-byte rows
   pin("d24_simhash_pairs",
@@ -79,6 +83,11 @@ class PlanFingerprintSpec extends SparkSpec {
   // broadcast queries × streamed corpus — the NL join is the intended shape
   pin("s29_ann_brute",
     "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
+  // contains ONE intentional single-partition sort: the vocab-rank
+  // row_number's global Window.orderBy — bounded by the orderBy+limit(vocab)
+  // TakeOrderedAndProject feeding it (≤ vocab rows by construction, never
+  // corpus-sized). If a refactor ever lets corpus-scale rows reach that
+  // window, the exchange/scan counts here change and this pin goes red.
   pin("t66_token_rarity",
     "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,2]")
   pin("p67_pipeline",
@@ -89,11 +98,14 @@ class PlanFingerprintSpec extends SparkSpec {
   // fetch joins, broadcast at this scale by AQE stats
   pin("d74_embed_neardup_lsh",
     "shuffles=4 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
-  // widen + the span-hash agg (doc lists ride it; the distinct-doc count
-  // is a projection over the collected list, NOT a count_distinct — that
-  // would add a second span-stream exchange) + the doc-keyed agg + the
-  // presentation sort; single 2-col scan
-  pin("d87_repeated_spans", "shuffles=4 bcast=0 joins=[] scans=[2]")
+  // r6 bounded shape: the (h,id) occurrence agg feeds BOTH the thin per-span
+  // distinct-doc agg and the flag join (a diamond) — the static plan prints
+  // that subtree (and its 2-col scan) twice, but AQE's stage cache
+  // materializes it once at runtime (pinned by the PipelineSpec reuse test).
+  // No aggregate row is ever wider than O(1) bytes — the r5 collect_list
+  // shape held one k-element array per k-doc span
+  pin("d87_repeated_spans",
+    "shuffles=7 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
 
   // single-scan form: each arrivals union leg is scanned ONCE (the nulled
   // probe key lets definite-new rows ride through the anti-join unmatched),

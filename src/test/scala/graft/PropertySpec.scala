@@ -248,21 +248,27 @@ class PropertySpec extends SparkSpec {
         def spansOf(t: String): Seq[String] =
           if (t.length < span) Nil
           else (0 to (t.length - span) by stride).map(o => t.substring(o, o + span))
-        val repeated = docs.flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
-          .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
-        val want = docs.flatMap { case (id, t) =>
-          val sp = spansOf(t)
-          if (sp.isEmpty) None
-          else {
-            val nRep = sp.count(repeated)
-            Some((id, sp.size.toLong, nRep.toLong,
-              BigDecimal(nRep.toDouble / sp.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          }
-        }.sortBy(_._1)
-        val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
-            spanChars = span, stride = stride)
-          .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
-        assert(got == want, s"texts=$texts\ngot=$got\nwant=$want")
+        // distinct-doc frequency per span; repeated = seen in >1 doc
+        val dfOf = docs.flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+        // cap = 0 is the exact statistic; cap = 2 exercises the maxSpanDf
+        // exclusion (spans in >2 docs leave both counts, empty docs drop out)
+        for (cap <- Seq(0, 2)) {
+          val want = docs.flatMap { case (id, t) =>
+            val sp =
+              if (cap == 0) spansOf(t) else spansOf(t).filter(s => dfOf(s) <= cap)
+            if (sp.isEmpty) None
+            else {
+              val nRep = sp.count(s => dfOf(s) > 1)
+              Some((id, sp.size.toLong, nRep.toLong,
+                BigDecimal(nRep.toDouble / sp.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+          }.sortBy(_._1)
+          val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+              spanChars = span, stride = stride, maxSpanDf = cap.toLong)
+            .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+          assert(got == want, s"cap=$cap texts=$texts\ngot=$got\nwant=$want")
+        }
       }
     }
   }
