@@ -276,10 +276,13 @@ object Dedup {
     // the edge list (the one relation here that isn't label-map-thin)
     // crosses the network ONCE at build, not once per round: the cached
     // layout's HashPartitioning(m) satisfies the join's distribution
-    // requirement every round
+    // requirement every round. NOT deduplicated: min-propagation is
+    // idempotent, so duplicate edges cost join fan-out but never change a
+    // label — candidate-pair producers emit unique pairs already, and a
+    // caller with a genuinely dirty edge list can distinct() it themselves
     val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
-      .distinct().repartition(col("m")).cache()
+      .repartition(col("m")).cache()
     // round 0 fused into initialization: over identity start labels, "min of
     // own and neighbors' labels" IS min(n, min(m)) grouped by n — one
     // aggregate replaces the identity-map build plus a full first round
