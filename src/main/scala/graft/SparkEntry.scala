@@ -1136,9 +1136,10 @@ object SparkEntry {
     *    is the composed-plan evidence at stress scale (the 10× artifact).
     *  - x23_minhash_lsh_inrow: d23 with `pairJoin = false` — the measured
     *    alternative candidate-pair shape (in-row bucket-list expansion);
-    *    committed evidence that the streamed equi-join default costs
-    *    nothing at d23's bucket sizes (1.28 vs 1.31 s min-of-6, a tie)
-    *    while staying bounded on degenerate buckets. */
+    *    committed evidence that the streamed equi-join default is a timing
+    *    wash at d23's bucket sizes (within ±20% across sf0.1 and 10× runs,
+    *    each shape winning some) while staying bounded on degenerate
+    *    buckets. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p90_composed_corpus" -> ((s, dir) => {
       val d = t(s, dir, "documents")

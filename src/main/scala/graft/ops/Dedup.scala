@@ -152,9 +152,11 @@ object Dedup {
     * runs in whole-stage codegen. `pairJoin = false` keeps the in-row
     * expansion: one exchange fewer, 24-byte exchange rows, but an
     * interpreted (CodegenFallback) pair lambda and one collected id list
-    * per bucket. Measured r6 at sf0.1 min-of-6: 1.28 s in-row vs 1.31 s
-    * join — a statistical tie at this corpus's near-singleton bucket
-    * sizes, so the bounded-memory shape is the default.
+    * per bucket. Measured r6 head-to-head (sf0.1 min-of-6 twice, 10×
+    * stress corpus min-of-4): the shapes land within ±20% of each other
+    * and each wins some runs (1.28/1.31, 1.55/1.76, 1.92/1.60 join/in-row)
+    * — timing is a wash at these near-singleton bucket sizes, so the
+    * bounded-memory shape is the default.
     */
   def minHashLsh(df0: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
@@ -195,9 +197,9 @@ object Dedup {
     } else {
       // in-row expansion: one exchange fewer and 24-byte exchange rows; the
       // pair lambda runs interpreted (CodegenFallback) and each bucket
-      // materializes one collected id list — a tie with the join at this
-      // corpus's near-singleton buckets (1.28 vs 1.31 s), but unbounded on
-      // a degenerate all-duplicates bucket, hence not the default
+      // materializes one collected id list — a timing wash vs the join at
+      // near-singleton buckets (±20% across runs, see Scaladoc), but
+      // unbounded on a degenerate all-duplicates bucket, hence not default
       val banded = sig.select(col("id"),
         posexplode(bandsArr).as(Seq("band", "bsig")))
       banded.groupBy(col("band"), col("bsig"))
