@@ -1066,6 +1066,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // segment-level boilerplate REMOVAL (the rewrite sibling of d87's
+    // score): drop segments occurring verbatim in > maxSegmentDf distinct
+    // docs and reassemble survivors in order. sep=" " on this single-line
+    // corpus = df-based token pruning (the hottest ~half of the 31-word
+    // vocabulary is boilerplate by the 390-doc cap); sep="\n" is CCNet
+    // paragraph dedup, exercised by the PipelineSpec golden
+    "d88_boilerplate_prune" -> ((s, dir) => {
+      Dedup.pruneBoilerplateSegments(t(s, dir, "documents"), "doc_id", "text",
+          sep = " ", maxSegmentDf = 390)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -1896,6 +1909,29 @@ object SparkEntry {
         |  CAST(sum(rep) AS BIGINT) AS n_repeated,
         |  round(sum(rep) * 1.0 / count(*), 4) AS repeat_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // parallel unnests of equal-length lists zip in DuckDB, giving each
+    // segment its ordinal; string_agg(... ORDER BY pos) rebuilds the text
+    // in original order, coalesce('') matches Spark's empty array_join for
+    // fully-pruned docs
+    "d88_boilerplate_prune" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS seg,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |hot AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT doc_id) AS dfc
+        |    FROM l WHERE length(seg) >= 1 GROUP BY seg)
+        |  WHERE dfc > 390)
+        |SELECT l.doc_id,
+        |  coalesce(string_agg(CASE WHEN h.seg IS NULL THEN l.seg END,
+        |                      ' ' ORDER BY l.pos), '') AS text_clean,
+        |  count(CASE WHEN h.seg IS NULL THEN 1 END) AS n_kept,
+        |  count(h.seg) AS n_dropped
+        |FROM l LEFT JOIN hot h ON l.seg = h.seg
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order

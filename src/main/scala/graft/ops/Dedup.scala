@@ -485,6 +485,61 @@ object Dedup {
         round(col("n_repeated").cast("double") / col("n_spans"), 4))
   }
 
+  /** Segment-level boilerplate REMOVAL (the rewrite sibling of
+    * [[repeatedSpans]], which only scores): split every document on the
+    * literal separator `sep`, drop each segment that occurs verbatim in
+    * more than `maxSegmentDf` distinct documents, and reassemble the
+    * survivors in original order. With `sep = "\n"` this is CCNet/Dolma
+    * paragraph-level dedup (navigation chrome, cookie banners, licence
+    * lines vanish from every page at once); with `sep = " "` it degrades
+    * gracefully to document-frequency-based token pruning. Segments shorter
+    * than `minSegmentChars` are never counted and never dropped (CCNet's
+    * short-line exemption — blank lines and punctuation survive).
+    *
+    * Scale shape: ONE corpus scan. Segments are md5-hashed in the explode
+    * projection; distinct-doc counts come from a (hash, doc) hash-aggregate
+    * followed by a THIN per-hash row count (both partial-combining, every
+    * aggregate row O(1) bytes — the [[repeatedSpans]] shape, never a
+    * count_distinct re-shuffle). Only over-cap hashes (the boilerplate
+    * set, vanishingly small next to the corpus) enter the flag join's
+    * build side — AQE broadcasts it at real-world rates — and one doc-keyed
+    * aggregate rebuilds the texts (the per-doc collected segment list is
+    * document-sized, i.e. no larger than the input row it came from).
+    * Every input document appears in the output, even if fully pruned
+    * (`text_clean` = "" — a curation pipeline wants to SEE what emptied).
+    *
+    * Returns (id, text_clean, n_kept, n_dropped). */
+  def pruneBoilerplateSegments(df0: DataFrame, idCol: String, textCol: String,
+                               sep: String, maxSegmentDf: Long,
+                               minSegmentChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(maxSegmentDf > 0, s"maxSegmentDf=$maxSegmentDf must be positive")
+    val df = graft.core.Par.widen(df0)
+    // -1 limit: trailing empty segments survive the round-trip; quote: sep
+    // is a LITERAL separator (split's pattern argument is a regex)
+    val segs = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    // a short segment can never hash-collide into the hot set: the hot set
+    // only holds eligible (>= minSegmentChars) segments, and equal content
+    // implies equal length — so the flag join needs no length re-check
+    val perDoc = segs.filter(length(col("seg")) >= minSegmentChars)
+      .groupBy(col("h"), col("id")).agg(count(lit(1)).as("c"))
+    val hot = perDoc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxSegmentDf)
+      .select(col("h"), lit(true).as("__hot"))
+    segs.join(hot, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("pos"), col("seg"))))),
+          x => x("seg")), sep).as("text_clean"),
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(col("__hot")).as("n_dropped"))
+  }
+
   // ---- Bloom-prefiltered incremental dedup ---------------------------------
   // The landing-zone pattern: a (small) new batch arrives and must be deduped
   // against a (huge) historical corpus. A Bloom filter over the history keys

@@ -524,6 +524,40 @@ class PipelineSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0), (4L, 1L, 0L, 0.0), (5L, 1L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
   }
 
+  test("pruneBoilerplateSegments: CCNet-style line dedup — goldens, exemption, full prune") {
+    // "COOKIE NOTICE" is chrome on 3 of 4 docs (cap 2 → dropped); "body N"
+    // lines are unique (kept); the "." line is under minSegmentChars (never
+    // counted OR dropped, even though it appears in 3 docs); doc 4 is pure
+    // boilerplate and must SURVIVE in the output with empty text_clean
+    val pages = Seq(
+      (1L, "COOKIE NOTICE\nbody one\n."),
+      (2L, "body two\nCOOKIE NOTICE\n."),
+      (3L, "body three\n.\nCOOKIE NOTICE"),
+      (4L, "COOKIE NOTICE")
+    ).toDF("doc_id", "text")
+    val got = Dedup.pruneBoilerplateSegments(pages, "doc_id", "text",
+        sep = "\n", maxSegmentDf = 2, minSegmentChars = 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "body one\n.", 2L, 1L),
+      (2L, "body two\n.", 2L, 1L),
+      (3L, "body three\n.", 2L, 1L),
+      (4L, "", 0L, 1L)))
+    // cap at the chrome's df (4 docs): everything passes through byte-identical
+    val loose = Dedup.pruneBoilerplateSegments(pages, "doc_id", "text",
+        sep = "\n", maxSegmentDf = 4, minSegmentChars = 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(loose.map(r => (r._1, r._2)) ==
+      pages.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+    // separator round-trip: a doc repeating its own segment keeps BOTH
+    // copies when under-cap (df counts DISTINCT docs, not occurrences)
+    val self = Seq((1L, "x y x"), (2L, "z")).toDF("doc_id", "text")
+    val kept = Dedup.pruneBoilerplateSegments(self, "doc_id", "text",
+        sep = " ", maxSegmentDf = 1).orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, "x y x", 3L, 0L), (2L, "z", 1L, 0L)))
+  }
+
   test("repeatedSpans: the (span,doc) aggregate runs once — AQE reuses the stage") {
     // the flag join and the per-span distinct-doc count both consume the
     // (h, id) aggregate (a diamond): the STATIC plan prints the subtree — and

@@ -106,6 +106,12 @@ class PlanFingerprintSpec extends SparkSpec {
   // shape held one k-element array per k-doc span
   pin("d87_repeated_spans",
     "shuffles=7 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+  // the rewrite sibling (d88): same bounded (h,id)+thin-h aggregate diamond
+  // over SEGMENTS, hot-set broadcast into the flag join, one doc-keyed
+  // reassembly agg; the per-doc collected list is document-sized by
+  // construction (it rebuilds one input row's text)
+  pin("d88_boilerplate_prune",
+    "shuffles=6 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
 
   // single-scan form: each arrivals union leg is scanned ONCE (the nulled
   // probe key lets definite-new rows ride through the anti-join unmatched),
