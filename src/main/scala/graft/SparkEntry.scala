@@ -1917,8 +1917,8 @@ object SparkEntry {
     "d88_boilerplate_prune" ->
       """WITH l AS (
         |  SELECT doc_id,
-        |         unnest(string_split(text, ' ')) AS seg,
-        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |         unnest(string_split(coalesce(text, ''), ' ')) AS seg,
+        |         unnest(range(1, len(string_split(coalesce(text, ''), ' ')) + 1)) AS pos
         |  FROM documents),
         |hot AS (
         |  SELECT seg FROM (

@@ -516,10 +516,12 @@ object Dedup {
     require(maxSegmentDf > 0, s"maxSegmentDf=$maxSegmentDf must be positive")
     val df = graft.core.Par.widen(df0)
     // -1 limit: trailing empty segments survive the round-trip; quote: sep
-    // is a LITERAL separator (split's pattern argument is a regex)
+    // is a LITERAL separator (split's pattern argument is a regex); null
+    // text reads as "" (one empty, always-exempt segment), so a null-text
+    // document still appears in the output instead of silently vanishing
     val segs = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
-          .as(Seq("pos", "seg")))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
     // a short segment can never hash-collide into the hot set: the hot set
     // only holds eligible (>= minSegmentChars) segments, and equal content

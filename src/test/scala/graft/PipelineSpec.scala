@@ -556,6 +556,13 @@ class PipelineSpec extends SparkSpec {
         sep = " ", maxSegmentDf = 1).orderBy("id")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(kept == Seq((1L, "x y x", 3L, 0L), (2L, "z", 1L, 0L)))
+    // null text reads as one empty exempt segment — the doc never vanishes
+    val withNull = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val nn = Dedup.pruneBoilerplateSegments(withNull, "doc_id", "text",
+        sep = " ", maxSegmentDf = 5).orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(nn == Seq((1L, "a b", 2L, 0L), (2L, "", 1L, 0L)))
   }
 
   test("repeatedSpans: the (span,doc) aggregate runs once — AQE reuses the stage") {

@@ -286,4 +286,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pruneBoilerplateSegments ≡ driver brute force on random docs") {
+    // small word alphabet → frequent cross-doc segments; "x" is under the
+    // minSegmentChars exemption, "" appears via consecutive separators
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "x", "")).map(_.mkString(" ")))
+    val (minChars, sep) = (2, " ")
+    forAll(docGen, cases = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def segsOf(t: String): Seq[String] =
+        t.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      val dfOf = docs
+        .flatMap { case (id, t) => segsOf(t).filter(_.length >= minChars).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      for (cap <- Seq(1L, 3L)) {
+        val want = docs.map { case (id, t) =>
+          val ss = segsOf(t)
+          val kept = ss.filter(s => s.length < minChars || dfOf(s) <= cap)
+          (id, kept.mkString(sep), kept.size.toLong, (ss.size - kept.size).toLong)
+        }.sortBy(_._1)
+        val got = Dedup.pruneBoilerplateSegments(docs.toDF("doc_id", "text"),
+            "doc_id", "text", sep = sep, maxSegmentDf = cap,
+            minSegmentChars = minChars)
+          .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+        assert(got == want, s"cap=$cap texts=$texts\ngot=$got\nwant=$want")
+      }
+    }
+  }
 }
