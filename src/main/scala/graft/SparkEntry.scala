@@ -1079,6 +1079,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the full corpus pass a real pipeline ships, composed end to end and
+    // oracle-checked as ONE query: exact dedup → quality floor →
+    // repeated-span boilerplate prune → minhash-LSH near-dup pairs →
+    // connected-component cluster resolution → temperature-balanced mixing.
+    // Every stage is also separately oracle-verified (d21/t63/d87/d23/d73/
+    // d81); this row proves their COMPOSITION is, too
+    "p90_composed_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
+      val clean = d.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 0.3)
+      // drop documents that are mostly cross-doc boilerplate; the span cap
+      // bounds the hot-span aggregate however common a licence block is
+      // (a no-op semantically until a span is shared by >10k docs, which
+      // the oracle data cannot reach — the oracle omits it)
+      val boiler = Dedup.repeatedSpans(clean, "doc_id", "text",
+          spanChars = 50, stride = 25, maxSpanDf = 10000)
+        .filter(col("repeat_frac") >= 0.5)
+        .select(col("id").as("doc_id"))
+      // boiler's size is data-dependent (could be most of a mirrored corpus)
+      // — no forced broadcast, AQE picks the join strategy from real stats
+      val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
+      graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -1141,12 +1173,6 @@ object SparkEntry {
     * SPARK_GRAFT_QUERIES, never part of the driver correctness surface
     * (`queries`/`oracleSql`) — so they don't perturb the round-over-round
     * shared-query bench comparison either.
-    *  - p90_composed_corpus: the full corpus pass a real pipeline ships —
-    *    exact dedup → quality floor → repeated-span boilerplate prune →
-    *    minhash-LSH near-dup pairs → connected-component cluster resolution
-    *    → temperature-balanced mixing, chained end to end. Every stage is an
-    *    oracle-verified operator (d21/t63/d87/d23/d73/d81); what this adds
-    *    is the composed-plan evidence at stress scale (the 10× artifact).
     *  - x23_minhash_lsh_inrow: d23 with `pairJoin = false` — the measured
     *    alternative candidate-pair shape (in-row bucket-list expansion);
     *    committed evidence that the streamed equi-join default is a timing
@@ -1154,29 +1180,6 @@ object SparkEntry {
     *    each shape winning some) while staying bounded on degenerate
     *    buckets. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p90_composed_corpus" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
-      val clean = d.join(keep, Seq("doc_id"), "left_semi")
-        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
-        .filter(col("quality") >= 0.3)
-      // drop documents that are mostly cross-doc boilerplate; the span cap
-      // bounds the hot-span aggregate however common a licence block is
-      val boiler = Dedup.repeatedSpans(clean, "doc_id", "text",
-          spanChars = 50, stride = 25, maxSpanDf = 10000)
-        .filter(col("repeat_frac") >= 0.5)
-        .select(col("id").as("doc_id"))
-      // boiler's size is data-dependent (could be most of a mirrored corpus)
-      // — no forced broadcast, AQE picks the join strategy from real stats
-      val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
-      val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
-      graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang"))
-    }),
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8,
@@ -1932,6 +1935,63 @@ object SparkEntry {
         |  count(h.seg) AS n_dropped
         |FROM l LEFT JOIN hot h ON l.seg = h.seg
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+
+    // the composed pipeline as ONE oracle: each stage reuses its own
+    // query's oracle shape (p67 quality, d87 spans, d23 exact-jaccard —
+    // LSH recall ≡ exact holds on any SUBSET of the corpus since
+    // signatures and band collisions are per-pair — d73 recursive-CTE
+    // components, d81 md5 thresholds). The span cap is omitted: it is a
+    // no-op below 10k docs sharing a span, unreachable in oracle data
+    "p90_composed_corpus" ->
+      """WITH RECURSIVE
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |toks0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM d2),
+        |parts AS (SELECT doc_id, lang, text,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks0),
+        |clean AS (SELECT doc_id, lang, text FROM parts
+        |  WHERE round(greatest(0.0, least(1.0,
+        |    (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) >= 0.3),
+        |spans AS (SELECT doc_id, unnest([md5(substr(text, o + 1, 50))
+        |                                 for o in range(0, len(text) - 50 + 1, 25)]) AS h
+        |          FROM clean WHERE len(text) >= 50),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h),
+        |rep AS (SELECT s.doc_id, count(*) AS n_spans,
+        |               count(CASE WHEN nd.nd > 1 THEN 1 END) AS n_rep
+        |        FROM spans s JOIN nd USING (h) GROUP BY s.doc_id),
+        |boiler AS (SELECT doc_id FROM rep WHERE round(n_rep * 1.0 / n_spans, 4) >= 0.5),
+        |pruned AS (SELECT c.* FROM clean c WHERE c.doc_id NOT IN (SELECT doc_id FROM boiler)),
+        |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pruned),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM ptoks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+        |comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+        |dd AS (SELECT p.* FROM pruned p
+        |       WHERE p.doc_id NOT IN (SELECT node FROM comp WHERE node <> cid)),
+        |c AS (SELECT lang, count(*) AS n FROM dd WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (SELECT min(n) AS minn FROM c),
+        |th AS (SELECT lang,
+        |  CASE WHEN CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT) >= 1048576
+        |       THEN 'g'
+        |       ELSE printf('%05x', CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT))
+        |  END AS thresh
+        |  FROM c, m),
+        |bal AS (SELECT d.doc_id, d.lang FROM dd d JOIN th USING (lang)
+        |        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh)
+        |SELECT lang, count(*) AS n_docs FROM bal GROUP BY lang ORDER BY lang""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order
