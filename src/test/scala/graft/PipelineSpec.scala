@@ -57,6 +57,24 @@ class PipelineSpec extends SparkSpec {
     assert(candJoin == candInRow)
   }
 
+  test("minHashLsh: degenerate all-duplicates bucket — every pair once, no collected lists") {
+    // the skew case LSH invites: EVERY doc identical, so all 120 land in
+    // the same (band, bsig) bucket in every band. The join shape must emit
+    // each pair exactly once (first-collision-band rule — no distinct pass)
+    // and the plan must hold no per-bucket collect_list anywhere: one
+    // k-element aggregate row cannot be split by AQE, a streamed join can
+    val n = 120
+    val dup = (1L to n).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(dup, "doc_id", "text", 3, 64, 16)
+    val fmt = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("collect_list"), s"per-bucket list in plan:\n$fmt")
+    val expected = n.toLong * (n - 1) / 2
+    assert(pairs.count() == expected)
+    assert(pairs.distinct().count() == expected, "pairs must be unique without a distinct")
+  }
+
   test("simhash: identical docs collide, different docs differ") {
     val s = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -318,6 +336,13 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
     }
+    // an EMPTY edge list (no near-dup pairs found — the common case for a
+    // clean corpus slice) converges immediately to an empty label map, and
+    // dedupByClusters over it is the identity
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(none, "id_a", "id_b").count() == 0)
+    val docs4 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dedupByClusters(docs4, none, "doc_id").count() == 2)
   }
 
   test("LSH buckets fail loudly on a dim mismatch instead of collapsing to bucket 0") {
