@@ -1178,12 +1178,21 @@ object SparkEntry {
     *    committed evidence that the streamed equi-join default is a timing
     *    wash at d23's bucket sizes (within ±20% across sf0.1 and 10× runs,
     *    each shape winning some) while staying bounded on degenerate
-    *    buckets. */
+    *    buckets.
+    *  - x22_jaccard_inrow: d22 with `pairJoin = false` — the legacy in-row
+    *    pair expansion (per-shingle collect_list + interpreted k² lambda),
+    *    kept for head-to-head evidence against the streamed equi-join
+    *    default that replaced it in r7. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8,
           pairJoin = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x22_jaccard_inrow" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8, pairJoin = false)
         .orderBy(col("id_a"), col("id_b"))
     })
   )

@@ -12,15 +12,13 @@ import org.apache.spark.sql.functions._
   * Scale design notes (these run on the full corpus, so shuffle count is the
   * budget that matters):
   *  - exact: one hash-aggregate shuffle on the content key.
-  *  - ngram-Jaccard: ONE shuffle builds the inverted index as per-shingle
-  *    doc-id lists (`groupBy(shingle).collect_list`); candidate pairs are
-  *    expanded *inside* the aggregated row instead of a second corpus-sized
-  *    self-join shuffle (per-shingle lists are small, so the interpreted
-  *    higher-order expansion is cheap here — contrast simHashPairs, whose
-  *    wide Hamming buckets warranted a codegen'd equi-join). Per-doc set
-  *    sizes are derived from the same exchange (reused, not recomputed).
-  *    `maxShingleDf` drops ultra-common shingles, the standard skew guard (a
-  *    shingle appearing in k docs contributes k² candidate pairs).
+  *  - ngram-Jaccard: the shingle inverted index is streamed through a
+  *    codegen'd (shingle) self equi-join whose one exchange feeds both sides
+  *    (AQE stage reuse); intersection sizes come from a partial-combining
+  *    pair hash-aggregate — no per-shingle doc list ever materializes, the
+  *    same bounded shape as simHashPairs/minHashLsh. `maxShingleDf` drops
+  *    ultra-common shingles, the standard skew guard (a shingle appearing
+  *    in k docs contributes k² candidate pairs however they are counted).
   *  - MinHash-LSH: signature via one explode + hash-aggregate (flat,
   *    codegen-friendly), then bucket by (band, bandSignature) — again one
   *    shuffle plus in-row pair expansion, never a quadratic self-join.
@@ -62,37 +60,59 @@ object Dedup {
       transform(filter(ids, y => y > x), y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Exact n-gram Jaccard similarity pairs with sim >= `threshold`, via an
-    * inverted shingle index aggregated to per-shingle doc lists (one corpus
-    * shuffle; see object doc). `bandCols` restricts candidates to equal
-    * values of those columns (e.g. language) — both a semantic guard and a
-    * fan-out reducer. `maxShingleDf`: drop shingles appearing in more than
-    * this many docs (0 = keep all, exact result).
+    * inverted shingle index (see object doc). `bandCols` restricts candidates
+    * to equal values of those columns (e.g. language) — both a semantic guard
+    * and a fan-out reducer. `maxShingleDf`: drop shingles appearing in more
+    * than this many docs (0 = keep all, exact result).
+    *
+    * Pair counting (`pairJoin`): the default streams the shingle index
+    * through a codegen'd (shingle, bands) self equi-join and hash-aggregates
+    * the resulting (id_a, id_b) co-occurrence stream — the same
+    * bounded-memory shape as [[minHashLsh]]/[[simHashPairs]]: a boilerplate
+    * shingle shared by k docs is STREAMED as k² join rows (partial-combined
+    * map-side), never materialized as one k-element aggregate row, and the
+    * k² inner loop runs in whole-stage codegen instead of the interpreted
+    * (CodegenFallback) pair lambda. `pairJoin = false` keeps the legacy
+    * in-row expansion — one exchange fewer, but one collected id list per
+    * shingle and an interpreted k² expansion: acceptable only when a
+    * positive `maxShingleDf` bounds k.
     */
   def jaccardPairs(df0: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, bandCols: Seq[String] = Nil,
-                   maxShingleDf: Long = 0L): DataFrame = {
+                   maxShingleDf: Long = 0L, pairJoin: Boolean = true): DataFrame = {
     val df = graft.core.Par.widen(df0)
     val sh0 = df.select(
       (col(idCol).as("id") +: bandCols.map(col)) :+
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"): _*)
-    // ONE corpus-wide shuffle: inverted index as per-(shingle, bands) doc lists.
-    val buckets0 = sh0.groupBy((col("shingle") +: bandCols.map(col)): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // Per-doc set sizes fall out of the same exchange (ReusedExchange, no
-    // second shingling pass); must be computed BEFORE any df-based filter.
-    val sizes = buckets0.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("sz"))
-    val buckets = if (maxShingleDf > 0) {
-      // global doc frequency of a shingle = sum of its per-band list sizes
+    // Per-doc set sizes: one thin (id, count) aggregate over the index; must
+    // be computed BEFORE any df-based filter (Jaccard denominators stay exact
+    // set sizes even when hot shingles are dropped from the numerator).
+    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sh = if (maxShingleDf > 0) {
+      // global doc frequency of a shingle, band-independent (each doc holds
+      // one row per distinct shingle, so the partition count IS the df)
       val w = Window.partitionBy(col("shingle"))
-      buckets0.withColumn("df", sum(size(col("ids"))).over(w))
+      sh0.withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= maxShingleDf).drop("df")
-    } else buckets0
-    val inter = buckets
-      .filter(size(col("ids")) > 1)
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    } else sh0
+    val inter = if (pairJoin) {
+      // streamed codegen'd self equi-join: the (shingle, bands) exchange is
+      // planned once and feeds both sides (AQE stage reuse); intersection
+      // sizes come from a partial-combining pair hash-aggregate over the
+      // streamed co-occurrence rows — every aggregate row O(1) bytes
+      val a = sh.select(col("id").as("id_a") +: col("shingle") +: bandCols.map(col): _*)
+      val b = sh.select(col("id").as("id_b") +: col("shingle") +: bandCols.map(col): _*)
+      a.join(b, "shingle" +: bandCols)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    } else {
+      sh.groupBy((col("shingle") +: bandCols.map(col)): _*)
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(orderedPairs(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    }
     // sizes is one row per doc and post-aggregation tiny relative to the pair
     // set — AQE converts these to broadcast joins from runtime stats.
     inter

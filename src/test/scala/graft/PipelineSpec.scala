@@ -34,6 +34,37 @@ class PipelineSpec extends SparkSpec {
     assert(!m.contains((1L, 3L)))
   }
 
+  test("jaccardPairs: streamed join shape ≡ in-row shape (sf0.001, with and without df cap)") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    def pairs(join: Boolean, cap: Long) =
+      Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5, maxShingleDf = cap, pairJoin = join)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val joinShape = pairs(join = true, cap = 0)
+    assert(joinShape.nonEmpty)
+    assert(joinShape == pairs(join = false, cap = 0))
+    // under a shingle-df cap, both shapes drop the same hot shingles from the
+    // numerator while keeping exact denominators
+    assert(pairs(join = true, cap = 5) == pairs(join = false, cap = 5))
+  }
+
+  test("jaccardPairs: degenerate boilerplate shingle — bounded join shape, no collected lists") {
+    // the k² hazard: every doc shares one boilerplate trigram. The streamed
+    // default must hold no collect_list anywhere in the plan and still count
+    // intersections exactly
+    val n = 60
+    val boiler = (1L to n).map(i => (i, s"shared boiler plate unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(boiler, "doc_id", "text", 3, 0.0)
+    val fmt = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("collect_list"), s"per-shingle list in plan:\n$fmt")
+    // each doc has 4 trigrams; every pair shares exactly the one boilerplate
+    // trigram → J = 1/(4+4-1) = 1/7
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    val one = pairs.filter(col("id_a") === 1 && col("id_b") === 2).head()
+    assert(one.getDouble(2) == math.rint(1.0 / 7.0 * 10000) / 10000)
+  }
+
   test("minhash-LSH finds the same high-threshold pairs as exact jaccard (sf0.001)") {
     val d = core.Tables.documents(spark, sf("sf0.001"))
     val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)

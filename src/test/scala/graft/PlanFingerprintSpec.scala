@@ -68,8 +68,15 @@ class PlanFingerprintSpec extends SparkSpec {
   // the broadcast short-circuit: 2-col pruned lineitem scan, no salt, 1 bcast
   pin("q49_salted_join",
     "shuffles=2 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+  // r7 streamed form: intersection counts via the codegen'd (shingle) self
+  // equi-join + pair hash-agg — no per-shingle collect_list anywhere (the
+  // PipelineSpec degenerate test pins that); the static plan prints the
+  // shingle-index subtree once per join side (hence the 4th scan), but the
+  // exchange feeds both sides at runtime via AQE stage reuse. 2 fewer
+  // exchanges than the r6 in-row shape, and the sizes/candidate joins
+  // broadcast at this scale
   pin("d22_jaccard_pairs",
-    "shuffles=10 bcast=2 joins=[BroadcastHashJoin=2] scans=[2,2,2]")
+    "shuffles=8 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r6 streamed-bucket form: candidates via the codegen'd (band, bsig)
   // self equi-join (first-collision-band emission, no distinct pass, no
   // per-bucket collected list); the signature-agg exchange feeds both join
