@@ -266,7 +266,8 @@ object Dedup {
     * pathological chain. Each round shuffles only the edge list and the
     * label map — both candidate-set sized, orders of magnitude below the
     * corpus — and the driver-side loop performs one scalar aggregate per
-    * round (a convergence check, never a data collect).
+    * TWO rounds (a batched convergence check, never a data collect; see the
+    * probe comment below for why batching is exact).
     * Each round's label map is checkpointed: the round's plan references the
     * previous map several times, so without truncating lineage the logical
     * plan would grow multiplicatively per round and planning time would
@@ -315,6 +316,16 @@ object Dedup {
     // sum dropped — one aggregate over the just-checkpointed map, instead of
     // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
     // any id range (a wrapped bigint sum could collide and stop us early).
+    // The probe fires every SECOND round (and at the iteration cap): the
+    // probe's aggregate is also the job that materializes a round, so
+    // batching it halves the job count — two rounds chain into one job, the
+    // intermediate round's lazy localCheckpoint materializing as a cached
+    // stage inside it (block-level locking in the BlockManager makes the
+    // concurrent references compute each partition once). Monotonicity makes
+    // the 2-round probe exact, not approximate: an unchanged sum over ANY
+    // span proves no label moved anywhere in that span, so "converged" still
+    // means converged — at worst one already-converged round of extra work,
+    // against a saved scheduling+probe job per surviving pair of rounds.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph: SUM() is NULL
@@ -338,11 +349,13 @@ object Dedup {
       val jumpTbl2 = labels.select(col("node").as("kn"), col("label").as("kl"))
       val jumped = truncate(hop1.join(jumpTbl2, col("label") === col("kn"), "left")
         .select(col("node"), coalesce(col("kl"), col("label")).as("label")))
-      val curSum = labelSum(jumped)
       labels = jumped
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
       iter += 1
+      if (iter % 2 == 0 || iter == maxIter) {
+        val curSum = labelSum(labels)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      }
     }
     sym.unpersist()
     // a partially-converged label map would silently split real clusters
