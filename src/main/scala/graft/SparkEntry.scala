@@ -332,11 +332,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
-    // LSH-bucketed ANN (the scale path; approximate)
+    // LSH-bucketed ANN (the scale path; approximate) — OR-amplified over 2
+    // independent hyperplane tables, candidates deduped before the exact
+    // rerank; md5-derived planes, so the oracle recomputes identical buckets
     "s30_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 10, planes = 6, dim = 64)
+          k = 10, planes = 6, dim = 64, tables = 2)
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
@@ -1611,7 +1613,7 @@ object SparkEntry {
 
     // LSH hyperplanes are md5-derived literals (Similarity.planeMatrix), so
     // the oracle recomputes the same buckets and the same rerank.
-    "s30_ann_lsh" -> lshOracle(planes = 6, dim = 64, k = 10),
+    "s30_ann_lsh" -> lshOracle(planes = 6, tables = 2, dim = 64, k = 10),
 
     // same plane derivation, OR-amplified across 2 tables: candidates from
     // either table's bucket join, UNION-deduped, exact cosine >= threshold
@@ -2035,22 +2037,30 @@ object SparkEntry {
 
   /** Oracle for s30: same hyperplane literals as the engine (inlined), same
     * sign-signature bucketing, same cosine rerank as the s29 oracle. */
-  private def lshOracle(planes: Int, dim: Int, k: Int): String = {
-    val mat = graft.ops.Similarity.planeMatrix(planes, dim)
+  /** OR-amplified LSH top-k oracle: table `t` buckets with hyperplane rows
+    * [t·planes, (t+1)·planes) of planeMatrix(tables·planes, dim) — identical
+    * to Similarity.lshTopK — candidates unioned across tables (UNION dedups,
+    * mirroring the pre-rerank dropDuplicates), then exact cosine rerank. */
+  private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
     def lst(a: Array[Double]): String =
       a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
-    val bucket = (0 until planes).map { p =>
-      s"(CASE WHEN list_sum([e[i] * (${lst(mat(p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    def bucketExpr(tbl: Int): String = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(tbl * planes + p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+    val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map(tb =>
+      s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM b q JOIN b c ON q.b$tb = c.b$tb " +
+        s"WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id")
+      .mkString(" UNION ")
     s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, $bucket AS bucket FROM v),
-       |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 8),
-       |c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM b),
+       |b AS (SELECT vec_id, e, $bucketCols FROM v),
+       |cand AS ($cand),
        |scored AS (SELECT query_id, neighbor_id,
-       |  list_sum([qe[i]*ce[i] for i in range(1, len(qe)+1)]) /
-       |  (sqrt(list_sum([qe[i]*qe[i] for i in range(1, len(qe)+1)])) *
-       |   sqrt(list_sum([ce[i]*ce[i] for i in range(1, len(ce)+1)]))) AS cosine
-       |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+       |  list_sum([qv.e[i]*cv.e[i] for i in range(1, len(qv.e)+1)]) /
+       |  (sqrt(list_sum([qv.e[i]*qv.e[i] for i in range(1, len(qv.e)+1)])) *
+       |   sqrt(list_sum([cv.e[i]*cv.e[i] for i in range(1, len(cv.e)+1)]))) AS cosine
+       |  FROM cand JOIN v qv ON qv.vec_id = query_id JOIN v cv ON cv.vec_id = neighbor_id),
        |ranked AS (SELECT query_id, neighbor_id, cosine,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine

@@ -255,24 +255,50 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
-    * signature; exact cosine rerank within. Trades recall for a
-    * 1/2^planes candidate fraction; recall is recovered in practice with
-    * multi-probe or repeated tables (orthogonal, composable).
+    * signature in ANY of `tables` independent hyperplane tables; exact
+    * cosine rerank within. One table trades recall for a 1/2^planes
+    * candidate fraction; `tables > 1` is the OR-amplification that buys the
+    * recall back as `planes` grows with the corpus (per-table recall for
+    * angle θ is (1-θ/π)^planes; miss probability compounds as its `tables`th
+    * power) — the designated 100 TB ANN path.
+    *
+    * Table `t` uses hyperplane rows [t·planes, (t+1)·planes) of
+    * `planeMatrix(tables·planes, dim)`. `planeMatrix` row p is a pure
+    * function of (p, i) — independent of the matrix height — so table 0 of
+    * a multi-table run reproduces the single-table buckets exactly and the
+    * candidate set only ever GROWS with `tables`: recall is monotone in
+    * `tables` by construction, never a re-roll of the hash dice.
+    *
+    * Scale shape (the [[nearDupPairs]] layout): the bucket join's corpus
+    * side carries (id, tbl, bucket) ONLY — vectors stay out of the
+    * table-multiplied stream and are fetched post-candidate with one
+    * column-pruned scan against the deduped (query, neighbor) set; the
+    * query side (small by contract) broadcasts with its vectors. A pair
+    * sharing buckets in several tables is deduped BEFORE the vector fetch
+    * and rerank, so the k² work is paid once per distinct candidate.
     *
     * Pass `dim` (the fixed embedding dimensionality) when known — it sizes
     * the hyperplane matrix. When negative it is discovered with a one-row
     * driver lookup, an extra (cheap) job composed pipelines can avoid. */
   def lshTopK(corpus0: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 8,
-              dim: Int = -1): DataFrame = {
+              dim: Int = -1, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
     val corpus = graft.core.Par.widen(corpus0)
     val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head().getInt(0)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket_c", lshBucket(col("cv"), planes, d))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket_q", lshBucket(col("qv"), planes, d)))
-    val scored = c.join(q, c("bucket_c") === q("bucket_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket"))))
+    val cand = c.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    // vector fetch post-candidate: reads df0, not the widened df — the scan
+    // does no per-row work pre-join (see nearDupPairs for the same choice)
+    val cv = corpus0.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
         corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

@@ -127,6 +127,33 @@ class PipelineSpec extends SparkSpec {
     assert(top(1).getDouble(2) == 0.0)
   }
 
+  test("LSH ANN: OR-amplification recall is monotone in tables, floor vs brute force") {
+    // planeMatrix row p is height-independent, so table 0 of tables=2 IS the
+    // tables=1 table: candidates only grow with tables, and exact rerank
+    // over a candidate superset can only move the top-k toward brute force's
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 8)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = topSet(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+    val one = topSet(Similarity.lshTopK(e, q, "vec_id", "embedding", 10,
+      planes = 6, dim = 64, tables = 1))
+    val two = topSet(Similarity.lshTopK(e, q, "vec_id", "embedding", 10,
+      planes = 6, dim = 64, tables = 2))
+    val r1 = (one intersect brute).size.toDouble / brute.size
+    val r2 = (two intersect brute).size.toDouble / brute.size
+    assert(r2 >= r1, s"tables=2 recall $r2 below tables=1 recall $r1")
+    assert(r2 > 0, s"OR-amplified top-k shares nothing with brute force")
+    // the amplification mechanism itself: an unbounded-k probe returns every
+    // candidate, and the tables=2 candidate set must contain tables=1's
+    val all1 = topSet(Similarity.lshTopK(e, q, "vec_id", "embedding", Int.MaxValue,
+      planes = 6, dim = 64, tables = 1))
+    val all2 = topSet(Similarity.lshTopK(e, q, "vec_id", "embedding", Int.MaxValue,
+      planes = 6, dim = 64, tables = 2))
+    assert(all1.subsetOf(all2), "tables=1 candidates escaped the tables=2 set")
+    assert(all2.size > all1.size, "second table added no candidates at this scale")
+  }
+
   test("LSH ANN returns a subset of brute-force candidates with same scoring") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter(col("vec_id") < 3)

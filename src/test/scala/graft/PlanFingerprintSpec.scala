@@ -90,6 +90,11 @@ class PlanFingerprintSpec extends SparkSpec {
   // broadcast queries × streamed corpus — the NL join is the intended shape
   pin("s29_ann_brute",
     "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
+  // r7 OR-amplified form: bucket equi-join against the broadcast query
+  // buckets carries (id, tbl, bucket) only; candidates dedup (1 exchange)
+  // before the vector-fetch joins (corpus scan pruned to 2 cols, AQE
+  // broadcasts the candidate side at this scale) and the top-k window
+  pin("s30_ann_lsh", "shuffles=4 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // contains ONE intentional single-partition sort: the vocab-rank
   // row_number's global Window.orderBy — bounded by the orderBy+limit(vocab)
   // TakeOrderedAndProject feeding it (≤ vocab rows by construction, never
