@@ -3,7 +3,7 @@ package graft
 import graft.agg.Folds
 import graft.core.Tables
 import graft.io.{Csv, CsvDialect}
-import graft.ops.{Dedup, Relational, Similarity}
+import graft.ops.{Chunking, Dedup, Relational, Similarity}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1113,6 +1113,45 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // p90's corpus pass extended through the PREP TAIL — the full
+    // corpus→training-sequences flow a pretraining pipeline actually ships:
+    // exact dedup → quality floor → span-prune → LSH near-dup clusters →
+    // temperature mix → eval-set decontamination (the d61 protocol) →
+    // 64-token window chunking (t80) → per-lang 2048-token sequence packing
+    // (t82). One end-to-end oracle hash-verifies the whole chain, chunk
+    // boundaries, bin assignments and all
+    "p91_composed_prep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
+      val clean = d.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 0.3)
+      val boiler = Dedup.repeatedSpans(clean, "doc_id", "text",
+          spanChars = 50, stride = 25, maxSpanDf = 10000)
+        .filter(col("repeat_frac") >= 0.5)
+        .select(col("id").as("doc_id"))
+      val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
+      val balanced = graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
+      // decontaminate against the held-out eval slice (doc_id % 25 == 0);
+      // eval members surviving inside the balanced set flag themselves and
+      // are dropped too — exactly what a train/eval split wants
+      val contaminated = Dedup.contamination(balanced,
+          d.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"))
+      val fin = balanced.join(contaminated, Seq("doc_id"), "left_anti")
+      val chunks = Chunking.tokenWindows(fin, "doc_id", "text", window = 64, stride = 32)
+        .join(fin.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_id"))
+        .select(col("lang"), col("chunk_uid"), col("chunk"))
+      Chunking.packSequences(chunks, "chunk_uid", "chunk",
+          budget = 2048, shardCols = Seq("lang"))
+        .orderBy(col("lang"), col("bin"), col("chunk_uid"))
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -2003,6 +2042,81 @@ object SparkEntry {
         |bal AS (SELECT d.doc_id, d.lang FROM dd d JOIN th USING (lang)
         |        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh)
         |SELECT lang, count(*) AS n_docs FROM bal GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // p91 = p90's chain (bal carries text) + the prep tail: d61-shaped
+    // decontamination, t80-shaped chunking, t82-shaped packing — every
+    // stage reuses its own query's proven oracle form
+    "p91_composed_prep" ->
+      """WITH RECURSIVE
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d2 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |toks0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM d2),
+        |parts AS (SELECT doc_id, lang, text,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks0),
+        |clean AS (SELECT doc_id, lang, text FROM parts
+        |  WHERE round(greatest(0.0, least(1.0,
+        |    (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) >= 0.3),
+        |spans AS (SELECT doc_id, unnest([md5(substr(text, o + 1, 50))
+        |                                 for o in range(0, len(text) - 50 + 1, 25)]) AS h
+        |          FROM clean WHERE len(text) >= 50),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h),
+        |rep AS (SELECT s.doc_id, count(*) AS n_spans,
+        |               count(CASE WHEN nd.nd > 1 THEN 1 END) AS n_rep
+        |        FROM spans s JOIN nd USING (h) GROUP BY s.doc_id),
+        |boiler AS (SELECT doc_id FROM rep WHERE round(n_rep * 1.0 / n_spans, 4) >= 0.5),
+        |pruned AS (SELECT c.* FROM clean c WHERE c.doc_id NOT IN (SELECT doc_id FROM boiler)),
+        |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pruned),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM ptoks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+        |comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+        |dd AS (SELECT p.* FROM pruned p
+        |       WHERE p.doc_id NOT IN (SELECT node FROM comp WHERE node <> cid)),
+        |c AS (SELECT lang, count(*) AS n FROM dd WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (SELECT min(n) AS minn FROM c),
+        |th AS (SELECT lang,
+        |  CASE WHEN CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT) >= 1048576
+        |       THEN 'g'
+        |       ELSE printf('%05x', CAST(floor(sqrt(CAST(minn AS DOUBLE) / n) * 1048576) AS BIGINT))
+        |  END AS thresh
+        |  FROM c, m),
+        |bal AS (SELECT d.doc_id, d.lang, d.text FROM dd d JOIN th USING (lang)
+        |        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh),
+        |evt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 25 = 0),
+        |ev AS (SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])) AS s FROM evt),
+        |bt AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM bal),
+        |csh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])) AS s FROM bt),
+        |cont AS (SELECT DISTINCT csh.doc_id AS doc_id FROM csh JOIN ev USING (s)),
+        |fin AS (SELECT doc_id, lang, t FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |sts AS (SELECT doc_id, lang, t,
+        |       unnest(generate_series(1, greatest(len(t), 1), 32)) AS st FROM fin),
+        |ch AS (SELECT lang, doc_id * 10000 + (st - 1) // 32 AS chunk_uid,
+        |       array_to_string(t[st : st + 63], ' ') AS chunk FROM sts),
+        |pt AS (SELECT lang, chunk_uid,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+        |       md5(CAST(chunk_uid AS VARCHAR)) AS h FROM ch),
+        |pc AS (SELECT lang, chunk_uid, n_tokens,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, chunk_uid
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         - n_tokens AS strt
+        |       FROM pt)
+        |SELECT lang, chunk_uid, n_tokens,
+        |  CAST(strt // 2048 AS BIGINT) AS bin,
+        |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS bin_offset
+        |FROM pc ORDER BY lang, bin, chunk_uid""".stripMargin,
 
     // rank sums are integers, so the per-doc mean is exact in both engines;
     // the vocab rank order (tf desc, token asc) is a unique total order
