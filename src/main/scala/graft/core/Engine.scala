@@ -34,6 +34,26 @@ object Engine {
   def session(master: String = "local[32]", cpus: Int = 32): SparkSession = {
     val s = builder(master, cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    tuneParallelism(s)
+  }
+
+  /** Key shuffle parallelism off the session's REAL width, not the builder's
+    * `cpus` hint: `spark.sql.shuffle.partitions` (the AQE fallback floor)
+    * tracks `defaultParallelism`, and
+    * `coalescePartitions.initialPartitionNum` starts every shuffle 8× wider
+    * so AQE can coalesce DOWN to the advisory byte size per stage. The
+    * initial reducer count is the scale knob that must grow with cluster ×
+    * data (a 1000-executor session gets ~8000 cores → 64k initial reducers
+    * — partition-fitting at 100 TB); the FINAL count per stage is chosen at
+    * runtime from observed bytes, so local plans keep their shapes (pinned
+    * by PlanFingerprintSpec) and small stages still coalesce to a handful
+    * of tasks. Both are runtime SQL confs, so this also repairs sessions
+    * whose builder hint mis-stated the cluster (getOrCreate reuse). */
+  def tuneParallelism(s: SparkSession): SparkSession = {
+    val par = s.sparkContext.defaultParallelism
+    s.conf.set("spark.sql.shuffle.partitions", par.toString)
+    s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (par * 8L).toString)
     s
   }
 }

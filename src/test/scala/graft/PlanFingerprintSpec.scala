@@ -143,6 +143,18 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("q85_upsert_snapshot",
     "shuffles=2 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,1,4,4,4]")
 
+  test("Engine.session keys shuffle parallelism off the real session width") {
+    // every pin above runs under this session — their being green IS the
+    // "local plans unchanged by the scale knobs" evidence; here pin the
+    // knobs themselves: the AQE floor tracks defaultParallelism and shuffles
+    // START 8x wider so AQE coalesces down per-stage from observed bytes
+    val par = spark.sparkContext.defaultParallelism
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == par.toString)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      == (par * 8L).toString)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+  }
+
   test("q78 scan is partition-pruned to exactly the 3 filtered days") {
     val df = SparkEntry.queries("q78_partition_prune")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan match {
