@@ -162,19 +162,26 @@ object Sampling {
     * verification. The map `x → ln((N-x+0.5)/(x+0.5))` is monotone in the
     * rational core, so the per-doc RANKING equals the textbook log form's.
     *
-    * Three shuffles, all term-level (never corpus-rows-squared): tf
-    * hash-agg on (doc, token); df hash-agg on token (vocab-sized) — over
-    * the ALREADY-AGGREGATED tf relation (one row per (doc, token), so
-    * count(*) per token IS the document frequency), which spares a second
-    * corpus-scale tokenize+explode pass; the per-doc top-k window
-    * (WindowGroupLimit-bounded). N comes from a broadcast 1-row aggregate
-    * — no driver action.
+    * ONE corpus-level shuffle (the top-k window): term frequency is a
+    * per-DOCUMENT statistic, so the tf relation needs no aggregation at
+    * all — the codegen'd `token_counts` expression builds each document's
+    * (token → tf) map in one pass over its token array and
+    * `explode(token_counts(...))` emits exactly the rows the old
+    * explode + groupBy(doc, token) hash-agg produced, with zero exchange.
+    * df comes from a token-level hash-agg over that tf relation (one row
+    * per (doc, token), so count(*) per token IS the document frequency);
+    * its exchange carries map-side-combined (token, partial-count) rows,
+    * vocab × partitions at most, and the result joins back by AQE's choice
+    * (broadcast at any realistic vocab). N comes from a broadcast 1-row
+    * aggregate — no driver action. Only the per-doc top-k window
+    * (WindowGroupLimit-bounded) repartitions the corpus-sized stream.
     * Output: (id, token, tfidf, rnk), `k` rows per doc. */
   def tfIdfTopTerms(df0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val df = graft.core.Par.widen(df0)
-    val toks = df.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
-    val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = df.select(col(idCol).as("id"),
+        explode(graft.functions.TokenCountsExpression.tokenCounts(df0.sparkSession,
+          graft.functions.TextFunctions.tokens(col(textCol)))))
+      .select(col("id"), col("key").as("token"), col("value").as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))

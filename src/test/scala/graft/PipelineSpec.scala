@@ -341,6 +341,38 @@ class PipelineSpec extends SparkSpec {
     assert(d3 == Seq("completely", "content", "different"), d3.toString)
   }
 
+  test("token_counts: map equals explode+groupBy tf on nulls, empties, repeats") {
+    import graft.functions.{TextFunctions, TokenCountsExpression}
+    val d = Seq(
+      (1L, "the quick the quick the fox"),
+      (2L, ""),                    // split("") -> [""] — one empty token
+      (3L, null.asInstanceOf[String]),
+      (4L, "a a a a a a a a")
+    ).toDF("id", "text")
+    val viaMap = d.select(col("id"),
+        explode(TokenCountsExpression.tokenCounts(spark, TextFunctions.tokens(col("text")))))
+      .select(col("id"), col("key").as("token"), col("value").as("tf"))
+    val viaAgg = d.select(col("id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val m = viaMap.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == a, s"map=$m agg=$a")
+    assert(m((1L, "the")) == 3L && m((1L, "quick")) == 2L && m((4L, "a")) == 8L)
+    assert(m.contains((2L, "")) && !m.keys.exists(_._1 == 3L)) // null text -> no rows
+    // interpreted path (eval) agrees with the codegen'd one
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Seq("x", "y", "x").map(UTF8String.fromString))
+    val out = graft.functions.TokenCounts(CatLit.create(null, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)))
+    assert(out.eval(null) == null)
+    val lit2 = CatLit(arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val got = graft.functions.TokenCounts(lit2).eval(null).asInstanceOf[ArrayBasedMapData]
+    assert(got.keyArray.numElements == 2 && got.valueArray.getLong(0) == 2L)
+  }
+
   test("quantizeInt8: codes in [-127,127], per-component error <= scale/2, zero vector safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),

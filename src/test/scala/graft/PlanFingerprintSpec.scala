@@ -95,6 +95,14 @@ class PlanFingerprintSpec extends SparkSpec {
   // before the vector-fetch joins (corpus scan pruned to 2 cols, AQE
   // broadcasts the candidate side at this scale) and the top-k window
   pin("s30_ann_lsh", "shuffles=4 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
+  // r7 token_counts form: tf is a per-row codegen'd map projection (zero
+  // exchange — term frequency is per-document); the df agg and N are
+  // broadcast; the only corpus-sized exchange is the top-k window's, fed
+  // by a partial WindowGroupLimit so it carries ≤ k·docs rows
+  // (the static plan re-prints the scan/widen/tokenize subtree under the df
+  // branch — AQE stage reuse materializes it once at runtime)
+  pin("t75_tfidf",
+    "shuffles=7 bcast=2 joins=[BroadcastHashJoin=1,BroadcastNestedLoopJoin=1] scans=[1,1,2]")
   // contains ONE intentional single-partition sort: the vocab-rank
   // row_number's global Window.orderBy — bounded by the orderBy+limit(vocab)
   // TakeOrderedAndProject feeding it (≤ vocab rows by construction, never
