@@ -314,4 +314,113 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("composed corpus pass: stage-boundary invariants on adversarial corpora") {
+    // p90/p91's single recursive-CTE oracle proves the happy path at sf0.01;
+    // these generators stress the corpus shapes the driver data can't reach
+    // (all-duplicate, all-boilerplate, single-language, empty/singleton) and
+    // assert the set-algebra each stage boundary must preserve regardless of
+    // data: every stage's survivors ⊆ its input, near-dup pairs never both
+    // survive cluster resolution, and the temperature mix keeps the minimum
+    // stratum whole.
+    import graft.functions.TextFunctions
+    import graft.ops.{Chunking, Sampling}
+    val langs = Seq("en", "de", "fr")
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val sentence = for {
+      n <- Gen.choose(3, 25); ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    // ≥ 75 chars shared prefix → span offsets 0 and 25 collide across docs
+    // while the unique suffix keeps exact dedup from collapsing them first
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val mixed = for {
+      n <- Gen.choose(2, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(langs), sentence))
+    } yield rows.zipWithIndex.map { case ((l, t), i) => (i.toLong + 1, l, t) }
+    val allDup = for {
+      n <- Gen.choose(2, 30); l <- Gen.oneOf(langs); t <- sentence
+    } yield (1 to n).map(i => (i.toLong, l, t)).toList
+    val allBoiler = for { n <- Gen.choose(2, 20) } yield
+      (1 to n).map(i => (i.toLong, langs(i % langs.size), s"$boiler unique$i")).toList
+    val singleLang = for {
+      n <- Gen.choose(2, 25); rows <- Gen.listOfN(n, sentence)
+    } yield rows.zipWithIndex.map { case (t, i) => (i.toLong + 1, "en", t) }
+    val corpus = Gen.oneOf(mixed, allDup, allBoiler, singleLang)
+    def check(rows: List[(Long, String, String)]): Unit = {
+      val d = rows.toDF("doc_id", "lang", "text")
+      val ids = rows.map(_._1).toSet
+
+      val keep = Dedup.exact(d, "doc_id", Seq("text")).select(col("doc_id"))
+      val keepIds = keep.as[Long].collect().toSet
+      assert(keepIds.subsetOf(ids), "dedup emitted an unknown id")
+      assert(keepIds.size == rows.map(_._3).distinct.size, "dedup ≠ distinct texts")
+      // canonical member = min id per text group
+      val wantReps = rows.groupBy(_._3).values.map(_.map(_._1).min).toSet
+      assert(keepIds == wantReps, s"dedup reps $keepIds ≠ min-id reps $wantReps")
+
+      val clean = d.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), Seq("the", "a")))
+        .filter(col("quality") >= 0.3)
+      val cleanIds = clean.select(col("doc_id")).as[Long].collect().toSet
+      assert(cleanIds.subsetOf(keepIds), "quality floor grew the set")
+
+      val boilerDrop = Dedup.repeatedSpans(clean, "doc_id", "text",
+          spanChars = 50, stride = 25, maxSpanDf = 10000)
+        .filter(col("repeat_frac") >= 0.5)
+        .select(col("id").as("doc_id"))
+      val pruned = clean.join(boilerDrop, Seq("doc_id"), "left_anti")
+      val prunedIds = pruned.select(col("doc_id")).as[Long].collect().toSet
+      assert(prunedIds.subsetOf(cleanIds), "span prune grew the set")
+
+      val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, verifyThreshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val pairRows = pairs.as[(Long, Long)].collect().toSeq
+      val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
+      val dedupedIds = deduped.select(col("doc_id")).as[Long].collect().toSet
+      assert(dedupedIds.subsetOf(prunedIds), "cluster resolution grew the set")
+      pairRows.foreach { case (a, b) =>
+        assert(!(dedupedIds(a) && dedupedIds(b)),
+          s"near-dup pair ($a,$b) both survived cluster resolution")
+      }
+
+      val balanced = Sampling.temperatureBalance(deduped, "lang", "doc_id")
+      val balIds = balanced.select(col("doc_id")).as[Long].collect().toSet
+      assert(balIds.subsetOf(dedupedIds), "mix grew the set")
+      val strata = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      if (strata.nonEmpty) {
+        val minN = strata.values.min
+        strata.filter(_._2 == minN).keys.foreach { l =>
+          val before = deduped.filter(col("lang") === l)
+            .select(col("doc_id")).as[Long].collect().toSet
+          assert(before.subsetOf(balIds), s"min stratum '$l' not kept whole")
+        }
+      }
+
+      // prep tail (p91): chunks only from surviving docs; packing assigns
+      // every chunk exactly one bin and loses/invents nothing
+      val chunks = Chunking.tokenWindows(balanced, "doc_id", "text",
+          window = 8, stride = 4)
+      val chunkDocIds = chunks.select(col("doc_id")).as[Long].collect()
+      assert(chunkDocIds.toSet.subsetOf(balIds), "chunk from a dropped doc")
+      assert(balIds.forall(chunkDocIds.toSet), "surviving doc with no chunks")
+      val withLang = chunks
+        .join(balanced.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_id"))
+      val packed = Chunking.packSequences(withLang, "chunk_uid", "chunk",
+          budget = 32, shardCols = Seq("lang"))
+      assert(packed.count() == withLang.count(), "packing lost or invented rows")
+      assert(packed.filter(col("bin") < 0 || col("bin_offset") < 0 ||
+        col("bin_offset") >= 32).count() == 0, "bin assignment out of range")
+    }
+    // the degenerate corpora ALWAYS run (Gen.oneOf might skip them):
+    // empty corpus, a single doc, two exact duplicates, and a pure
+    // shared-boilerplate pair that the span prune must empty out
+    check(List.empty)
+    check(List((7L, "en", "solo doc text here")))
+    check(List((1L, "en", "same text twice over"), (2L, "en", "same text twice over")))
+    check(List((1L, "en", s"$boiler tail1"), (2L, "de", s"$boiler tail2")))
+    forAll(corpus, cases = 8)(check)
+  }
 }
