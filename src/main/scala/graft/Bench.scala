@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint (driver contract: ONE JSON line on stdout).
   *
@@ -27,15 +26,9 @@ object Bench {
     // min-of-5 matches the external driver's pass count, so builder and
     // driver artifacts estimate the same statistic
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the library's own session factory (incl. the scale-aware AQE knobs):
+    // the bench must measure the configuration users actually run
+    val spark = core.Engine.session(s"local[$cpus]", cpus.toInt)
     // Multiple passes, min per query: host timing noise on this VM is 2-4x
     // run-to-run, and the minimum is the stable estimate of true cost.
     // optional comma-separated query filter (e.g. the dedup/ANN family for
@@ -92,8 +85,12 @@ object Bench {
       s""""$n":{"passes":$per,"min":${minOf(n).map(fmt).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a failure-tainted total is NOT comparable round-over-round (the failed
+    // query's cost silently vanishes from the sum) — null it in the artifact
+    // and let n_queries say how many mins the total aggregates
+    val totalJson = if (failed.isEmpty) fmt(total) else "null"
     val art =
-      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":${fmt(total)},"failed":$failedJson,"warmup":${warmups.mkString("[", ",", "]")},"queries":$detail}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"n_passes":$nPasses,"total_min":$totalJson,"n_queries":${results.size},"failed":$failedJson,"warmup":${warmups.mkString("[", ",", "]")},"queries":$detail}"""
     val out = java.nio.file.Paths.get(artifact)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))

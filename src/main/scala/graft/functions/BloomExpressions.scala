@@ -108,16 +108,25 @@ object BloomExpressions {
     org.apache.spark.sql.functions.call_function(name(bc), positions)
   }
 
-  /** Eagerly tear down the probe for `words`: unregister its temp function
-    * and destroy the backing broadcast (blocking until executors drop their
-    * blocks). No-op if `words` has no live probe. Call after the last batch
-    * probed against a bitset in a long-lived session. */
+  /** Eagerly reclaim the probe's executor memory for `words`: unregister
+    * its temp function, drop it from the share cache, and unpersist the
+    * backing broadcast (blocking until executors free their blocks). Call
+    * after the last batch probed against a bitset in a long-lived session.
+    *
+    * Deliberately `unpersist`, NOT `destroy`: the broadcast is SHARED — any
+    * caller holding the same array got the same Broadcast, and a destroy
+    * here would fail their not-yet-executed (or mid-flight) plans at task
+    * time with a destroyed-broadcast error. After unpersist, an outstanding
+    * plan's tasks lazily re-fetch the value from the driver and keep
+    * working; full teardown happens via ContextCleaner once no plan holds
+    * the Broadcast object (the cache entry is gone, so nothing pins it).
+    * No-op if `words` has no live probe. */
   def release(spark: SparkSession, words: Array[Long]): Unit = {
     val bc = broadcasts.synchronized(broadcasts.remove(words))
     if (bc != null) {
       spark.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name(bc)))
-      bc.destroy()
+      bc.unpersist(blocking = true)
     }
   }
 }

@@ -652,8 +652,10 @@ object Dedup {
     *    bitset is hundreds of MBs and a per-task literal would dominate the
     *    job's payload. Repeated probes against the SAME bits array reuse one
     *    broadcast (identity-keyed), so the batch-loop reuse pattern ships
-    *    the bitset once; [[graft.functions.BloomExpressions.release]] tears
-    *    it down eagerly when a long-lived session is done with it. */
+    *    the bitset once; [[graft.functions.BloomExpressions.release]]
+    *    reclaims the executor blocks eagerly when a long-lived session is
+    *    done with it (unpersist, not destroy — outstanding probes sharing
+    *    the array keep working and re-fetch lazily). */
   def bloomMightContain(key: Column, bits: Array[Long], numBits: Long, numHashes: Int): Column = {
     require(numHashes > 0, s"numHashes=$numHashes must be positive")
     if (numBits > BloomLiteralMaxBits) {
