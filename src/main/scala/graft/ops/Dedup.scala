@@ -316,15 +316,20 @@ object Dedup {
     // sum dropped — one aggregate over the just-checkpointed map, instead of
     // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
     // any id range (a wrapped bigint sum could collide and stop us early).
-    // The probe fires every SECOND round (and at the iteration cap): the
-    // probe's aggregate is also the job that materializes a round, so
-    // batching it halves the job count — two rounds chain into one job, the
-    // intermediate round's lazy localCheckpoint materializing as a cached
-    // stage inside it (block-level locking in the BlockManager makes the
-    // concurrent references compute each partition once). Monotonicity makes
-    // the 2-round probe exact, not approximate: an unchanged sum over ANY
-    // span proves no label moved anywhere in that span, so "converged" still
-    // means converged — at worst one already-converged round of extra work,
+    // The probe fires on ODD rounds (1, 3, 5, …) and at the iteration cap:
+    // the probe's aggregate is also the job that materializes a round, so
+    // probing every 2nd round halves the job count on long chains — two
+    // rounds chain into one job, the intermediate round's lazy
+    // localCheckpoint materializing as a cached stage inside it
+    // (block-level locking in the BlockManager makes the concurrent
+    // references compute each partition once). Odd (not even) rounds
+    // because the DOMINANT near-dup case converges immediately — the fused
+    // init is already the fixpoint and round 1 merely confirms it — and an
+    // even-round probe would pay a second, wasted round before noticing.
+    // Monotonicity makes the batched probe exact, not approximate: an
+    // unchanged sum over ANY span proves no label moved anywhere in that
+    // span, so "converged" still means converged — at worst one
+    // already-converged round of extra work on even-round fixpoints,
     // against a saved scheduling+probe job per surviving pair of rounds.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
@@ -351,7 +356,7 @@ object Dedup {
         .select(col("node"), coalesce(col("kl"), col("label")).as("label")))
       labels = jumped
       iter += 1
-      if (iter % 2 == 0 || iter == maxIter) {
+      if (iter % 2 == 1 || iter == maxIter) {
         val curSum = labelSum(labels)
         converged = curSum.compareTo(prevSum) == 0
         prevSum = curSum
