@@ -390,31 +390,24 @@ object Dedup {
     * fingerprint reproducible outside Spark — the oracle recomputes it. */
   val SimHashBits = 60
 
-  /** SimHash fingerprint (60-bit, MD5-derived) per document: explode distinct
-    * tokens, per-bit majority vote in one flat hash-aggregate (60 sum
-    * columns — map-side combine, one shuffle on id), then assemble the
-    * fingerprint with wrap-safe bitwise ops. Near-dups = small Hamming
+  /** SimHash fingerprint (60-bit, MD5-derived) per document. The per-bit
+    * majority vote over a document's distinct tokens is a per-DOCUMENT
+    * statistic, so the whole fingerprint is computed by the codegen'd
+    * [[graft.functions.SimHash60]] expression in one pass over the token
+    * array — a plain projection, ZERO exchange (the r1–r6 shape exploded
+    * tokens into a 60-sum hash-aggregate: a corpus shuffle for cross-row
+    * state the computation never needed). Identical fingerprints by
+    * construction: same md5-top-60-bit token hash, same ±1 votes, same
+    * bit assembly — and docs whose tokens are all null/absent return NULL
+    * and are filtered, reproducing the aggregate shape's "no rows
+    * exploded → doc absent" semantics. Near-dups = small Hamming
     * distance. Returns (id, simhash). */
   def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = graft.core.Par.widen(df0)
-    // 60-bit portable hash: first 15 hex chars of md5, parsed base-16.
-    // Materialized ONCE in this projection — the 60 vote aggregates below
-    // all read the same h column; an inline hash expression would be
-    // re-evaluated per aggregate (60 md5 digests per token, the dominant
-    // cost of the whole query)
-    val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val h = col("h")
-    val aggs = (0 until SimHashBits).map { b =>
-      sum(shiftright(h, b).bitwiseAND(1).cast("int") * 2 - 1).as(s"b$b")
-    }
-    val votes = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until SimHashBits).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("id"), fp.as("simhash"))
+    df.select(col(idCol).as("id"),
+        graft.functions.SimHashExpression.simHash60(df0.sparkSession,
+          TextFunctions.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Hamming-distance pairs over simhash fingerprints within `maxDist`, using

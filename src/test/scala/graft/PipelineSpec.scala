@@ -116,6 +116,49 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("sim_hash60 expression ≡ the 60-sum aggregate shape; null semantics") {
+    // the r1-r6 simHash was an explode + 60-sum hash-aggregate; the r7
+    // expression must reproduce its fingerprints bit-for-bit on arbitrary
+    // text (incl. repeated tokens, whose distinctness the aggregate got
+    // from array_distinct and the expression gets from its HashSet)
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "same same same same different tokens here"),
+      (4L, ""),                    // one empty-string token — still a vote
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaExpr = Dedup.simHash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inline replica of the old aggregate shape
+    val toks = d.select(col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val aggs = (0 until Dedup.SimHashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1).cast("int") * 2 - 1).as(s"b$b")
+    }
+    val votes = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until Dedup.SimHashBits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val viaAgg = votes.select(col("id"), fp.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg, s"expr=$viaExpr agg=$viaAgg")
+    assert(!viaExpr.contains(5L), "null-text doc must be absent, like the old shape")
+    assert(viaExpr.contains(4L), "empty text has one empty token -> a fingerprint")
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Seq("quick", "brown", "quick").map(UTF8String.fromString))
+    val lit2 = CatLit(arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val evalFp = graft.functions.SimHash60(lit2).eval(null)
+    val sparkFp = Dedup.simHash(Seq((1L, "quick brown quick")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head.getLong(1)
+    assert(evalFp == sparkFp, s"eval=$evalFp codegen=$sparkFp")
+  }
+
   test("cosine + brute-force top-k on hand-checkable vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

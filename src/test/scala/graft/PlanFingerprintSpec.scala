@@ -83,10 +83,12 @@ class PlanFingerprintSpec extends SparkSpec {
   // sides (AQE reuses the stage), verify joins broadcast at this scale
   pin("d23_minhash_lsh",
     "shuffles=7 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
-  // bucket equi-join form (r5): the (band, bsig) join broadcasts at this
-  // scale; at corpus scale it is a two-exchange shuffle join of 32-byte rows
+  // r7: the fingerprint is the codegen'd sim_hash60 projection (ZERO
+  // exchange — the 60-sum hash-agg shuffle is gone); the (band, bsig)
+  // bucket equi-join broadcasts at this scale; at corpus scale it is a
+  // two-exchange shuffle join of 32-byte rows
   pin("d24_simhash_pairs",
-    "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+    "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   // broadcast queries × streamed corpus — the NL join is the intended shape
   pin("s29_ann_brute",
     "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
