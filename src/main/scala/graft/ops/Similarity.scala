@@ -99,20 +99,21 @@ object Similarity {
   /** Per-table sign-signature buckets for OR-amplified LSH: table `t` uses
     * hyperplane rows [t·planes, (t+1)·planes) of
     * `planeMatrix(tables·planes, dim)`, so the tables are independent.
-    * Returns array<long> of `tables` bucket ids. */
-  private def lshBucketTables(vec: Column, planes: Int, tables: Int, dim: Int): Column = {
-    val mat = planeMatrix(planes * tables, dim)
-    val bs = (0 until tables).map { tbl =>
-      (0 until planes).map { p =>
-        val proj = aggregate(
-          zip_with(vec, typedLit(mat(tbl * planes + p).toIndexedSeq),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    requireDim(vec, dim, array(bs: _*))
-  }
+    * Returns array<long> of `tables` bucket ids.
+    *
+    * Computed by the codegen'd [[graft.functions.LshBuckets]] expression —
+    * one fused pass over the vector for all planes×tables projections (the
+    * per-plane `aggregate(zip_with(...))` form, kept as [[lshBucket]] for
+    * the equivalence spec, runs that many interpreted passes per row and
+    * dominates d74/s30 at corpus scale). Bit-identical by construction:
+    * same md5 matrix, same left-to-right double accumulation, same
+    * null-element → bucket-0 degradation — which is exactly why
+    * [[requireDim]] stays wrapped OUTSIDE the expression, raising before a
+    * dim mismatch can silently collapse the join. */
+  private def lshBucketTables(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                              planes: Int, tables: Int, dim: Int): Column =
+    requireDim(vec, dim,
+      graft.functions.LshExpressions.lshBuckets(spark, vec, planes, tables, dim))
 
   /** Embedding near-duplicate pairs at corpus scale: LSH-bucketed candidate
     * generation + exact cosine verification — never an all-pairs self-join.
@@ -141,7 +142,7 @@ object Similarity {
     val df = graft.core.Par.widen(df0)
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
     val bucketed = df.select(col(idCol).as("id"),
-      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
+      posexplode(lshBucketTables(df.sparkSession, col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("id").as("id_a"), col("tbl"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("tbl"), col("bucket"))
     // a pair bucketed together in several tables is still one candidate
@@ -287,9 +288,9 @@ object Similarity {
     val corpus = graft.core.Par.widen(corpus0)
     val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head().getInt(0)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
+      posexplode(lshBucketTables(corpus.sparkSession, col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
     val qb = broadcast(queries.select(col(idCol).as("query_id"),
-      posexplode(lshBucketTables(col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket"))))
+      posexplode(lshBucketTables(corpus.sparkSession, col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket"))))
     val cand = c.join(qb, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")

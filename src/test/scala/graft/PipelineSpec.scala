@@ -159,6 +159,50 @@ class PipelineSpec extends SparkSpec {
     assert(evalFp == sparkFp, s"eval=$evalFp codegen=$sparkFp")
   }
 
+  test("lsh_buckets expression ≡ the per-plane aggregate(zip_with) shape; null semantics") {
+    // the r1-r7 bucket projection was planes×tables interpreted HOF passes;
+    // the native expression must reproduce every table's bucket bit-for-bit
+    // (same md5 matrix, same left-to-right double fold, same >= 0 sign test)
+    val planes = 5; val tables = 3; val dim = 8
+    val rnd = new scala.util.Random(42)
+    val vecs = (1L to 64L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))) :+
+      (65L, Array(1e-30f, -1e-30f, 0f, 0f, 0f, 0f, 0f, 0f))  // near-zero projections
+    val d = vecs.toDF("id", "vec")
+    val viaExpr = d.select(col("id"),
+        graft.functions.LshExpressions.lshBuckets(spark, col("vec"), planes, tables, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // inline replica of the old HOF shape (lshBucketTables pre-r7)
+    val mat = Similarity.planeMatrix(planes * tables, dim)
+    val bs = (0 until tables).map { tbl =>
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(col("vec"), typedLit(mat(tbl * planes + p).toIndexedSeq),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val viaHof = d.select(col("id"), array(bs: _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaHof)
+    // a null element poisons every projection -> bucket 0 in every table,
+    // exactly like zip_with's null product through the old fold
+    val withNull = Seq((1L, Array[java.lang.Float](1f, null, 3f, 4f, 5f, 6f, 7f, 8f)))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val nb = withNull.select(
+        graft.functions.LshExpressions.lshBuckets(spark, col("vec"), planes, tables, dim))
+      .collect().head.getSeq[Long](0)
+    assert(nb == Seq.fill(tables)(0L), s"null element must degrade to bucket 0, got $nb")
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = new GenericArrayData(vecs.head._2)
+    val lit1 = CatLit(arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val evalB = graft.functions.LshBuckets(lit1, planes, tables, dim)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(evalB == viaExpr(1L), s"eval=$evalB codegen=${viaExpr(1L)}")
+  }
+
   test("cosine + brute-force top-k on hand-checkable vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
