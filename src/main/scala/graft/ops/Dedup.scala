@@ -143,7 +143,12 @@ object Dedup {
 
   /** MinHash signatures as `numHashes` columns `h0..h{k-1}`, one row per id:
     * explode the shingle set once and take seeded-hash minima in a single
-    * flat hash-aggregate (map-side partials, one shuffle on id). */
+    * flat hash-aggregate (map-side partials, one shuffle on id).
+    *
+    * This is the composable AGGREGATE formulation, kept as the documented
+    * equivalence partner of the codegen'd [[graft.functions.MinHash64]]
+    * expression [[minHashLsh]] actually runs (identical xxhash64 fold math,
+    * zero exchange) — the PipelineSpec pins the two bit-for-bit equal. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     // Hash the (variable-length) shingle string ONCE, then derive the k
     // seeded hashes by re-hashing the resulting fixed-width long — ~6x
@@ -188,20 +193,33 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val shingles = docs.select(col("id"), explode(col("sh")).as("shingle"))
-    val sig = minHashSignatures(shingles, numHashes)
-    val bandsArr = array((0 until bands).map { b =>
-      xxhash64((0 until r).map(j => col(s"h${b * r + j}")): _*)
-    }: _*)
+    // banded signatures are per-document statistics: the codegen'd
+    // min_hash64 expression computes all k minima AND the band fold in one
+    // pass over the shingle array — a plain projection, ZERO exchange
+    // (minHashSignatures' explode + k-min hash-aggregate shape, kept above
+    // as the documented equivalence partner, shuffled one row per
+    // (doc, shingle)). The expression emits the band array directly and is
+    // referenced exactly ONCE: splitting the minima into h columns via
+    // element_at lets CollapseProject inline — re-evaluate — the whole
+    // signature per column (measured 35× on d23).
+    val sigB = docs.select(col("id"),
+      graft.functions.MinHashExpression.minHash64(
+        df.sparkSession, col("sh"), numHashes, bands).as("bands"))
     val cand = if (pairJoin) {
       // codegen'd (band, bsig) equi-join with first-collision-band unique
       // emission — the simHashPairs shape: the O(k²) per-bucket loop stays
       // inside whole-stage codegen and no distinct pass exists. Rows carry
       // the full band array (8·bands bytes) so the first-collision
-      // predicate can compare lower bands in-row.
-      val banded = sig.select(col("id"), bandsArr.as("bands"))
+      // predicate can compare lower bands in-row. The repartition sits
+      // BELOW the per-side renames on purpose: it is the very distribution
+      // the self-join requires, so EnsureRequirements adds no further
+      // exchange and ReuseExchange evaluates the signature projection once
+      // for both sides (the old aggregate got that reuse for free from its
+      // own exchange).
+      val banded = sigB
         .select(col("id"), col("bands"),
           posexplode(col("bands")).as(Seq("band", "bsig")))
+        .repartition(col("band"), col("bsig"))
       val a = banded.select(col("id").as("id_a"), col("bands").as("ba"),
         col("band"), col("bsig"))
       val b = banded.select(col("id").as("id_b"), col("bands").as("bb"),
@@ -220,8 +238,8 @@ object Dedup {
       // materializes one collected id list — a timing wash vs the join at
       // near-singleton buckets (±20% across runs, see Scaladoc), but
       // unbounded on a degenerate all-duplicates bucket, hence not default
-      val banded = sig.select(col("id"),
-        posexplode(bandsArr).as(Seq("band", "bsig")))
+      val banded = sigB.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "bsig")))
       banded.groupBy(col("band"), col("bsig"))
         .agg(sort_array(collect_list(col("id"))).as("ids"))
         .filter(size(col("ids")) > 1)

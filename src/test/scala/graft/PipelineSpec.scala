@@ -159,6 +159,66 @@ class PipelineSpec extends SparkSpec {
     assert(evalFp == sparkFp, s"eval=$evalFp codegen=$sparkFp")
   }
 
+  test("min_hash64 expression ≡ the explode + k-min aggregate shape; null semantics") {
+    // minHashLsh ran signatures through minHashSignatures (explode + k-min
+    // hash-aggregate) in r1-r7; the native expression must reproduce every
+    // minimum bit-for-bit on real corpus shingle sets
+    val k = 64
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val docs = d.select(col("doc_id").as("id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaExpr = docs.select(col("id"),
+        graft.functions.MinHashExpression.minHash64(spark, col("sh"), k).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minHashSignatures(
+        docs.select(col("id"), explode(col("sh")).as("shingle")), k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(viaExpr(id) == sig, s"signature mismatch for doc $id")
+    }
+    // banded form == the old xxhash64(h_{b·r}..h_{b·r+r-1}) band fold over
+    // the aggregate's minima columns (what minHashLsh actually runs)
+    val bands = 16; val r = k / bands
+    val viaExprBands = docs.select(col("id"),
+        graft.functions.MinHashExpression.minHash64(spark, col("sh"), k, bands).as("b"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    val aggSig = Dedup.minHashSignatures(
+      docs.select(col("id"), explode(col("sh")).as("shingle")), k)
+    val bandsArr = array((0 until bands).map { b =>
+      xxhash64((0 until r).map(j => col(s"h${b * r + j}")): _*)
+    }: _*)
+    val viaAggBands = aggSig.select(col("id"), bandsArr.as("b"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    assert(viaExprBands == viaAggBands)
+    // empty shingle set -> NULL (the old shape's "no rows exploded" absence);
+    // a null element contributes the bare seed like xxhash64(NULL) did
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq[String](null, "x")))
+      .toDF("id", "sh")
+    val e = edge.select(col("id"),
+        graft.functions.MinHashExpression.minHash64(spark, col("sh"), 4).as("mh"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(e(1L).isEmpty, "empty array must yield NULL")
+    val nullAndX = edge.filter(col("id") === 2L)
+      .select(explode(col("sh")).as("shingle")).withColumn("id", lit(2L))
+    val aggNullAndX = Dedup.minHashSignatures(nullAndX, 4).collect()
+      .map(r => (1 to 4).map(r.getLong)).head
+    assert(e(2L).get == aggNullAndX, s"${e(2L).get} != $aggNullAndX")
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Seq("a b c", "b c d").map(UTF8String.fromString))
+    val lit1 = CatLit(arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val evalSig = graft.functions.MinHash64(lit1, 8).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val codegenSig = Seq((1L, Seq("a b c", "b c d"))).toDF("id", "sh")
+      .select(graft.functions.MinHashExpression.minHash64(spark, col("sh"), 8))
+      .collect().head.getSeq[Long](0)
+    assert(evalSig == codegenSig, s"eval=$evalSig codegen=$codegenSig")
+  }
+
   test("lsh_buckets expression ≡ the per-plane aggregate(zip_with) shape; null semantics") {
     // the r1-r7 bucket projection was planes×tables interpreted HOF passes;
     // the native expression must reproduce every table's bucket bit-for-bit

@@ -79,8 +79,14 @@ class PlanFingerprintSpec extends SparkSpec {
     "shuffles=8 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r6 streamed-bucket form: candidates via the codegen'd (band, bsig)
   // self equi-join (first-collision-band emission, no distinct pass, no
-  // per-bucket collected list); the signature-agg exchange feeds both join
-  // sides (AQE reuses the stage), verify joins broadcast at this scale
+  // per-bucket collected list); verify joins broadcast at this scale.
+  // r7: signatures come from the codegen'd min_hash64 banded projection —
+  // the explode + k-min signature-agg shuffle is gone; in its place an
+  // explicit (band, bsig) repartition below the per-side renames (the very
+  // distribution the self-join needs at scale) whose two statically-planned
+  // copies AQE reuses at runtime, so the signature projection executes
+  // once. Static count unchanged at 7 (2 widen + 2 repartition + 2 verify
+  // + 1 final); runtime stages: d23 1.47 → 1.20 s
   pin("d23_minhash_lsh",
     "shuffles=7 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r7: the fingerprint is the codegen'd sim_hash60 projection (ZERO
