@@ -106,6 +106,22 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.distinct().count() == expected, "pairs must be unique without a distinct")
   }
 
+  test("minHashLsh: AQE reuses the (band, bsig) exchange — signatures computed once") {
+    // the codegen'd min_hash64 banded projection is referenced by BOTH
+    // sides of the candidate self equi-join; the explicit (band, bsig)
+    // repartition below the per-side renames is the very distribution the
+    // join requires, and AQE's stage cache must materialize it once —
+    // otherwise the signature projection (the dominant per-row cost) runs
+    // twice over the corpus
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16, pairJoin = true)
+    pairs.collect() // drive to the final adaptive plan
+    val fin = pairs.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), fin)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      s"the (band, bsig) signature exchange was not reused:\n$fin")
+  }
+
   test("simhash: identical docs collide, different docs differ") {
     val s = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
