@@ -762,8 +762,7 @@ object SparkEntry {
       // file-stream sources take a directory; glob-filter to the events table
       val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
         glob = Some("events.parquet"))
-      val ev = raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val ev = Tables.normalizeEventTs(raw)
       val agged = graft.streaming.Streams.windowedAgg(ev, "ts", "event_type", "1 hour",
         aggs = Seq(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total")))
       val sq = agged.writeStream.format("memory").queryName("graft_q58_sink")
@@ -855,8 +854,7 @@ object SparkEntry {
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
         glob = Some("events.parquet"))
-      val ev = raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val ev = Tables.normalizeEventTs(raw)
         .select(col("event_id"), col("ts"), col("event_type"))
       val deduped = graft.streaming.Streams.dedupStream(
         ev.union(ev), Seq("event_id"), "ts")
@@ -1251,7 +1249,14 @@ object SparkEntry {
     *  - x22_jaccard_inrow: d22 with `pairJoin = false` — the legacy in-row
     *    pair expansion (per-shingle collect_list + interpreted k² lambda),
     *    kept for head-to-head evidence against the streamed equi-join
-    *    default that replaced it in r7. */
+    *    default that replaced it in r7.
+    *  - x74_neardup_auto: d74 with `planes` sized by `autoPlanes` from the
+    *    corpus count instead of pinned at 4 — the documented "planes grows
+    *    ~log₂(n)" operating contract made executable, so the 10× stress can
+    *    measure the contract (near-linear candidates) head-to-head against
+    *    the fixed-knob driver query (quadratic per-bucket densification).
+    *    Bench-only because the oracle pins md5 buckets at planes=4; the
+    *    equivalence of auto and fixed at equal n is spec-pinned instead. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -1262,6 +1267,11 @@ object SparkEntry {
     "x22_jaccard_inrow" -> ((s, dir) => {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.8, pairJoin = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x74_neardup_auto" -> ((s, dir) => {
+      Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     })
   )

@@ -121,17 +121,39 @@ object Par {
 }
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). One parquet
-  * file per table; `events.ts` arrives as raw nanosecond longs (see
-  * [[Engine.builder]]) and is normalized here to a micros TIMESTAMP plus the
-  * raw `ts_ns` column, so both precise arithmetic and time functions work.
+  * file per table; `events.ts` has arrived in different physical flavors
+  * across driver generations (raw nanosecond longs; naive `timestamp[us]` =
+  * TIMESTAMP_NTZ under Spark 4's parquet NTZ inference; tz-aware micros) and
+  * is normalized here to ONE shape — a micros TIMESTAMP `ts` plus a raw
+  * long `ts_ns` — so precise integer arithmetic (q17/q43 as-of and range
+  * joins) and time functions (q18 date_trunc, e32's Timestamp encoder) both
+  * work against any generation. The session timezone is pinned UTC
+  * ([[Engine.builder]]), so the NTZ→TIMESTAMP cast reads naive wall-clock
+  * values as the same UTC instants the oracle engine's `epoch()` assumes.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an events-shaped frame (any `ts` flavor) to `ts_ns` long at
+    * the original ts position + µs TIMESTAMP `ts` appended last. Pure
+    * projection — streaming-safe, used by the file-stream queries too. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => // raw nanos: keep exact ns, floor-divide to µs for ts
       df.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))) // integer div: exact µs floor
-    else df
+    case TimestampNTZType | TimestampType => // µs timestamp: derive the ns long
+      val cols = df.columns.map {
+        case "ts" => (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts_ns")
+        case c => col(c)
+      } :+ col("ts").cast(TimestampType).as("ts")
+      df.select(cols.toIndexedSeq: _*)
+    case other =>
+      throw new IllegalArgumentException(s"events.ts has unsupported type $other")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

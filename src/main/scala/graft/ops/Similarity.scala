@@ -170,6 +170,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Corpus-size-aware hyperplane count for [[nearDupPairs]] — the smallest
+    * `planes` holding the EXPECTED per-table bucket-mate count per row,
+    * n / 2^planes, at or below `targetMates`. Per-table candidate volume is
+    * then ≤ targetMates · n — LINEAR in the corpus — instead of the
+    * n² / 2^planes quadratic a FIXED `planes` degrades to as n grows. This
+    * is the "planes must grow ~log₂(n)" operating contract documented on
+    * [[nearDupPairs]], computed instead of hand-tuned.
+    *
+    * Recall cost of each +1 plane: a true pair at angle θ shares a given
+    * table's bucket with probability (1-θ/π)^planes, so callers growing
+    * `planes` via this helper should grow `tables` alongside (pair-miss
+    * probability compounds as its `tables`th power) to hold end-to-end
+    * recall — cheap, because the bucket exchange carries (id, tbl, bucket)
+    * only. Clamped to [1, 48]: past 2^48 buckets every row is alone and
+    * more planes only burn recall.
+    */
+  def autoPlanes(n: Long, targetMates: Double = 32.0): Int = {
+    require(targetMates > 0, s"targetMates=$targetMates must be > 0")
+    if (n <= 0) 1
+    else {
+      val raw = math.ceil(math.log(n / targetMates) / math.log(2.0)).toInt
+      math.min(48, math.max(1, raw))
+    }
+  }
+
+  /** [[nearDupPairs]] with `planes` sized by [[autoPlanes]] from the corpus
+    * count at call time: one count() pre-pass (parquet answers it from
+    * row-group metadata without touching the vector column) buys the
+    * linear-candidate contract automatically — at 10× the corpus this picks
+    * log₂ 10 ≈ 3–4 more planes and the candidate set grows ~10×, not ~100×.
+    * The fixed-knob [[nearDupPairs]] stays the right call when the corpus
+    * size is known and stable (and is what the md5-portable driver oracle
+    * pins); this is the operational entry point for a corpus that grows
+    * between runs. */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, tables: Int = 2, dim: Int = -1,
+                       targetMates: Double = 32.0): DataFrame = {
+    val planes = autoPlanes(df.count(), targetMates)
+    nearDupPairs(df, idCol, vecCol, threshold, planes = planes,
+      tables = tables, dim = dim)
+  }
+
   /** Scalar int8 quantization of an embedding column — the storage tier for
     * vector corpora at scale (4× smaller than float32 plus a per-vector
     * scale; dot products on int8 codes are also ~4× cheaper). Symmetric

@@ -491,6 +491,38 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == run(), "bucketing must be deterministic across runs")
   }
 
+  test("autoPlanes: linear-candidate sizing, log2 growth, clamps") {
+    import Similarity.autoPlanes
+    // n/2^planes <= targetMates at the returned planes, not at planes-1
+    assert(autoPlanes(1000, 32.0) == 5)   // 1000/32 = 31.25 -> ceil(log2) = 5
+    assert(autoPlanes(10000, 32.0) == 9)  // 312.5 -> 8.29 -> 9
+    // 10x the corpus adds ceil-log2(10) = 3..4 planes, so per-table expected
+    // candidates n * targetMates stay LINEAR in n
+    for (n <- Seq(1L << 10, 1L << 15, 1L << 20, 1L << 30)) {
+      val p = autoPlanes(n, 32.0)
+      assert(n.toDouble / math.pow(2, p) <= 32.0, s"n=$n planes=$p misses target")
+      assert(p == 1 || n.toDouble / math.pow(2, p - 1) > 32.0,
+        s"n=$n planes=$p overshoots: planes-1 already meets the target")
+      assert(autoPlanes(10 * n, 32.0) - p <= 4, s"10x step at n=$n too large")
+    }
+    // clamps: tiny/empty corpora floor at 1 plane; astronomic ones cap at 48
+    assert(autoPlanes(0) == 1 && autoPlanes(10) == 1)
+    assert(autoPlanes(Long.MaxValue, 1e-9) == 48)
+  }
+
+  test("nearDupPairsAuto: identical pairs to the fixed form at the derived planes") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val n = e.count()
+    val auto = Similarity.nearDupPairsAuto(e, "vec_id", "embedding",
+        threshold = 0.35, tables = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fixed = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.35, planes = Similarity.autoPlanes(n), tables = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(auto == fixed, "auto must be exactly the fixed form at autoPlanes(count)")
+    assert(auto.nonEmpty, "derived planes found no pairs at sf0.001")
+  }
+
   test("tfIdfTopTerms: rational-idf goldens, k rows per doc, lexicographic tie-break") {
     // N=4; 'dog' df=2 -> 1*(4-2+0.5)/2.5 = 1.0; 'the' tf=2 df=3 ->
     // 2*1.5/3.5 = 0.8571; other doc-1 tokens 1*1.5/3.5 = 0.4286 (tie ->
