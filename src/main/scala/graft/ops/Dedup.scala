@@ -375,9 +375,13 @@ object Dedup {
       labels = jumped
       iter += 1
       if (iter % 2 == 1 || iter == maxIter) {
+        val t0 = System.nanoTime()
         val curSum = labelSum(labels)
         converged = curSum.compareTo(prevSum) == 0
         prevSum = curSum
+        // dev visibility only: round pacing for scale tuning, off by default
+        if (sys.env.contains("GRAFT_CC_LOG")) System.err.println(
+          f"[cc] round $iter probe ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
       }
     }
     sym.unpersist()

@@ -25,4 +25,34 @@ class EntrySpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("normalizeEventTs: every driver ts generation folds to one shape") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // one instant, three physical flavors the generator has produced:
+    // int64 nanoseconds, naive timestamp[us] (TIMESTAMP_NTZ), tz-aware µs
+    val usEpoch = 820454400123456L // 1996-01-01 00:00:00.123456 UTC
+    val base = spark.range(1).select(lit(7L).as("event_id"), lit(usEpoch).as("us"),
+      lit("purchase").as("event_type"))
+    val flavors = Seq(
+      base.select(col("event_id"), (col("us") * 1000L).as("ts"), col("event_type")),
+      base.select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"), col("event_type")),
+      base.select(col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type")))
+    val outs = flavors.map { df =>
+      val out = core.Tables.normalizeEventTs(df)
+      // shape: ts_ns long replaces ts in place, µs TIMESTAMP appended last
+      assert(out.columns.toSeq == Seq("event_id", "ts_ns", "event_type", "ts"), df.schema.simpleString)
+      assert(out.schema("ts_ns").dataType == LongType)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.select(col("ts_ns"), unix_micros(col("ts")).as("ts_us")).head()
+    }
+    outs.foreach { r =>
+      assert(r.getLong(0) == usEpoch * 1000L, s"ts_ns ${r.getLong(0)}")
+      assert(r.getLong(1) == usEpoch, s"ts ${r.getLong(1)}")
+    }
+    val bad = base.select(col("event_id"), col("us").cast("string").as("ts"))
+    intercept[IllegalArgumentException](core.Tables.normalizeEventTs(bad))
+  }
 }
