@@ -964,6 +964,33 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): prune
+    // embedding-space near-duplicates, keeping ONE representative per
+    // semantic cluster. Composed from proven stages — d74's OR-amplified
+    // LSH near-dup pairs (never all-pairs) → d73's connected components →
+    // min-id representative per cluster; singletons (no semantic neighbor)
+    // survive whole. One end-to-end oracle: the d74 bucket CTE chained into
+    // the d73 recursive-CTE components. At 100 TB every stage is the
+    // already-audited scale shape; autoPlanes sizes the bucket count as the
+    // corpus grows (x74 evidence)
+    "p92_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.35, planes = 4, tables = 2, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      e.select(col("vec_id"))
+        .join(cc.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          when(col("component").isNull || col("component") === col("vec_id"), 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // int8 embedding quantization (the 4x storage tier): absmax codes plus
     // per-vector scale and the mean-abs reconstruction error — all IEEE-
     // exact double math, so codes AND the error hash-match the oracle
@@ -1710,6 +1737,11 @@ object SparkEntry {
     "d74_embed_neardup_lsh" ->
       nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
 
+    // d74's bucket/verify CTE chained into d73's recursive-CTE components:
+    // one oracle for the full semantic-dedup pass
+    "p92_semantic_dedup" ->
+      semanticDedupOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+
     // schema-merge oracle from the ORIGINAL table: gen-1 rows never carried
     // o_orderpriority, so it is NULL for them after the merged read
     "q77_schema_merge" ->
@@ -2258,5 +2290,47 @@ object SparkEntry {
        |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Semantic-dedup oracle (p92): the [[nearDupLshOracle]] candidate/verify
+    * chain feeding the d73-shaped recursive-CTE connected components, then
+    * the min-id keep rule; singletons survive as their own cluster of 1. */
+  private def semanticDedupOracle(planes: Int, tables: Int, dim: Int,
+                                  threshold: Double): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    def bucketExpr(tbl: Int): String = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(tbl * planes + p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map(tb =>
+      s"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 ON a.b$tb = b2.b$tb AND a.vec_id < b2.vec_id")
+      .mkString(" UNION ")
+    s"""WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucketCols FROM v),
+       |cand AS ($cand),
+       |p AS (SELECT id_a, id_b,
+       |  list_sum([va.e[i]*vb.e[i] for i in range(1, len(va.e)+1)]) /
+       |  (sqrt(list_sum([va.e[i]*va.e[i] for i in range(1, len(va.e)+1)])) *
+       |   sqrt(list_sum([vb.e[i]*vb.e[i] for i in range(1, len(vb.e)+1)]))) AS cosine
+       |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b),
+       |pr AS (SELECT id_a, id_b FROM p WHERE cosine >= $threshold),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(node, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.lbl),
+       |comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+       |sz AS (SELECT cid, count(*) AS cluster_size FROM comp GROUP BY cid)
+       |SELECT emb.vec_id,
+       |  coalesce(c.cid, emb.vec_id) AS cluster_id,
+       |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  CAST(CASE WHEN c.node IS NULL OR c.cid = emb.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM embeddings emb
+       |LEFT JOIN comp c ON c.node = emb.vec_id
+       |LEFT JOIN sz s ON s.cid = c.cid
+       |ORDER BY emb.vec_id""".stripMargin
   }
 }

@@ -510,6 +510,22 @@ class PipelineSpec extends SparkSpec {
     assert(autoPlanes(Long.MaxValue, 1e-9) == 48)
   }
 
+  test("p92 semantic dedup: one keep per cluster, keeper is the min id, singletons whole") {
+    val r = SparkEntry.queries("p92_semantic_dedup")(spark, sf("sf0.001"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val ids = r.map(_._1)
+    assert(ids.distinct.length == ids.length, "every embedding appears exactly once")
+    val byCluster = r.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._4 == 1L) == 1, s"cluster $cid must keep exactly one")
+      assert(rows.find(_._4 == 1L).get._1 == cid, s"cluster $cid keeper must be the min id")
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid sizes disagree")
+      assert(rows.map(_._1).min == cid, s"cluster $cid id must be its min member")
+    }
+    assert(byCluster.exists(_._2.length > 1), "sf0.001 must contain a real semantic cluster")
+    assert(byCluster.exists(_._2.length == 1), "sf0.001 must contain singletons")
+  }
+
   test("nearDupPairsAuto: identical pairs to the fixed form at the derived planes") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val n = e.count()
