@@ -1296,7 +1296,13 @@ object SparkEntry {
     *    measure the contract (near-linear candidates) head-to-head against
     *    the fixed-knob driver query (quadratic per-bucket densification).
     *    Bench-only because the oracle pins md5 buckets at planes=4; the
-    *    equivalence of auto and fixed at equal n is spec-pinned instead. */
+    *    equivalence of auto and fixed at equal n is spec-pinned instead.
+    *  - x25_jaccard_capped: d22 with `maxShingleDf = 500` — the documented
+    *    boilerplate-shingle cap measured against the exact default on a
+    *    shingle-hot corpus.
+    *  - x92_semantic_dedup_auto: p92 at the autoPlanes operating contract,
+    *    the semantic-dedup stress row that scales (fixed-knob p92 inherits
+    *    d74's densification by construction). */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -1313,6 +1319,35 @@ object SparkEntry {
       Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.35, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // d22 with the documented 100 TB mitigation ON: shingles shared by more
+    // than maxShingleDf docs leave the pair numerator (denominators stay
+    // exact set sizes), bounding the per-shingle join fan-out a
+    // boilerplate-heavy corpus otherwise makes quadratic
+    "x25_jaccard_capped" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleDf = 500)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // p92 with autoPlanes-sized buckets: the semantic-dedup pass at the
+    // operating contract (planes tracks log2 n), for stress runs where the
+    // fixed-knob p92 inherits d74's per-bucket densification
+    "x92_semantic_dedup_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairsAuto(e, "vec_id", "embedding",
+          threshold = 0.35, tables = 2, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      e.select(col("vec_id"))
+        .join(cc.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          when(col("component").isNull || col("component") === col("vec_id"), 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy(col("vec_id"))
     })
   )
 
