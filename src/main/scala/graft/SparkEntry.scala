@@ -314,6 +314,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // incremental near-dup for a GROWING corpus: d23's semantics restricted
+    // to pairs TOUCHING the newly-ingested batch (doc_id % 4 == 0), computed
+    // without generating a single history-vs-history pair — the batch's
+    // banded signatures probe the signature store, then the d23 verify tail.
+    // Oracle = the exact-Jaccard ≥0.8 pair set touching the batch (d23's own
+    // oracle row proves LSH collision recall is total at these knobs on this
+    // corpus, so the touching subset is exact too)
+    "d93_incremental_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalMinHashLsh(
+          d.filter(col("doc_id") % 4 === 0), d.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+          verifyThreshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup pairs (banded Hamming buckets)
     "d24_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(Dedup.simHash(t(s, dir, "documents"), "doc_id", "text"), maxDist = 3)
@@ -1509,6 +1525,17 @@ object SparkEntry {
         |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "d93_incremental_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8
+        |  AND (id_a % 4 = 0 OR id_b % 4 = 0) ORDER BY id_a, id_b""".stripMargin,
 
     "t25_text_quality" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

@@ -189,22 +189,7 @@ object Dedup {
                  pairJoin: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val df = graft.core.Par.widen(df0)
-    val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // banded signatures are per-document statistics: the codegen'd
-    // min_hash64 expression computes all k minima AND the band fold in one
-    // pass over the shingle array — a plain projection, ZERO exchange
-    // (minHashSignatures' explode + k-min hash-aggregate shape, kept above
-    // as the documented equivalence partner, shuffled one row per
-    // (doc, shingle)). The expression emits the band array directly and is
-    // referenced exactly ONCE: splitting the minima into h columns via
-    // element_at lets CollapseProject inline — re-evaluate — the whole
-    // signature per column (measured 35× on d23).
-    val sigB = docs.select(col("id"),
-      graft.functions.MinHashExpression.minHash64(
-        df.sparkSession, col("sh"), numHashes, bands).as("bands"))
+    val sigB = bandSignatures(df, idCol, textCol, n, numHashes, bands)
     val cand = if (pairJoin) {
       // codegen'd (band, bsig) equi-join with first-collision-band unique
       // emission — the simHashPairs shape: the O(k²) per-bucket loop stays
@@ -248,21 +233,116 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
     }
     if (verifyThreshold <= 0) cand
-    else {
-      // Verify: broadcast the (small) candidate set through the corpus twice,
-      // computing shingle sets AFTER the join so only matched docs pay for
-      // shingling. The corpus is never shuffled.
-      val bareA = df.select(col(idCol).as("id_a"), col(textCol).as("txt_a"))
-      val bareB = df.select(col(idCol).as("id_b"), col(textCol).as("txt_b"))
-      bareB.join(broadcast(bareA.join(broadcast(cand), "id_a")), "id_b")
-        .withColumn("sh_a", array_distinct(TextFunctions.shingles(col("txt_a"), n)))
-        .withColumn("sh_b", array_distinct(TextFunctions.shingles(col("txt_b"), n)))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jaccard") >= verifyThreshold)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    else verifyJaccard(df, idCol, textCol, cand, n, verifyThreshold)
+  }
+
+  /** Banded MinHash signature store: `(id, bands array<bigint>)`, one row per
+    * document — the PERSISTABLE form of [[minHashLsh]]'s signature stage
+    * (identical `min_hash64` fold math, so stored and freshly-computed
+    * signatures are interchangeable bit for bit; a PipelineSpec round-trip
+    * pins it). A pure projection, ZERO exchange: the codegen'd expression
+    * computes all `numHashes` minima AND the band fold in one pass over the
+    * shingle array. The expression is referenced exactly ONCE on purpose —
+    * CollapseProject inlines multi-referenced non-cheap aliases,
+    * re-evaluating the whole signature per reference (measured 35× on d23).
+    *
+    * At 100 TB this is what makes corpus GROWTH affordable: signatures are
+    * `8·bands` bytes per document (a ~0.01% shadow of the corpus), written
+    * once per ingested shard and reused by every later
+    * [[incrementalMinHashLsh]] batch — the history text is never re-shingled.
+    * Docs whose shingle set is empty (fewer than `n` tokens) carry no
+    * signature, matching [[minHashLsh]]'s candidate stage. */
+  def bandSignatures(df0: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0, "bands must divide numHashes")
+    val df = graft.core.Par.widen(df0)
+    df.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), graft.functions.MinHashExpression.minHash64(
+        df.sparkSession, col("sh"), numHashes, bands).as("bands"))
+  }
+
+  /** Incremental MinHash-LSH near-dup for a GROWING corpus: all near-dup
+    * pairs that TOUCH the new `batch` — batch-vs-history and batch-vs-batch —
+    * without ever generating a history-vs-history pair. This is the near-dup
+    * sibling of the exact [[incrementalDedup]]/bloom path: a 100 TB corpus
+    * ingesting a 0.1% daily shard must not re-pair the 99.9% it already
+    * resolved, and with `historySigs` read from the [[bandSignatures]] store
+    * it must not even re-SCAN the history text (the only history access left
+    * is the post-candidate verify fetch, and none at all when
+    * `verifyThreshold <= 0`).
+    *
+    * Shape: the batch's banded signatures are exploded and repartitioned on
+    * `(band, bsig)` — the exact distribution the probe join needs, so
+    * EnsureRequirements adds no further exchange on that side — then
+    * equi-joined against batch ∪ history buckets. The history side ships
+    * `(id, bands, band, bsig)` rows only (`8·bands`-byte signatures, never
+    * text). Uniqueness is in-plan and codegen'd, no distinct pass: a
+    * batch-batch pair must satisfy `id_a < id_b` (it appears oriented both
+    * ways), a batch-history pair appears oriented once and is kept as-is,
+    * and the [[minHashLsh]] first-collision-band predicate dedups across
+    * bands. Output pairs are normalized to `id_a < id_b` afterwards.
+    *
+    * Returns candidate pairs, or exact-Jaccard-verified
+    * `(id_a, id_b, jaccard)` when `verifyThreshold > 0` (same verify tail as
+    * [[minHashLsh]]: candidates broadcast, corpus never shuffled). Ids must
+    * be unique across batch ∪ history. Equivalence contract (PipelineSpec):
+    * with the same knobs this equals `minHashLsh(batch ∪ history)` filtered
+    * to pairs touching the batch. */
+  def incrementalMinHashLsh(batch: DataFrame, history: DataFrame,
+                            idCol: String, textCol: String,
+                            historySigs: Option[DataFrame] = None,
+                            n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                            verifyThreshold: Double = 0.0): DataFrame = {
+    val newSig = bandSignatures(batch, idCol, textCol, n, numHashes, bands)
+    val oldSig = historySigs.getOrElse(
+      bandSignatures(history, idCol, textCol, n, numHashes, bands))
+    val newB = newSig
+      .select(col("id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bsig")))
+      .repartition(col("band"), col("bsig"))
+    val oldB = oldSig.select(col("id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bsig")))
+    val a = newB.select(col("id").as("id_a"), col("bands").as("ba"),
+      col("band"), col("bsig"))
+    val b = newB.select(col("id").as("id_b"), col("bands").as("bb"),
+        col("band"), col("bsig"), lit(true).as("is_new"))
+      .unionByName(oldB.select(col("id").as("id_b"), col("bands").as("bb"),
+        col("band"), col("bsig"), lit(false).as("is_new")))
+    // first-collision band: every band BELOW this bucket's must differ
+    val first = (0 until bands - 1).foldLeft(lit(true)) { (acc, j) =>
+      acc && (lit(j) >= col("band") ||
+        element_at(col("ba"), j + 1) =!= element_at(col("bb"), j + 1))
     }
+    val cand = a.join(b, Seq("band", "bsig"))
+      .filter((!col("is_new") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b") && first)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    if (verifyThreshold <= 0) cand
+    else verifyJaccard(
+      batch.select(col(idCol), col(textCol))
+        .unionByName(history.select(col(idCol), col(textCol))),
+      idCol, textCol, cand, n, verifyThreshold)
+  }
+
+  /** Exact-Jaccard verification of an LSH candidate pair set: broadcast the
+    * (small) candidate set through the corpus twice, computing shingle sets
+    * AFTER the join so only matched docs pay for shingling. The corpus is
+    * never shuffled. `corpus` must cover every id the pairs reference. */
+  private def verifyJaccard(corpus: DataFrame, idCol: String, textCol: String,
+                            cand: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val bareA = corpus.select(col(idCol).as("id_a"), col(textCol).as("txt_a"))
+    val bareB = corpus.select(col(idCol).as("id_b"), col(textCol).as("txt_b"))
+    bareB.join(broadcast(bareA.join(broadcast(cand), "id_a")), "id_b")
+      .withColumn("sh_a", array_distinct(TextFunctions.shingles(col("txt_a"), n)))
+      .withColumn("sh_b", array_distinct(TextFunctions.shingles(col("txt_b"), n)))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Connected components over an undirected edge list — resolves near-dup

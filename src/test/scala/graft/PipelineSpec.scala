@@ -122,6 +122,46 @@ class PipelineSpec extends SparkSpec {
       s"the (band, bsig) signature exchange was not reused:\n$fin")
   }
 
+  test("incrementalMinHashLsh ≡ full minHashLsh restricted to batch-touching pairs (sf0.001)") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val batch = d.filter(col("doc_id") % 4 === 0)
+    val history = d.filter(col("doc_id") % 4 =!= 0)
+    val inc = Dedup.incrementalMinHashLsh(batch, history, "doc_id", "text",
+        verifyThreshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val incSet = inc.toSet
+    assert(inc.length == incSet.size, "pairs must be unique without a distinct")
+    val full = Dedup.minHashLsh(d, "doc_id", "text", 3, 64, 16, verifyThreshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 4 == 0 || p._2 % 4 == 0)
+    assert(incSet.nonEmpty && incSet == full)
+  }
+
+  test("incrementalMinHashLsh: stored signatures ≡ recomputed; empty-side edges") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val batch = d.filter(col("doc_id") % 4 === 0)
+    val history = d.filter(col("doc_id") % 4 =!= 0)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // the bandSignatures store round-trips through parquet bit-for-bit:
+    // probing stored history signatures = recomputing them from text
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    Dedup.bandSignatures(history, "doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val viaStore = set(Dedup.incrementalMinHashLsh(batch, history, "doc_id", "text",
+      historySigs = Some(spark.read.parquet(tmp)), verifyThreshold = 0.8))
+    val fresh = set(Dedup.incrementalMinHashLsh(batch, history, "doc_id", "text",
+      verifyThreshold = 0.8))
+    assert(viaStore == fresh && fresh.nonEmpty)
+    // empty batch: nothing to pair
+    assert(Dedup.incrementalMinHashLsh(d.limit(0), history, "doc_id", "text").isEmpty)
+    // empty history: every pair touches the batch — equals plain minHashLsh
+    val own = set(Dedup.incrementalMinHashLsh(batch, d.limit(0), "doc_id", "text",
+      verifyThreshold = 0.8))
+    val ref = set(Dedup.minHashLsh(batch, "doc_id", "text", 3, 64, 16,
+      verifyThreshold = 0.8))
+    assert(own == ref)
+  }
+
   test("simhash: identical docs collide, different docs differ") {
     val s = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
