@@ -955,6 +955,36 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy(col("doc_id"))
     }),
 
+    // ONLINE near-dup dedup: documents stream in (arrival order = doc_id)
+    // and each is dropped iff an earlier arrival shares an LSH band bucket
+    // and verifies at exact trigram Jaccard ≥ 0.8 — stateful per-bucket
+    // flatMapGroupsWithState, state bounded by the event-time TTL. Survivors
+    // anti-join the marker stream. Oracle = docs minus the later side of
+    // every exact-Jaccard ≥0.8 pair (LSH recall is total at these knobs on
+    // this corpus — d23's oracle row proves it)
+    "q94_stream_neardup" -> ((s0, dir) => {
+      val s = s0.newSession() // scoped conf, see q58
+      s.conf.set("spark.sql.shuffle.partitions", "8") // tiny bucket keyspace
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = graft.streaming.Streams.readStream(s, dir, schema,
+        glob = Some("documents.parquet"))
+      // synthetic event-time from doc_id (see p72): arrival order is id order
+      val ev = docs.withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val markers = graft.streaming.Streams.nearDupMarkStream(
+        ev, "doc_id", "text", "ts", n = 3, numHashes = 64, bands = 16,
+        threshold = 0.8)
+      val sq = markers.writeStream.format("memory").queryName("graft_q94_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dropped = s.table("graft_q94_sink").distinct()
+        .withColumnRenamed("id", "doc_id")
+      t(s, dir, "documents").join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup pairs resolved into duplicate clusters: connected components
     // over the d22 pair graph (transitive closure — A~B plus B~C groups
     // {A,B,C}); cluster id = min member id, plus the cluster size. The step
@@ -1536,6 +1566,18 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8
         |  AND (id_a % 4 = 0 OR id_b % 4 = 0) ORDER BY id_a, id_b""".stripMargin,
+
+    "q94_stream_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id_b FROM dropped) ORDER BY d.doc_id""".stripMargin,
 
     "t25_text_quality" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

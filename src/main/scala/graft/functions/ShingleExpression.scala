@@ -76,8 +76,13 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object ShingleExpression {
   /** Registry-based Column constructor (public Column surface, same pattern
     * as [[VectorExpressions.cosineNative]]); one registry entry per n. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val spark = SparkSession.active
+  def wordShingles(text: Column, n: Int): Column =
+    wordShingles(SparkSession.active, text, n)
+
+  /** Explicit-session form: registries are per-session, so a caller holding
+    * a `newSession()` (scoped-conf streaming queries) must register there —
+    * `SparkSession.active` still points at the parent. */
+  def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
     val name = s"graft_word_shingles_$n"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => WordShingles(exprs.head, n), "built-in")

@@ -136,6 +136,99 @@ object Streams {
     if (df.isStreaming) df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
 
+  /** One (doc, LSH bucket) row flowing into [[nearDupMarkStream]]'s state. */
+  case class DocBucket(id: Long, ts: java.sql.Timestamp, sh: Seq[String],
+                       band: Int, bsig: Long)
+
+  /** Per-bucket state: docs seen in this bucket (id, event-time ms, shingle
+    * set), newest last. */
+  case class BucketState(docs: List[(Long, Long, Seq[String])], maxTsMs: Long)
+
+  /** Streaming NEAR-duplicate detection — the online complement of
+    * [[graft.ops.Dedup.minHashLsh]] (and the near-dup sibling of
+    * [[dedupStream]]'s exact form): as documents arrive, each is marked a
+    * duplicate iff some STRICTLY EARLIER document (event-time order,
+    * id tiebreak) shares an LSH band bucket and verifies at exact word
+    * n-gram Jaccard ≥ `threshold`. Returns the stream of dropped ids (one
+    * marker per colliding bucket — callers `distinct` after the sink; a
+    * distinct inside the stream would add a second stateful operator for
+    * nothing). Earlier ARRIVALS count whether or not they were themselves
+    * dropped, which keeps the semantics batch-replayable: on a complete
+    * replay the marker set equals the batch path below, which is what the
+    * driver oracle checks.
+    *
+    * State lives per (band, bandSignature) bucket in
+    * `flatMapGroupsWithState`: the bucket's docs within the watermark
+    * horizon, holding id, event time, and the doc's distinct shingle set
+    * (exact verification needs the sets; a production variant at 100 TB
+    * would store the 8·bands-byte signature instead and verify against a
+    * doc store post-hoc — the [[graft.ops.Dedup.bandSignatures]] trade).
+    * Event-time timeout drops a bucket `stateTtl` past its newest doc, so
+    * state tracks the duplicate-arrival window, never the whole stream —
+    * the only shape that survives unbounded ingestion. Batch input runs the
+    * equivalent one-shot form: [[graft.ops.Dedup.minHashLsh]] verified
+    * pairs, keeping each pair's later side. */
+  def nearDupMarkStream(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, n: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.8,
+                        watermark: String = "10 minutes",
+                        stateTtlMs: Long = 3600L * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def jaccard(a: Seq[String], b: Seq[String]): Double = {
+      val sa = a.toSet
+      val inter = b.count(sa.contains)
+      inter.toDouble / (sa.size + b.size - inter)
+    }
+    if (!docs.isStreaming) {
+      // batch parity form: verified pairs, each contributing its later side
+      val pairs = graft.ops.Dedup.minHashLsh(docs, idCol, textCol, n,
+        numHashes, bands, verifyThreshold = threshold)
+      val ts = docs.select(col(idCol).as("__id"), col(tsCol).as("__ts"))
+      return pairs
+        .join(ts.select(col("__id").as("id_a"), col("__ts").as("ts_a")), "id_a")
+        .join(ts.select(col("__id").as("id_b"), col("__ts").as("ts_b")), "id_b")
+        .select(when(col("ts_a") < col("ts_b") ||
+            (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("id"))
+    }
+    val bucketed = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        array_distinct(graft.functions.ShingleExpression.wordShingles(
+          spark, col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("ts"), col("sh"),
+        posexplode(graft.functions.MinHashExpression.minHash64(
+          spark, col("sh"), numHashes, bands)).as(Seq("band", "bsig")))
+      .as[DocBucket]
+    bucketed.groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState[BucketState, Long](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.docs.reverse).getOrElse(Nil)
+            var maxTs = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
+            var out = List.empty[Long]
+            // a micro-batch's rows arrive unordered — sort within the batch
+            for (r <- rows.toSeq.sortBy(d => (d.ts.getTime, d.id))) {
+              val t = r.ts.getTime
+              val dup = seen.exists { case (oid, ots, osh) =>
+                (ots < t || (ots == t && oid < r.id)) &&
+                  jaccard(osh, r.sh) >= threshold
+              }
+              if (dup) out ::= r.id
+              seen ::= ((r.id, t, r.sh))
+              if (t > maxTs) maxTs = t
+            }
+            state.update(BucketState(seen, maxTs))
+            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.reverseIterator
+          }
+      }
+      .toDF("id")
+  }
+
   /** File-source streaming reader with the same schema as a batch table —
     * the entry point for incremental pipelines over landing directories.
     * `glob` filters which files in the directory belong to the stream. */

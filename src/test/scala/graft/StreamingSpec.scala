@@ -93,6 +93,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMarkStream: later near-dup marked, state survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val markers = Streams.nearDupMarkStream(
+      mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      threshold = 0.5)
+    val query = markers.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (3L, ts(1), "completely different content here entirely now"))
+      query.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0) // no earlier dup yet
+      mem.addData(
+        (5L, ts(2), "the quick brown fox jumps over the lazy cat"), // J=0.75 vs doc 1 (state)
+        (7L, ts(3), "totally unrelated words appearing only here"),
+        (9L, ts(4), "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+      query.processAllAvailable()
+      val got = spark.table("neardup_out").distinct().as[Long].collect().toSet
+      assert(got == Set(5L, 9L))
+    } finally query.stop()
+  }
+
+  test("nearDupMarkStream (streaming) ≡ batch path on the sf0.001 corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+    val batchMarkers = Streams.nearDupMarkStream(d, "doc_id", "text", "ts")
+      .distinct().as[Long].collect().toSet
+    assert(batchMarkers.nonEmpty) // the corpus has planted near-dups
+    val rows = d.select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, Timestamp, String)].collect().toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val sm = Streams.nearDupMarkStream(
+      mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+    val query = sm.writeStream.format("memory").queryName("neardup_eq_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamMarkers =
+        spark.table("neardup_eq_out").distinct().as[Long].collect().toSet
+      assert(streamMarkers == batchMarkers)
+    } finally query.stop()
+  }
+
   test("dedupStream (batch) equals dropDuplicates") {
     val df = batch.toDF()
     assert(Streams.dedupStream(df, Seq("user_id"), "ts").count() == 2)
