@@ -1000,6 +1000,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PRIORITY-aware cluster resolution: the step after d73 — each near-dup
+    // cluster keeps the copy from the most-trusted source (numeric src rank,
+    // ties by id) and drops the rest; unclustered docs pass through. The
+    // "which copy survives" policy every multi-source corpus merge needs
+    "d95_priority_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+      Dedup.dedupByClustersPriority(docs, pairs, "doc_id",
+          priority = substring(col("source"), 4, 10).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding near-dup at corpus scale: LSH-bucketed candidates
     // (OR-amplified over 2 hyperplane tables), exact-cosine-verified — the
     // scale twin of d40's broadcast-NL exact form. md5-derived planes, so
@@ -2132,6 +2146,33 @@ object SparkEntry {
         |SELECT c.node AS doc_id, c.cluster_id, n.cluster_size
         |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
         |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d95 = d73's cluster CTE + a per-cluster priority window: survivors are
+    // everything except each cluster's rank-2+ members under (src rank, id)
+    "d95_priority_dedup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+        |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |prio AS (SELECT node, cluster_id, CAST(substr(d.source, 4) AS INT) AS p
+        |         FROM comp JOIN documents d ON d.doc_id = comp.node),
+        |losers AS (SELECT node FROM (
+        |  SELECT node, row_number() OVER (PARTITION BY cluster_id ORDER BY p, node) AS rn
+        |  FROM prio) WHERE rn > 1)
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
     // span hashes are md5 over char-based substr — identical in both

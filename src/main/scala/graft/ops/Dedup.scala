@@ -486,6 +486,31 @@ object Dedup {
     docs.join(broadcast(drop), Seq(idCol), "left_anti")
   }
 
+  /** Priority-aware cluster resolution: like [[dedupByClusters]], but each
+    * cluster keeps the member the CALLER prefers — minimum `priorityCol`
+    * (ties → minimum id) — instead of blindly the min-id one. This is the
+    * real "which copy survives" step when a corpus merges sources of unequal
+    * quality (curated wiki beats common-crawl for the same article).
+    *
+    * Same scale shape as [[dedupByClusters]]: the component map is
+    * candidate-sized, so the priority lookup is one broadcast join against
+    * the corpus (corpus scanned once, never shuffled), the per-cluster
+    * winner window runs over candidate-sized rows only, and the final drop
+    * set goes back to the corpus as a broadcast anti-join. */
+  def dedupByClustersPriority(docs: DataFrame, pairs: DataFrame, idCol: String,
+                              priority: Column,
+                              srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    // clustered docs only (candidate-sized), with their priority
+    val members = docs.select(col(idCol), priority.as("__prio"))
+      .join(broadcast(cc.select(col("node").as(idCol), col("component"))), Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__prio").asc, col(idCol).asc)
+    val drop = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Number of simhash bits: 60 = 15 hex chars of MD5, the widest slice that
     * both this engine and the SQL oracle can parse into a signed 64-bit int.
     * A portable token hash (`md5` is identical everywhere) makes the whole

@@ -704,6 +704,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("dedupByClustersPriority keeps the preferred-source copy, not min-id") {
+    // same graph as above: cluster {1,2,4}, singleton 3 — but doc 4 carries
+    // the best (lowest) priority, so IT survives instead of min-id doc 1
+    val prios = Seq((1L, 5), (2L, 7), (3L, 9), (4L, 2)).toDF("doc_id", "prio")
+    val docsP = docs.join(prios, "doc_id")
+    val pairs = Dedup.jaccardPairs(docsP, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val kept = Dedup.dedupByClustersPriority(docsP, pairs, "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(3L, 4L))
+    // priority ties fall back to min-id: equal prios reproduce dedupByClusters
+    val keptTie = Dedup.dedupByClustersPriority(docsP, pairs, "doc_id", lit(1))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptTie == Seq(1L, 3L))
+    // no pairs → identity
+    val none = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dedupByClustersPriority(docsP, none, "doc_id", col("prio")).count() == 4)
+  }
+
   test("bloom: no false negatives, incremental dedup exact vs plain anti-join") {
     val history = (1L to 300L).map(i => s"doc-$i").toDF("fp")
     val (bitsN, k) = (1 << 12, 4)
