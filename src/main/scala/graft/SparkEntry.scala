@@ -985,6 +985,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAM-STREAM interval join (real run): click→view attribution — every
+    // view by the same user in the 6 h before a click. Watermarks on both
+    // sides bound the join state; the batch oracle is the same range join
+    "q96_stream_join" -> ((s0, dir) => {
+      val s = s0.newSession() // scoped conf, see q58
+      s.conf.set("spark.sql.shuffle.partitions", "8") // 150-user keyspace
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = Tables.normalizeEventTs(
+        graft.streaming.Streams.readStream(s, dir, rawSchema,
+          glob = Some("events.parquet")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val clicks = stream().filter(col("event_type") === "click")
+      val views = stream().filter(col("event_type") === "view")
+      val joined = graft.streaming.Streams.intervalJoin(
+          clicks, views, "user_id", "ts", window = "6 HOUR")
+        .select(col("l_event_id").as("click_id"), col("r_event_id").as("view_id"),
+          col("l_user_id").as("user_id"))
+      val sq = joined.writeStream.format("memory").queryName("graft_q96_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table("graft_q96_sink").orderBy(col("click_id"), col("view_id"))
+    }),
+
     // near-dup pairs resolved into duplicate clusters: connected components
     // over the d22 pair graph (transitive closure — A~B plus B~C groups
     // {A,B,C}); cluster id = min member id, plus the cluster size. The step
@@ -1836,6 +1861,14 @@ object SparkEntry {
         |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY event_type, window_start_s
         |ORDER BY event_type, window_start_s""".stripMargin,
+
+    "q96_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 6 HOUR
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q60_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -229,6 +229,36 @@ object Streams {
       .toDF("id")
   }
 
+  /** Watermarked stream-stream interval join — the streaming form of
+    * attribution ("every `right` event at most `window` before this `left`
+    * event, same key"). Both sides carry a watermark, so Spark bounds each
+    * side's join state to `watermark + window` of event time per key —
+    * without it an inner interval join would buffer both streams forever.
+    * On batch inputs the same call degrades to a plain equi-join with a
+    * range residual (state bound irrelevant), which is what the oracle runs.
+    *
+    * At scale this is the shape that survives: the equality key carries the
+    * shuffle (hash-partitioned both sides), the time bound is a residual
+    * predicate evaluated in-partition, and state eviction follows the
+    * watermark — no cross-key state, no unbounded buffers.
+    *
+    * Column names: each side is prefixed (`l_`/`r_`) before the join, so
+    * the caller gets unambiguous columns regardless of shared names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, window: String,
+                   watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+      wm.columns.foldLeft(wm)((d, c) => d.withColumnRenamed(c, p + c))
+    }
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $window"))
+  }
+
   /** File-source streaming reader with the same schema as a batch table —
     * the entry point for incremental pipelines over landing directories.
     * `glob` filters which files in the directory belong to the stream. */

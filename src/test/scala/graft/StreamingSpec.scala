@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin (streaming): cross-batch match, window excludes stale rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = Streams.intervalJoin(clicks.toDF(), views.toDF(),
+        "user_id", "ts", window = "10 MINUTE", watermark = "5 minutes")
+      .select(col("l_event_id").as("click_id"), col("r_event_id").as("view_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // view arrives in batch 1; the matching click only in batch 2 —
+      // buffered stream-stream state must produce the pair across batches
+      views.addData(Event(10, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(20, ts(8), 1, "click", 1.0), // 8 min after view ✓
+        Event(21, ts(15), 1, "click", 1.0),             // 15 min after    ✗
+        Event(22, ts(5), 2, "click", 1.0))              // other user      ✗
+      q.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((20L, 10L)))
+      // batch input runs the same call as a plain range join (oracle shape)
+      val b = Streams.intervalJoin(
+          Seq(Event(20, ts(8), 1, "click", 1.0)).toDF(),
+          Seq(Event(10, ts(0), 1, "view", 1.0), Event(11, ts(9), 1, "view", 1.0)).toDF(),
+          "user_id", "ts", window = "10 MINUTE")
+      assert(b.count() == 1) // ts(9) view is AFTER the click — excluded
+    } finally q.stop()
+  }
+
   test("writeStreamParquet: file sink lands rows with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
