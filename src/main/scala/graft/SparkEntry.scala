@@ -1303,6 +1303,18 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"), col("chunk_uid"))
     }),
 
+    // BPE tokenizer training's inner statistic: corpus-weighted adjacent
+    // character-pair counts over the distinct word-frequency table (one
+    // corpus pass → vocab relation; everything after is vocab-sized). Top-50
+    // by count — the pairs the first merges would fuse
+    "t97_bpe_pairs" -> ((s, dir) => {
+      val vocab = graft.ops.Bpe.wordFreq(t(s, dir, "documents"), "text")
+      graft.ops.Bpe.pairCounts(vocab)
+        .select(concat(col("a"), col("b")).as("pair"), col("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
     // overlapping token-window chunking (pretraining prep): each document
     // exploded into 64-token windows every 32 tokens — zero-shuffle
     // map-side transform, sequence/slice built-ins only
@@ -2078,6 +2090,15 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh
         |ORDER BY d.doc_id""".stripMargin,
+
+    // initial BPE symbols are single chars, so an adjacency's fused string
+    // a||b is exactly the 2-char substring at that position
+    "t97_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS c FROM toks WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, c FROM wf),
+        |agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     // 1-based starts every 32 tokens; list_slice caps at the tail exactly
     // like Spark's slice(toks, st, 64)

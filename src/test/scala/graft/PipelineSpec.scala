@@ -723,6 +723,23 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.dedupByClustersPriority(docsP, none, "doc_id", col("prio")).count() == 4)
   }
 
+  test("BPE train: classic corpus yields the hand-computed merge sequence") {
+    // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.
+    // Hand-computed: es(9) → es+t(9) → l+o(7) → lo+w(7) → e+w(6, lex tie)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 5)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("BPE applyMerge fuses left-to-right without overlap") {
+    val vocab = Seq((Seq("a", "a", "a"), 1L)).toDF("syms", "c")
+    val out = graft.ops.Bpe.applyMerge(vocab, "a", "a")
+      .select("syms").as[Seq[String]].head()
+    assert(out == Seq("aa", "a"))
+  }
+
   test("bloom: no false negatives, incremental dedup exact vs plain anti-join") {
     val history = (1L to 300L).map(i => s"doc-$i").toDF("fp")
     val (bitsN, k) = (1 << 12, 4)
