@@ -1303,6 +1303,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"), col("chunk_uid"))
     }),
 
+    // deterministic global shuffle + fixed-size shard assignment: the
+    // "write the training set in randomized shards" step — a content-hash
+    // permutation via distributed range sort, positions from per-partition
+    // counts (no single-partition window anywhere)
+    "t98_shuffle_shard" -> ((s, dir) => {
+      graft.ops.Sampling.shuffleShards(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", shardSize = 64)
+        .select(col("doc_id"), col("pos"), col("shard"))
+        .orderBy(col("pos"))
+    }),
+
     // BPE tokenizer training's inner statistic: corpus-weighted adjacent
     // character-pair counts over the distinct word-frequency table (one
     // corpus pass → vocab relation; everything after is vocab-sized). Top-50
@@ -2090,6 +2101,15 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the md5 permutation is engine-portable; pos/shard recomputed from the
+    // same hash order. ORDER BY pos makes strict-order = the permutation
+    "t98_shuffle_shard" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, CAST(pos // 64 AS BIGINT) AS shard
+        |FROM p ORDER BY pos""".stripMargin,
 
     // initial BPE symbols are single chars, so an adjacency's fused string
     // a||b is exactly the 2-char substring at that position

@@ -100,7 +100,7 @@ object Relational {
     * zipWithIndex costs: one per-partition count job (whose sum IS the
     * total), then the indexed scan with the offsets broadcast in the
     * closure. No shuffle at any size. */
-  private def withRowIndexCounted(df: DataFrame, name: String): (DataFrame, Long) = {
+  private[ops] def withRowIndexCounted(df: DataFrame, name: String): (DataFrame, Long) = {
     val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
     val src = df.rdd
     val counts = src

@@ -192,4 +192,25 @@ object Sampling {
       .filter(col("rnk") <= k)
       .select(col("id"), col("token"), col("tfidf"), col("rnk"))
   }
+
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * "write the training set in randomized shards" step. Rows are permuted
+    * by md5(id) (content-hash: reproducible across runs, retries, engines),
+    * then consecutive runs of `shardSize` become one shard, so a writer can
+    * `partitionBy(shardCol)` and land equal-size, randomly-mixed files.
+    *
+    * Scale shape: the permutation is Spark's distributed range sort (one
+    * range exchange — the standard terasort shape) and the global position
+    * comes from per-partition COUNTS (a scalar per partition crosses the
+    * driver, never rows), so there is no single-partition window and no
+    * driver-side data. Output adds (`posCol`, `shardCol`). */
+  def shuffleShards(df: DataFrame, idCol: String, shardSize: Long,
+                    posCol: String = "pos", shardCol: String = "shard"): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val keyed = df.withColumn("__shuffle_key", md5(col(idCol).cast("string")))
+      .orderBy(col("__shuffle_key"), col(idCol))
+    val (indexed, _) = Relational.withRowIndexCounted(keyed, posCol)
+    indexed.withColumn(shardCol, (col(posCol) / shardSize).cast("long"))
+      .drop("__shuffle_key")
+  }
 }

@@ -370,6 +370,24 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("shuffleShards: bijective permutation, exact shard sizes, layout-stable") {
+    import spark.implicits._
+    val docs = (0L until 1000L).toDF("id")
+    val out = graft.ops.Sampling.shuffleShards(docs, "id", shardSize = 64)
+      .select("id", "pos", "shard").as[(Long, Long, Long)].collect()
+    // bijection: every id once, every position once
+    assert(out.map(_._1).toSet == (0L until 1000L).toSet)
+    assert(out.map(_._2).sorted.toSeq == (0L until 1000L).toSeq)
+    // shard sizes: full shards of exactly 64, one 40-row tail
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.size == 16 && sizes(15L) == 40 && (0L to 14L).forall(sizes(_) == 64))
+    // content-hash determinism: a different input layout yields the SAME
+    // permutation (the point of md5 over RNG)
+    val out2 = graft.ops.Sampling.shuffleShards(docs.repartition(7), "id", 64)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, pos, _) => out2(id) == pos })
+  }
+
   test("approx distinct within rsd of exact") {
     val li = core.Tables.lineitem(spark, sf("sf0.001"))
     val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()
