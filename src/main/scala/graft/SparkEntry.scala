@@ -1303,6 +1303,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"), col("chunk_uid"))
     }),
 
+    // Z-order (Morton) clustering for two-column data skipping: every
+    // output file covers a compact curve segment = a small (part, supp)
+    // rectangle, so min/max pruning works for filters on EITHER column.
+    // The zval projection is a codegen'd fold; layout = one range exchange
+    "q99_zorder_cluster" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      graft.ops.Layout.clusterByZOrder(li, "l_partkey", "l_suppkey", bits = 20)
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // deterministic global shuffle + fixed-size shard assignment: the
     // "write the training set in randomized shards" step — a content-hash
     // permutation via distributed range sort, positions from per-partition
@@ -2101,6 +2112,13 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the Morton interleave recomputed bit-for-bit: disjoint bit positions
+    // make the sum equal the OR
+    "q99_zorder_cluster" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum([(((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i+1)) for i in range(0, 20)]) AS BIGINT) AS zval
+        |FROM lineitem ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
 
     // the md5 permutation is engine-portable; pos/shard recomputed from the
     // same hash order. ORDER BY pos makes strict-order = the permutation

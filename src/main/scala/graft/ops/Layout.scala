@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for data-skipping at scale (beyond the
+  * reference surface — a single-node engine has no file-layout problem).
+  *
+  * At 100 TB most queries win or lose at the SCAN: parquet row-group and
+  * file min/max statistics can prune everything a filter excludes, but only
+  * if rows with nearby key values actually land together. Range-sorting by
+  * one column clusters that column and destroys the other; Z-order (Morton)
+  * interleaving clusters BOTH — each file covers a small rectangle of the
+  * (x, y) key space, so min/max pruning works for filters on either column
+  * (the standard lakehouse OPTIMIZE ZORDER BY layout).
+  */
+object Layout {
+
+  /** Morton/Z-order value of two non-negative integer columns: bit i of `x`
+    * lands at bit 2i, bit i of `y` at bit 2i+1. Pure codegen'd fold over
+    * `sequence(0, bits-1)` — built-ins only, no UDF; `bits` ≤ 31 keeps the
+    * interleave inside a signed 64-bit long. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        // the Scala shiftleft/shiftright facades take Int shift amounts;
+        // the SQL functions accept a column — call them directly
+        def sl(c: Column, n: Column) = call_function("shiftleft", c, n)
+        def sr(c: Column, n: Column) = call_function("shiftright", c, n)
+        acc.bitwiseOR(sl(sr(x, i).bitwiseAND(lit(1L)), i * 2))
+          .bitwiseOR(sl(sr(y, i).bitwiseAND(lit(1L)), i * 2 + 1))
+      })
+  }
+
+  /** Cluster a relation for two-column data skipping: add the Z-value and
+    * range-partition + sort by it, so every output partition (→ parquet
+    * file) covers one compact Morton-curve segment — a small rectangle in
+    * (x, y) space with tight min/max on BOTH columns. One range exchange,
+    * the same cost as any sorted write. */
+  def clusterByZOrder(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                      zCol: String = "zval"): DataFrame =
+    df.withColumn(zCol, zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(col(zCol))
+      .sortWithinPartitions(col(zCol))
+}

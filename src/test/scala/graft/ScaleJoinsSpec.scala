@@ -388,6 +388,29 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(out.forall { case (id, pos, _) => out2(id) == pos })
   }
 
+  test("zValue = bit-interleave reference; Z-clustering bounds BOTH columns per partition") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val pts = Seq((0L, 0L), (3L, 1L), (1L, 3L), (1023L, 511L), (12345L, 678L))
+    val got = pts.toDF("x", "y")
+      .select(graft.ops.Layout.zValue(col("x"), col("y"), 20)).as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y) => ref(x, y, 20) })
+    // locality: a 100×100 grid Z-clustered into range partitions — every
+    // partition must cover a SMALL rectangle in both x and y (an x-only
+    // sort would leave y spanning the full 0..99)
+    val grid = (for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y)).toDF("x", "y")
+    val ranges = graft.ops.Layout.clusterByZOrder(grid, "x", "y", bits = 7)
+      .select(col("x"), col("y"), spark_partition_id().as("p"))
+      .groupBy("p").agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .as[(Int, Long, Long)].collect()
+    assert(ranges.length > 1)
+    val (avgRx, avgRy) = (ranges.map(_._2).sum.toDouble / ranges.length,
+      ranges.map(_._3).sum.toDouble / ranges.length)
+    assert(avgRx < 60 && avgRy < 60, s"avg ranges $avgRx/$avgRy — not clustered")
+  }
+
   test("approx distinct within rsd of exact") {
     val li = core.Tables.lineitem(spark, sf("sf0.001"))
     val r = ScaleJoins.distinctCounts(li, Seq("l_returnflag"), "l_partkey").collect()
