@@ -301,9 +301,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups")).orderBy(col("doc_id"))
     }),
 
-    // exact n-gram Jaccard near-dup pairs (inverted shingle index)
+    // n-gram Jaccard near-dup pairs (inverted shingle index) with the
+    // boilerplate-shingle cap ON (the 100 TB operating default since r8):
+    // shingles appearing in > 500 docs leave the pair NUMERATOR (set-size
+    // denominators stay exact), bounding the per-shingle k² join fan-out a
+    // boilerplate-heavy corpus otherwise makes quadratic. The oracle
+    // encodes the same cap (inert at the sf0.01 gate — max shingle df
+    // there is 7 — but semantically load-bearing on hot corpora)
     "d22_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3,
+          threshold = 0.8, maxShingleDf = 500)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1041,11 +1048,16 @@ object SparkEntry {
 
     // embedding near-dup at corpus scale: LSH-bucketed candidates
     // (OR-amplified over 2 hyperplane tables), exact-cosine-verified — the
-    // scale twin of d40's broadcast-NL exact form. md5-derived planes, so
-    // the oracle recomputes identical buckets
+    // scale twin of d40's broadcast-NL exact form. `autoPlanes` sizes the
+    // bucket count from the corpus count (planes tracks log2 n, so the
+    // candidate set stays LINEAR as the corpus grows — the 10× stress
+    // artifact showed fixed planes=4 going 17.5× superlinear while this
+    // contract ran 1.29 s). md5-derived planes, so the oracle recomputes
+    // identical buckets: at the sf0.01 gate (500 vectors)
+    // autoPlanes(500) = 4, which SimilaritySpec pins against the parquet
     "d74_embed_neardup_lsh" -> ((s, dir) => {
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35, planes = 4, tables = 2, dim = 64)
+      Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1057,11 +1069,12 @@ object SparkEntry {
     // survive whole. One end-to-end oracle: the d74 bucket CTE chained into
     // the d73 recursive-CTE components. At 100 TB every stage is the
     // already-audited scale shape; autoPlanes sizes the bucket count as the
-    // corpus grows (x74 evidence)
+    // corpus grows (x74 evidence) — at the sf0.01 gate autoPlanes(500) = 4,
+    // matching the oracle's plane derivation
     "p92_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
-          threshold = 0.35, planes = 4, tables = 2, dim = 64)
+      val pairs = Similarity.nearDupPairsAuto(e, "vec_id", "embedding",
+          threshold = 0.35, tables = 2, dim = 64)
         .select(col("id_a"), col("id_b"))
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
@@ -1310,7 +1323,8 @@ object SparkEntry {
     "q99_zorder_cluster" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      graft.ops.Layout.clusterByZOrder(li, "l_partkey", "l_suppkey", bits = 20)
+      graft.ops.Layout.clusterByZOrder(li, "l_partkey", "l_suppkey", bits = 20,
+          numPartitions = 32)
         .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -1409,19 +1423,19 @@ object SparkEntry {
     *    pair expansion (per-shingle collect_list + interpreted k² lambda),
     *    kept for head-to-head evidence against the streamed equi-join
     *    default that replaced it in r7.
-    *  - x74_neardup_auto: d74 with `planes` sized by `autoPlanes` from the
-    *    corpus count instead of pinned at 4 — the documented "planes grows
-    *    ~log₂(n)" operating contract made executable, so the 10× stress can
-    *    measure the contract (near-linear candidates) head-to-head against
-    *    the fixed-knob driver query (quadratic per-bucket densification).
-    *    Bench-only because the oracle pins md5 buckets at planes=4; the
-    *    equivalence of auto and fixed at equal n is spec-pinned instead.
-    *  - x25_jaccard_capped: d22 with `maxShingleDf = 500` — the documented
-    *    boilerplate-shingle cap measured against the exact default on a
-    *    shingle-hot corpus.
-    *  - x92_semantic_dedup_auto: p92 at the autoPlanes operating contract,
-    *    the semantic-dedup stress row that scales (fixed-knob p92 inherits
-    *    d74's densification by construction). */
+    *  - x74_neardup_fixed: d74 with `planes` pinned at 4 instead of
+    *    `autoPlanes` — since r8 the driver query ships the auto contract
+    *    (planes tracks log₂ n, near-linear candidates), and this is the
+    *    fixed-knob alternative kept for head-to-head stress evidence (at
+    *    10× it went 17.5× superlinear from per-bucket densification).
+    *    At the sf0.01 gate n=500 ⇒ autoPlanes=4, so both forms coincide
+    *    there — the split only shows at stress scale.
+    *  - x25_jaccard_uncapped: d22 with `maxShingleDf = 0` — the exact
+    *    uncapped form (every boilerplate shingle keeps its full k² pair
+    *    fan-out), kept for head-to-head evidence against the capped driver
+    *    default that replaced it in r8.
+    *  - x92_semantic_dedup_fixed: p92 at planes=4, the fixed-knob
+    *    alternative of the now-auto driver query (same rationale as x74). */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -1434,27 +1448,25 @@ object SparkEntry {
           n = 3, threshold = 0.8, pairJoin = false)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    "x74_neardup_auto" -> ((s, dir) => {
-      Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35, tables = 2, dim = 64)
+    "x74_neardup_fixed" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, planes = 4, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // d22 with the documented 100 TB mitigation ON: shingles shared by more
-    // than maxShingleDf docs leave the pair numerator (denominators stay
-    // exact set sizes), bounding the per-shingle join fan-out a
-    // boilerplate-heavy corpus otherwise makes quadratic
-    "x25_jaccard_capped" -> ((s, dir) => {
+    // d22 with the 100 TB mitigation OFF: every boilerplate shingle keeps
+    // its full k² pair fan-out — the exact form, measured against the
+    // capped driver default
+    "x25_jaccard_uncapped" -> ((s, dir) => {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8, maxShingleDf = 500)
+          n = 3, threshold = 0.8, maxShingleDf = 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // p92 with autoPlanes-sized buckets: the semantic-dedup pass at the
-    // operating contract (planes tracks log2 n), for stress runs where the
-    // fixed-knob p92 inherits d74's per-bucket densification
-    "x92_semantic_dedup_auto" -> ((s, dir) => {
+    // p92 with planes pinned at 4: the fixed-knob semantic-dedup
+    // alternative, for head-to-head stress against the shipped auto form
+    "x92_semantic_dedup_fixed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val pairs = Similarity.nearDupPairsAuto(e, "vec_id", "embedding",
-          threshold = 0.35, tables = 2, dim = 64)
+      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.35, planes = 4, tables = 2, dim = 64)
         .select(col("id_a"), col("id_b"))
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
@@ -1607,12 +1619,15 @@ object SparkEntry {
     "d21_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY doc_id",
 
+    // maxShingleDf = 500 mirrored: shc drops shingles in > 500 docs from
+    // the numerator join; sz (denominators) stays computed over ALL shingles
     "d22_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shc AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 500),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
@@ -1918,12 +1933,16 @@ object SparkEntry {
     "s30_ann_lsh" -> lshOracle(planes = 6, tables = 2, dim = 64, k = 10),
 
     // same plane derivation, OR-amplified across 2 tables: candidates from
-    // either table's bucket join, UNION-deduped, exact cosine >= threshold
+    // either table's bucket join, UNION-deduped, exact cosine >= threshold.
+    // planes = 4 here IS the auto contract at the gate: the driver query
+    // runs nearDupPairsAuto, and autoPlanes(500 sf0.01 vectors) = 4 —
+    // SimilaritySpec pins that identity against the parquet row count
     "d74_embed_neardup_lsh" ->
       nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
 
     // d74's bucket/verify CTE chained into d73's recursive-CTE components:
-    // one oracle for the full semantic-dedup pass
+    // one oracle for the full semantic-dedup pass (planes = autoPlanes(500)
+    // = 4, same identity as d74's oracle)
     "p92_semantic_dedup" ->
       semanticDedupOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
 

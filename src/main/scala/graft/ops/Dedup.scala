@@ -504,8 +504,12 @@ object Dedup {
     // clustered docs only (candidate-sized), with their priority
     val members = docs.select(col(idCol), priority.as("__prio"))
       .join(broadcast(cc.select(col("node").as(idCol), col("component"))), Seq(idCol))
+    // asc_nulls_last, not Spark's default asc (NULLS FIRST): a null
+    // priority (e.g. an unparsable source id cast to int) must LOSE to any
+    // ranked member, matching SQL's ORDER BY ... NULLS LAST convention —
+    // otherwise junk-priority docs would win their clusters
     val w = Window.partitionBy(col("component"))
-      .orderBy(col("__prio").asc, col(idCol).asc)
+      .orderBy(col("__prio").asc_nulls_last, col(idCol).asc)
     val drop = members.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1).select(col(idCol))
     docs.join(broadcast(drop), Seq(idCol), "left_anti")

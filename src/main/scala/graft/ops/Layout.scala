@@ -39,10 +39,19 @@ object Layout {
     * range-partition + sort by it, so every output partition (→ parquet
     * file) covers one compact Morton-curve segment — a small rectangle in
     * (x, y) space with tight min/max on BOTH columns. One range exchange,
-    * the same cost as any sorted write. */
+    * the same cost as any sorted write.
+    *
+    * `numPartitions` is the target FILE COUNT — the knob every production
+    * OPTIMIZE ZORDER exposes (files ≈ partition bytes / target file size).
+    * It must be explicit here: a count-less `repartitionByRange` is sized by
+    * `spark.sql.shuffle.partitions` and then AQE-coalesced by data volume,
+    * which on a small relation collapses to ONE partition and destroys the
+    * layout the operator exists to produce. */
   def clusterByZOrder(df: DataFrame, xCol: String, yCol: String, bits: Int,
-                      zCol: String = "zval"): DataFrame =
+                      numPartitions: Int, zCol: String = "zval"): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
     df.withColumn(zCol, zValue(col(xCol), col(yCol), bits))
-      .repartitionByRange(col(zCol))
+      .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(col(zCol))
+  }
 }

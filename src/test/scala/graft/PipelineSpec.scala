@@ -550,6 +550,19 @@ class PipelineSpec extends SparkSpec {
     assert(autoPlanes(Long.MaxValue, 1e-9) == 48)
   }
 
+  test("autoPlanes at the sf0.01 gate = 4, the plane count the d74/p92 oracles pin") {
+    // The driver queries run nearDupPairsAuto, but the DuckDB oracle SQL is
+    // static and derives md5 hyperplanes for planes = 4. That is only sound
+    // while autoPlanes(gate corpus count) == 4 — pin it against the actual
+    // parquet so a driver testdata regeneration that crosses the 2^k
+    // boundary (n outside (256·32, 512·32]) fails HERE, not as a silent
+    // oracle hash mismatch.
+    val n = core.Tables.embeddings(spark, sf("sf0.01")).count()
+    assert(Similarity.autoPlanes(n) == 4,
+      s"sf0.01 embeddings count $n gives autoPlanes ${Similarity.autoPlanes(n)}; " +
+        "regenerate the d74/p92 oracle SQL at the new plane count")
+  }
+
   test("p92 semantic dedup: one keep per cluster, keeper is the min id, singletons whole") {
     val r = SparkEntry.queries("p92_semantic_dedup")(spark, sf("sf0.001"))
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
@@ -721,6 +734,15 @@ class PipelineSpec extends SparkSpec {
     // no pairs → identity
     val none = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.dedupByClustersPriority(docsP, none, "doc_id", col("prio")).count() == 4)
+    // a NULL priority (unparsable source id) must LOSE its cluster, never
+    // win it — SQL NULLS LAST semantics, matching the DuckDB oracle's
+    // ORDER BY p, node (Spark's bare asc would put nulls FIRST)
+    val priosN = Seq((1L, Some(5)), (2L, None: Option[Int]), (3L, Some(9)), (4L, Some(7)))
+      .toDF("doc_id", "prio")
+    val docsN = docs.join(priosN, "doc_id")
+    val keptN = Dedup.dedupByClustersPriority(docsN, pairs, "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptN == Seq(1L, 3L), s"null-priority doc 2 must not win: kept $keptN")
   }
 
   test("BPE train: classic corpus yields the hand-computed merge sequence") {

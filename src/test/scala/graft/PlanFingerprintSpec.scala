@@ -72,11 +72,14 @@ class PlanFingerprintSpec extends SparkSpec {
   // equi-join + pair hash-agg — no per-shingle collect_list anywhere (the
   // PipelineSpec degenerate test pins that); the static plan prints the
   // shingle-index subtree once per join side (hence the 4th scan), but the
-  // exchange feeds both sides at runtime via AQE stage reuse. 2 fewer
-  // exchanges than the r6 in-row shape, and the sizes/candidate joins
-  // broadcast at this scale
+  // exchange feeds both sides at runtime via AQE stage reuse.
+  // r8: the shipped maxShingleDf cap adds the df Window over
+  // hashpartitioning(shingle) — 2 more static exchanges (one per printed
+  // side, AQE-reused into one runtime stage), and that same exchange IS
+  // the distribution the self equi-join requires, so the cap costs one
+  // sort-within-partitions, not an extra bulk shuffle
   pin("d22_jaccard_pairs",
-    "shuffles=8 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
+    "shuffles=10 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r6 streamed-bucket form: candidates via the codegen'd (band, bsig)
   // self equi-join (first-collision-band emission, no distinct pass, no
   // per-bucket collected list); verify joins broadcast at this scale.

@@ -397,15 +397,17 @@ class ScaleJoinsSpec extends SparkSpec {
     val got = pts.toDF("x", "y")
       .select(graft.ops.Layout.zValue(col("x"), col("y"), 20)).as[Long].collect()
     assert(got.toSeq == pts.map { case (x, y) => ref(x, y, 20) })
-    // locality: a 100×100 grid Z-clustered into range partitions — every
-    // partition must cover a SMALL rectangle in both x and y (an x-only
-    // sort would leave y spanning the full 0..99)
+    // locality: a 100×100 grid Z-clustered into 16 range partitions (the
+    // explicit file-count knob — a count-less range exchange would be
+    // AQE-coalesced to ONE partition on 10k rows and leave nothing to
+    // measure) — every partition must cover a SMALL rectangle in both x
+    // and y (an x-only sort would leave y spanning the full 0..99)
     val grid = (for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y)).toDF("x", "y")
-    val ranges = graft.ops.Layout.clusterByZOrder(grid, "x", "y", bits = 7)
+    val ranges = graft.ops.Layout.clusterByZOrder(grid, "x", "y", bits = 7, numPartitions = 16)
       .select(col("x"), col("y"), spark_partition_id().as("p"))
       .groupBy("p").agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
       .as[(Int, Long, Long)].collect()
-    assert(ranges.length > 1)
+    assert(ranges.length === 16)
     val (avgRx, avgRy) = (ranges.map(_._2).sum.toDouble / ranges.length,
       ranges.map(_._3).sum.toDouble / ranges.length)
     assert(avgRx < 60 && avgRy < 60, s"avg ranges $avgRx/$avgRy — not clustered")
