@@ -157,6 +157,13 @@ class PlanFingerprintSpec extends SparkSpec {
   // one 3-col scan; the two exchanges are the per-lang window hash
   // partitioning and the final presentation sort
   pin("t82_sequence_pack", "shuffles=2 bcast=0 joins=[] scans=[3]")
+  // r8: pinned after their r7 local inflations (0.49→0.72 s / 0.32→0.39 s)
+  // plan-dumped identical to the documented round-6 shapes — host noise.
+  // q83: one round-robin exchange bounds the sink file count; the sort is
+  // the oracle-compare orderBy. m31: 2-col pruned scan → widen exchange →
+  // mapPartitions feature extraction → codegen'd array math → output sort
+  pin("q83_compacted_write", "shuffles=1 bcast=0 joins=[] scans=[4]")
+  pin("m31_multimodal", "shuffles=2 bcast=0 joins=[] scans=[2]")
   // the CDC shape: the update KEYSET broadcasts (two 1-col key scans),
   // the snapshot is anti-joined in place and never shuffles pre-union
   pin("q85_upsert_snapshot",
