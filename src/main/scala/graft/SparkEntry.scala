@@ -1435,7 +1435,10 @@ object SparkEntry {
     *    fan-out), kept for head-to-head evidence against the capped driver
     *    default that replaced it in r8.
     *  - x92_semantic_dedup_fixed: p92 at planes=4, the fixed-knob
-    *    alternative of the now-auto driver query (same rationale as x74). */
+    *    alternative of the now-auto driver query (same rationale as x74).
+    *  - x97_bpe_train64: the full 64-merge BPE training loop (batched
+    *    top-k extraction + vocab pruning) — the end-to-end cost t97's
+    *    single pair-count statistic doesn't show. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -1479,6 +1482,16 @@ object SparkEntry {
           when(col("component").isNull || col("component") === col("vec_id"), 1L)
             .otherwise(0L).as("keep"))
         .orderBy(col("vec_id"))
+    }),
+    // end-to-end 64-merge BPE training (batched top-k merge extraction +
+    // per-round vocab pruning); returns the ordered merge table
+    "x97_bpe_train64" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, rounds) = graft.ops.Bpe.trainBatched(
+        t(s, dir, "documents"), "text", numMerges = 64)
+      System.err.println(s"[x97] 64 merges in $rounds pair-count rounds")
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b")
     })
   )
 

@@ -63,20 +63,84 @@ object Bpe {
     * plus one vocab-sized projection; `localCheckpoint` every few rounds
     * truncates the growing `applyMerge` lineage. Ties break lexicographically
     * (a, b) for a deterministic, engine-portable merge sequence. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] =
+    trainBatched(docs, textCol, numMerges)._1
+
+  /** [[train]] with the per-round Spark-job count exposed, and SEVERAL
+    * merges extracted per round — the realistic 10k–50k-merge regime can't
+    * afford one cluster-wide aggregate per merge.
+    *
+    * One `pairCounts` snapshot is collected top-`batchK` (sorted n desc,
+    * then (a, b) — the sequential tie-break). From it we accept a PREFIX of
+    * pairwise symbol-disjoint pairs, then keep only those with count
+    * STRICTLY above `boundN` = the first interacting row's count (or the
+    * last collected row's, when no interaction shows within `batchK`).
+    * That prefix provably reproduces sequential BPE:
+    *   - applying a merge (x, y) never changes the count of a pair sharing
+    *     no symbol with {x, y, xy} (fusing elsewhere in a word cannot make
+    *     or break an (a, b) adjacency), so each accepted pair's count is
+    *     still exact at its turn;
+    *   - every pair CREATED by an accepted merge, (p, xy) or (xy, q), is
+    *     bounded by the OLD count of an interacting pair ((p, x) / (y, q)),
+    *     and all interacting pairs rank at or below boundN — strictly below
+    *     every kept candidate — so no new pair can out-rank the prefix;
+    *   - rows beyond the collected k rank at or below the last collected
+    *     row, hence at or below boundN.
+    * The head row is always kept (it is the fresh global argmax), so every
+    * round makes progress; a degenerate all-interacting corpus degrades to
+    * one merge per round — the exact sequential loop, never a wrong one.
+    * Expected savings are data-dependent: early letter-dominated rounds
+    * often stop at the first interaction (common letters appear in many top
+    * pairs), while the realistic 10k–50k-merge regime — where top pairs are
+    * symbol-diverse — batches much larger prefixes. Exactness is the
+    * invariant; the job reduction is the bonus.
+    *
+    * Fully-merged single-symbol words are pruned from the working vocab
+    * each round: they can never pair again, and dropping them shrinks every
+    * later round's scan, shuffle, and projection.
+    *
+    * Returns (merges, rounds) where rounds = number of corpus/vocab-sized
+    * pair-count jobs executed. */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   batchK: Int = 16): (Seq[(String, String)], Int) = {
+    require(batchK >= 1, s"batchK=$batchK must be >= 1")
     var vocab = wordFreq(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var round = 0
-    while (round < numMerges) {
+    var rounds = 0
+    var sinceCheckpoint = 0
+    while (merges.length < numMerges) {
       val top = pairCounts(vocab)
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
-      if (top.isEmpty) return merges.toSeq // no adjacencies left
-      val (a, b) = (top(0).getString(0), top(0).getString(1))
-      merges += ((a, b))
-      vocab = applyMerge(vocab, a, b)
-      round += 1
-      if (round % 8 == 0) vocab = vocab.localCheckpoint()
+        .orderBy(col("n").desc, col("a"), col("b")).limit(batchK)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (top.isEmpty) return (merges.toSeq, rounds) // no adjacencies left
+      // accept a disjoint prefix; boundN = first interacting count, else
+      // the collected tail's count (uncollected rows rank at or below it)
+      val touched = scala.collection.mutable.Set[String]()
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      // a short (< batchK) list is EXHAUSTIVE — nothing uncollected to bound
+      var boundN = if (top.length < batchK) Long.MinValue else top.last._3
+      var stopped = false
+      for ((a, b, n) <- top if !stopped) {
+        if (touched.contains(a) || touched.contains(b)) {
+          boundN = n; stopped = true
+        } else {
+          accepted += ((a, b, n))
+          touched ++= Seq(a, b, a + b)
+        }
+      }
+      // strict-majority trim (head always kept: it is the fresh argmax)
+      val batch = (accepted.take(1) ++ accepted.drop(1).filter(_._3 > boundN))
+        .take(numMerges - merges.length)
+        .map { case (a, b, _) => (a, b) }
+      merges ++= batch
+      // all batch merges in ONE projection pass (they commute: pairwise
+      // symbol-disjoint), then prune words that can never pair again
+      vocab = batch.foldLeft(vocab) { case (v, (a, b)) => applyMerge(v, a, b) }
+        .filter(size(col("syms")) >= 2)
+      sinceCheckpoint += batch.length
+      if (sinceCheckpoint >= 8) { vocab = vocab.localCheckpoint(); sinceCheckpoint = 0 }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 }

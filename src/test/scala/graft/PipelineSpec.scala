@@ -755,6 +755,24 @@ class PipelineSpec extends SparkSpec {
     assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
   }
 
+  test("BPE trainBatched: 64 merges ≡ sequential, in far fewer pair-count rounds") {
+    // the r8 latency guard: one top-k collect extracts a provably-sequential
+    // PREFIX of symbol-disjoint merges per round, and fully-merged words are
+    // pruned from the working vocab. Equivalence is the whole claim — pin
+    // the batched 64-merge sequence against the batchK=1 sequential loop.
+    val docs = core.Tables.documents(spark, sf("sf0.001"))
+    val (seq64, seqRounds) = graft.ops.Bpe.trainBatched(docs, "text", 64, batchK = 1)
+    val (bat64, batRounds) = graft.ops.Bpe.trainBatched(docs, "text", 64, batchK = 16)
+    assert(seqRounds == 64, s"batchK=1 must be the sequential loop, got $seqRounds")
+    assert(bat64 == seq64, "batched merge sequence diverged from sequential BPE")
+    // early rounds are letter-dominated (top pairs share e/t/s, so the
+    // exact prefix stops at the first interaction); the win is bounded by
+    // the data here and grows in the long-merge regime where top pairs are
+    // symbol-diverse. Exactness is the invariant; fewer jobs the bonus.
+    assert(batRounds < seqRounds,
+      s"batching must save pair-count jobs: $batRounds vs $seqRounds")
+  }
+
   test("BPE applyMerge fuses left-to-right without overlap") {
     val vocab = Seq((Seq("a", "a", "a"), 1L)).toDF("syms", "c")
     val out = graft.ops.Bpe.applyMerge(vocab, "a", "a")
@@ -849,6 +867,29 @@ class PipelineSpec extends SparkSpec {
     // durable truncation really went to the dir (RDD checkpoint files exist)
     val files = new java.io.File(dir).listFiles()
     assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("full d73 flow under a reliable checkpoint dir ≡ the shipped local path") {
+    // the 100 TB executor-churn configuration exercised END TO END on real
+    // corpus pairs (not a toy edge list): jaccard pairs → CC with durable
+    // checkpointing → cluster sizes, equal row-for-row to the driver query
+    val docs = core.Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_d73").toString
+    def flow(cc: org.apache.spark.sql.DataFrame) = {
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("node"), col("component"), col("cluster_size"))
+        .orderBy(col("node")).as[(Long, Long, Long)].collect().toSeq
+    }
+    val durable = flow(Dedup.connectedComponents(pairs, "id_a", "id_b",
+      checkpointDir = Some(dir)))
+    val local = flow(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    assert(durable == local, "durable-checkpoint CC diverged from the local path")
+    assert(durable.nonEmpty, "sf0.001 must contain near-dup clusters")
+    val ckFiles = new java.io.File(dir).listFiles()
+    assert(ckFiles != null && ckFiles.nonEmpty, s"no checkpoint data under $dir")
   }
 
   test("binaryFile ingestion: attachBinaryFiles → extractFeatures (production entry path)") {
