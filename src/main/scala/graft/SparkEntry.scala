@@ -1396,6 +1396,40 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // inverted index over the corpus: token → document frequency + capped
+    // sorted posting list (CSV) — posting collection is rank-capped BEFORE
+    // collect_list, so a stopword costs capPostings entries, not its df
+    "t84_inverted_index" -> ((s, dir) => {
+      graft.ops.TextIndex.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 50L, capPostings = 20)
+        .orderBy(col("token"))
+    }),
+
+    // bigram-LM conditional probabilities with add-0.5 smoothing — the
+    // model-estimation pass of an n-gram perplexity quality filter; left
+    // totals are a window over the counts relation (no second corpus pass)
+    "t89_bigram_lm" -> ((s, dir) => {
+      graft.ops.TextIndex.bigramConditional(t(s, dir, "documents"), "text",
+        topN = 100)
+    }),
+
+    // per-LSH-bucket embedding centroids as a flat (bucket, dim) relation —
+    // order-independent DECIMAL component sums make the distributed mean
+    // deterministic (and therefore oracle-able) despite double arithmetic
+    "s100_bucket_centroids" -> ((s, dir) => {
+      Similarity.bucketCentroids(t(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 5, dim = 64)
+        .orderBy(col("bucket"), col("dim_pos"))
+    }),
+
+    // join-key distribution profile: heavy hitters with share + cumulative
+    // share and the global skew ratio — the diagnostic that picks between
+    // plain shuffle, AQE skew split, and salting (q49) for a hot-key join
+    "q101_skew_profile" -> ((s, dir) => {
+      graft.ops.Diagnostics.keyProfile(
+        Tables.normalizeEventTs(t(s, dir, "events")), "user_id", topN = 20)
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -2161,6 +2195,54 @@ object SparkEntry {
         |SELECT doc_id, pos, CAST(pos // 64 AS BIGINT) AS shard
         |FROM p ORDER BY pos""".stripMargin,
 
+    // same tokenization rule, rank-capped postings reproduced via a window
+    // FILTER inside the list aggregate
+    "t84_inverted_index" ->
+      """WITH tok0 AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM tok0),
+        |r AS (SELECT doc_id, token,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM tok),
+        |g AS (SELECT token, count(*) AS df_count,
+        |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',') AS postings_csv
+        |  FROM r GROUP BY token)
+        |SELECT token, df_count, postings_csv FROM g
+        |WHERE df_count >= 50 ORDER BY token""".stripMargin,
+
+    // bigrams via a struct comprehension over adjacent positions; left
+    // totals and the continuation vocabulary recomputed from the counts
+    "t89_bigram_lm" ->
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |tk2 AS (SELECT t FROM tk WHERE len(t) >= 2),
+        |bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS s FROM tk2),
+        |c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT w2) AS nv FROM c),
+        |f AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM c)
+        |SELECT w1, w2, c12, round((c12 + 0.5) / (c1 + 0.5 * nv), 6) AS p_cond
+        |FROM f, v ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // buckets from the same md5-derived hyperplanes; the component sum goes
+    // through DECIMAL(27,7) in both engines (double→decimal casts round
+    // half-away-from-zero in both), so the mean is order-independent
+    "s100_bucket_centroids" -> centroidOracle(planes = 5, dim = 64),
+
+    // heavy hitters + skew ratio over per-key counts; cumulative share of
+    // the sorted prefix needs only the prefix
+    "q101_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows, max(cnt) AS max_cnt FROM c),
+        |top AS (SELECT key, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        |  FROM c QUALIFY rank <= 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(key AS VARCHAR) AS key, cnt,
+        |  round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+        |  round(CAST(cum_cnt AS DOUBLE) / total_rows, 6) AS cum_share,
+        |  n_keys, total_rows,
+        |  round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
+        |FROM top, st ORDER BY rank""".stripMargin,
+
     // initial BPE symbols are single chars, so an adjacency's fused string
     // a||b is exactly the 2-char substring at that position
     "t97_bpe_pairs" ->
@@ -2507,6 +2589,30 @@ object SparkEntry {
     * [t·planes, (t+1)·planes) of planeMatrix(tables·planes, dim) — identical
     * to Similarity.lshTopK — candidates unioned across tables (UNION dedups,
     * mirroring the pre-rerank dropDuplicates), then exact cosine rerank. */
+  /** s100 oracle: single-table sign-signature buckets (rows [0, planes) of
+    * the md5 plane matrix, the [[graft.ops.Similarity.lshBucket]]
+    * derivation), then per-(bucket, dimension) means with the component sum
+    * taken through DECIMAL(27,7) — both engines round double→decimal
+    * half-away-from-zero, so the sum (hence the mean) is reduction-order
+    * independent and hash-comparable. */
+  private def centroidOracle(planes: Int, dim: Int): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    val bucketExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT e, CAST($bucketExpr AS BIGINT) AS bucket FROM v),
+       |x AS (SELECT bucket, i - 1 AS dim_pos, CAST(e[i] AS DECIMAL(27,7)) AS comp
+       |  FROM b, (SELECT unnest(range(1, ${dim + 1})) AS i) u),
+       |g AS (SELECT bucket, dim_pos, count(*) AS n_vectors, sum(comp) AS s
+       |  FROM x GROUP BY bucket, dim_pos)
+       |SELECT bucket, dim_pos, n_vectors,
+       |  floor(CAST(s AS DOUBLE) / n_vectors * 1e6 + 0.5) / 1e6 AS centroid
+       |FROM g ORDER BY bucket, dim_pos""".stripMargin
+  }
+
   private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int): String = {
     val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
     def lst(a: Array[Double]): String =

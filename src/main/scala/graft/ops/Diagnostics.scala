@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-distribution diagnostics — the profiling pass that decides HOW to
+  * run the expensive queries (beyond the reference surface; a single-node
+  * engine never needs to know its keys are skewed).
+  *
+  * At cluster scale the first question about any join or aggregation key is
+  * its distribution: one hot key turns a 1000-executor shuffle into a
+  * single-straggler stage. The profile below is what that decision reads —
+  * heavy hitters with their share of the relation, plus the global
+  * skew ratio (max key count / mean key count) that picks between a plain
+  * shuffle, AQE skew splitting, and explicit salting (ops/Relational's
+  * salted join).
+  */
+object Diagnostics {
+
+  /** Top-N heavy hitters of `keyCol` with per-key share and cumulative
+    * share, carrying the global stats (distinct keys, total rows, skew
+    * ratio) on every row so the relation is flat and self-contained.
+    *
+    * Scale shape: ONE map-side-combined hash exchange on the key builds the
+    * counts relation (|keys| rows — orders of magnitude smaller than the
+    * data); the top-N is a TakeOrdered over that relation (per-partition
+    * heaps, NO single-partition window over all keys), and the rank /
+    * cumulative window runs over only the N surviving rows — cumulative
+    * share of the sorted prefix needs nothing beyond the prefix. Global
+    * stats are a second tiny agg over counts, broadcast back via cross
+    * join. No row of the base relation is ever shuffled twice. */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("key"))
+    counts
+      .orderBy(col("cnt").desc, col("key")).limit(topN)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("rank"), col("key").cast("string").as("key"), col("cnt"),
+        round(col("cnt") / col("total_rows"), 6).as("share"),
+        round(col("cum_cnt") / col("total_rows"), 6).as("cum_share"),
+        col("n_keys"), col("total_rows"),
+        // max_cnt·n_keys in doubles: the long product overflows at
+        // plausible (hot key × high cardinality) combinations under ANSI
+        round(col("max_cnt").cast("double") * col("n_keys") / col("total_rows"), 6)
+          .as("skew_ratio"))
+  }
+}

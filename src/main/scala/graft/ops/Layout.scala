@@ -19,9 +19,19 @@ object Layout {
   /** Morton/Z-order value of two non-negative integer columns: bit i of `x`
     * lands at bit 2i, bit i of `y` at bit 2i+1. Pure codegen'd fold over
     * `sequence(0, bits-1)` — built-ins only, no UDF; `bits` ≤ 31 keeps the
-    * interleave inside a signed 64-bit long. */
+    * interleave inside a signed 64-bit long.
+    *
+    * Inputs are masked to their low `bits` bits up front, so the output is
+    * ALWAYS in [0, 4^bits) — a negative or over-range key wraps to its low
+    * bits deterministically instead of sign-extending into a scattered
+    * z-value that silently defeats min/max pruning. Callers whose keys can
+    * be negative or exceed 2^bits must pre-scale (offset/quantize) them
+    * into range first — wrapping preserves boundedness, not locality. */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = lit((1L << bits) - 1L)
+    val xm = x.bitwiseAND(mask)
+    val ym = y.bitwiseAND(mask)
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
@@ -30,8 +40,8 @@ object Layout {
         // the SQL functions accept a column — call them directly
         def sl(c: Column, n: Column) = call_function("shiftleft", c, n)
         def sr(c: Column, n: Column) = call_function("shiftright", c, n)
-        acc.bitwiseOR(sl(sr(x, i).bitwiseAND(lit(1L)), i * 2))
-          .bitwiseOR(sl(sr(y, i).bitwiseAND(lit(1L)), i * 2 + 1))
+        acc.bitwiseOR(sl(sr(xm, i).bitwiseAND(lit(1L)), i * 2))
+          .bitwiseOR(sl(sr(ym, i).bitwiseAND(lit(1L)), i * 2 + 1))
       })
   }
 

@@ -203,14 +203,22 @@ object Sampling {
     * range exchange — the standard terasort shape) and the global position
     * comes from per-partition COUNTS (a scalar per partition crosses the
     * driver, never rows), so there is no single-partition window and no
-    * driver-side data. Output adds (`posCol`, `shardCol`). */
+    * driver-side data. Output adds (`posCol`, `shardCol`).
+    *
+    * `idCol` must be unique: the permutation key is (md5(id), id), so a
+    * duplicated id gives duplicated keys and the relative order of those
+    * rows — hence their shard — is not deterministic.
+    *
+    * Shard is integer division (`pos div shardSize`), NOT double division:
+    * doubles are exact only below 2^53, and at the 100 TB row counts this
+    * operator targets a boundary row could round into the wrong shard. */
   def shuffleShards(df: DataFrame, idCol: String, shardSize: Long,
                     posCol: String = "pos", shardCol: String = "shard"): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val keyed = df.withColumn("__shuffle_key", md5(col(idCol).cast("string")))
       .orderBy(col("__shuffle_key"), col(idCol))
     val (indexed, _) = Relational.withRowIndexCounted(keyed, posCol)
-    indexed.withColumn(shardCol, (col(posCol) / shardSize).cast("long"))
+    indexed.withColumn(shardCol, expr(s"`$posCol` div ${shardSize}L"))
       .drop("__shuffle_key")
   }
 }

@@ -240,6 +240,43 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
 
+  /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
+    * (bucket, dimension) with the bucket's mean component and size. This is
+    * the declarative cluster-summary pass under SemDeDup-style semantic
+    * dedup and IVF cell maintenance: buckets come from the same
+    * deterministic md5-derived hyperplanes as [[lshBucket]], so any engine
+    * recomputes identical groups.
+    *
+    * Determinism at scale: a double mean over a distributed group depends
+    * on reduction order — two runs (or two engines) disagree in the low
+    * bits. Components are therefore rounded through DECIMAL(27,7) (exact,
+    * order-independent sum; floats are ~7 significant digits, so 7 fixed
+    * decimals loses nothing) and divided once at the end — the same
+    * long-decimal trick the stats family uses for its sums.
+    *
+    * Scale shape: `posexplode` is a projection (rows × dim, but 3 narrow
+    * columns); ONE map-side-combined hash exchange on (bucket, dim_pos) —
+    * partial sums mean the exchange carries ~|buckets|·dim rows per map
+    * partition, not rows·dim. Output is |buckets|·dim rows total. */
+  def bucketCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, dim: Int): DataFrame = {
+    val bucketed = df.select(
+      lshBucket(col(vecCol), planes, dim).as("bucket"), col(vecCol).as("__v"))
+    bucketed.select(col("bucket"), posexplode(col("__v")).as(Seq("dim_pos", "comp")))
+      .withColumn("dim_pos", col("dim_pos").cast("long"))
+      .groupBy(col("bucket"), col("dim_pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("comp").cast("double").cast("decimal(27,7)")).as("__s"))
+      .select(col("bucket"), col("dim_pos"), col("n_vectors"),
+        // NOT round(): the exact-decimal sum over a small group can put the
+        // mean exactly ON a 6-dp boundary, where Spark (BigDecimal of the
+        // shortest double repr, HALF_UP) and other engines (scaled double)
+        // disagree. floor(x·1e6 + 0.5)/1e6 is pure IEEE double arithmetic —
+        // every engine computes the identical bit pattern
+        (floor(col("__s").cast("double") / col("n_vectors") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("centroid"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and reranks exactly within them. The classic billion-scale layout: the

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing and n-gram language-model statistics — the retrieval /
+  * quality-filtering side of a training-data pipeline (beyond the reference
+  * surface; the reference has no text-indexing operators).
+  *
+  * Both operators tokenize with the same engine-portable rule (lowercase,
+  * split on runs of non-alphanumerics, drop empties) so any SQL engine
+  * reproduces the token stream exactly — the same portability contract the
+  * text-quality family (functions/TextFunctions.scala) follows.
+  */
+object TextIndex {
+
+  private def tokensExpr(textCol: String) =
+    filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Inverted index: token → document frequency + a capped, sorted posting
+    * list (as a CSV string, so the relation stays flat and engine-portable).
+    *
+    * Scale shape: the token stream is a projection + explode (no shuffle);
+    * ONE hash exchange on `token` feeds both the per-token window rank and
+    * the group-by (same key — Spark reuses the exchange). The posting list
+    * is capped BEFORE collection via the rank (`collect_list` only sees
+    * rows with rn ≤ capPostings), so a stopword appearing in 10^9 documents
+    * costs `capPostings` entries of executor memory, not 10^9 — df_count
+    * still counts every document. Real index builders shard or cap posting
+    * lists for exactly this reason.
+    *
+    * `minDf` prunes the hapax tail (the vast majority of tokens at corpus
+    * scale) after aggregation — counts are complete, output is bounded. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, capPostings: Int = 20): DataFrame = {
+    require(capPostings >= 1, "capPostings must be >= 1")
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokensExpr(textCol))).as("token"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    tok.withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_count"),
+        sort_array(collect_list(when(col("rn") <= capPostings, col("doc_id"))))
+          .as("__postings"))
+      .filter(col("df_count") >= minDf)
+      .select(col("token"), col("df_count"),
+        array_join(transform(col("__postings"), _.cast("string")), ",")
+          .as("postings_csv"))
+  }
+
+  /** Bigram conditional probabilities with add-k smoothing — the counts
+    * behind an n-gram LM quality filter (CCNet-style perplexity scoring
+    * ranks documents by how surprising their token transitions are; this
+    * is the model-estimation pass).
+    *
+    * P(w2 | w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), where c(w1,·) is the
+    * bigram-left total (a window sum over the bigram counts — NO second
+    * corpus pass) and V the distinct-continuation vocabulary size (one
+    * scalar, broadcast via cross join).
+    *
+    * Scale shape: bigrams are a per-row `zip_with` projection (no shuffle),
+    * counted with ONE map-side-combined hash exchange on (w1, w2); the w1
+    * totals are a window over the already-tiny counts relation; the top-N
+    * is a TakeOrdered (no global sort). */
+  def bigramConditional(df: DataFrame, textCol: String, topN: Int,
+                        k: Double = 0.5): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val toks = df.select(tokensExpr(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("v"))
+    val leftW = Window.partitionBy(col("w1"))
+    counts.withColumn("c1", sum(col("c12")).over(leftW))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v")), 6)
+          .as("p_cond"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+}

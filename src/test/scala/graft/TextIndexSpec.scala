@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{Diagnostics, Similarity, TextIndex}
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing, n-gram LM statistics, cluster centroids, and key
+  * distribution diagnostics — semantics on hand-checkable micro-data plus
+  * invariants (posting cap, smoothing normalization, exact means) that must
+  * survive any plan change. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta alpha gamma"),
+    (2L, "beta gamma beta"),
+    (3L, "alpha beta"),
+    (4L, "Gamma! ALPHA?")
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: df counts, sorted postings, minDf filter") {
+    val idx = TextIndex.invertedIndex(docs, "doc_id", "text").orderBy("token")
+      .as[(String, Long, String)].collect().toSeq
+    // alpha ∈ {1,3,4}, beta ∈ {1,2,3}, gamma ∈ {1,2,4} — distinct per doc,
+    // case-folded, punctuation split away
+    assert(idx == Seq(
+      ("alpha", 3L, "1,3,4"), ("beta", 3L, "1,2,3"), ("gamma", 3L, "1,2,4")))
+    val minDf = TextIndex.invertedIndex(docs, "doc_id", "text", minDf = 4L)
+    assert(minDf.count() == 0L)
+  }
+
+  test("invertedIndex: posting list capped, df count complete") {
+    val many = (1L to 30L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val r = TextIndex.invertedIndex(many, "doc_id", "text", capPostings = 5)
+      .as[(String, Long, String)].collect().toSeq
+    // df counts all 30 documents; postings keep only the 5 smallest ids
+    assert(r == Seq(("tok", 30L, "1,2,3,4,5")))
+  }
+
+  test("bigramConditional: counts and add-k smoothed probabilities") {
+    val r = TextIndex.bigramConditional(docs, "text", topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // bigram stream: (alpha,beta) (beta,alpha) (alpha,gamma) | (beta,gamma)
+    // (gamma,beta) | (alpha,beta) | (gamma,alpha); V = distinct w2 = 3
+    val m = r.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(m(("alpha", "beta"))._1 == 2L)
+    // c(alpha,·) = 3: p = (2 + 0.5) / (3 + 0.5·3) = 2.5/4.5
+    assert(math.abs(m(("alpha", "beta"))._2 - 2.5 / 4.5) < 1e-6)
+    assert(m(("gamma", "alpha"))._1 == 1L)
+    // c(gamma,·) = 2: p = 1.5/3.5
+    assert(math.abs(m(("gamma", "alpha"))._2 - 1.5 / 3.5) < 1e-6)
+    // top-1 by count is the only count-2 bigram
+    assert(r.head._3 == 2L && (r.head._1, r.head._2) == (("alpha", "beta")))
+  }
+
+  test("bigramConditional: per-left observed mass bounded by 1") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val r = TextIndex.bigramConditional(d, "text", topN = 10000)
+    val mass = r.groupBy("w1").agg(sum("p_cond").as("mass"), count(lit(1)).as("k"))
+    // observed-continuation mass is (c1 + 0.5k)/(c1 + 0.5V) ≤ 1, equal only
+    // when w1 was seen before every token in V — which this small-vocab
+    // corpus does reach, so the bound is ≤ 1 up to the 6-dp output rounding
+    val (maxMass, maxK) = mass.agg(max("mass"), max("k")).as[(Double, Long)].head()
+    assert(maxMass <= 1.0 + maxK * 5e-7)
+    assert(mass.agg(min("mass")).as[Double].head() > 0.0)
+  }
+
+  test("bucketCentroids: exact per-bucket means, every dimension present") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val c = Similarity.bucketCentroids(e, "vec_id", "embedding", planes = 3, dim = 64)
+    val rows = c.collect()
+    val buckets = rows.map(_.getLong(0)).distinct
+    // every (bucket, dim) pair present; dims complete per bucket
+    assert(rows.length == buckets.length * 64)
+    // n_vectors per bucket sums to the corpus size, constant across dims
+    val n = c.filter(col("dim_pos") === 0).agg(sum("n_vectors")).as[Long].head()
+    assert(n == e.count())
+    // spot-check one bucket/dim against a driver-side exact mean
+    val b0 = buckets.min
+    val members = e.withColumn("b",
+        Similarity.lshBucket(col("embedding"), 3, 64))
+      .filter(col("b") === b0)
+      .select(element_at(col("embedding"), 1).cast("double")).as[Double].collect()
+    val expected = math.floor(members.map(BigDecimal(_).setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / members.length * 1e6 + 0.5) / 1e6
+    val got = rows.find(r => r.getLong(0) == b0 && r.getLong(1) == 0L).get.getDouble(3)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("keyProfile: ranks, shares, cumulative shares, skew ratio") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = Diagnostics.keyProfile(df, "k", topN = 2).orderBy("rank").collect()
+    assert(r.length == 2)
+    val top = r.head
+    assert(top.getLong(0) == 1L && top.getString(1) == "a" && top.getLong(2) == 6L)
+    assert(top.getDouble(3) == 0.6 && top.getDouble(4) == 0.6)
+    assert(top.getLong(5) == 3L && top.getLong(6) == 10L)
+    // skew = max_cnt · n_keys / total = 6·3/10
+    assert(top.getDouble(7) == 1.8)
+    val second = r(1)
+    assert(second.getString(1) == "b" && second.getDouble(4) == 0.9)
+  }
+}
