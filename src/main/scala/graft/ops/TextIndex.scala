@@ -62,7 +62,12 @@ object TextIndex {
     * Scale shape: bigrams are a per-row `zip_with` projection (no shuffle),
     * counted with ONE map-side-combined hash exchange on (w1, w2); the w1
     * totals are a window over the already-tiny counts relation; the top-N
-    * is a TakeOrdered (no global sort). */
+    * is a TakeOrdered (no global sort). The counts relation has two
+    * consumers (the probability chain and the vocabulary scalar) and the
+    * vocab branch would otherwise replan all the way down to a SECOND
+    * corpus scan, so counts — |bigram types| rows, bounded by vocab², not
+    * by the corpus — is localCheckpointed once, the same multi-consumer
+    * rule the composed passes follow. */
   def bigramConditional(df: DataFrame, textCol: String, topN: Int,
                         k: Double = 0.5): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
@@ -74,6 +79,7 @@ object TextIndex {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val vocab = counts.agg(countDistinct(col("w2")).as("v"))
     val leftW = Window.partitionBy(col("w1"))
     counts.withColumn("c1", sum(col("c12")).over(leftW))
