@@ -63,6 +63,14 @@ object SparkEntry {
 
   val stopwords: Seq[String] = Seq("the", "a")
 
+  /** The frozen BPE tokenizer artifact: the first 48 merges trained by
+    * `Bpe.trainBatched` on the sf0.01 corpus (dev tool `BpeFreeze`, same
+    * config as x97_bpe_train64). Training happens once (t97/x97 cover it);
+    * production encodes the full corpus with the PUBLISHED list — which is
+    * why t102 applies a constant instead of retraining per run, exactly
+    * like running a released tokenizer's merges file. */
+  val frozenBpeMerges: Seq[(String, String)] = Seq() // filled by BpeFreeze
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1430,6 +1438,16 @@ object SparkEntry {
         Tables.normalizeEventTs(t(s, dir, "events")), "user_id", topN = 20)
     }),
 
+    // apply the FROZEN tokenizer (t97 trains, this encodes): per-distinct-
+    // word merge fold as a chain of codegen'd literal replaces, broadcast
+    // join back to the corpus — the "tokenize 100 TB with a published
+    // merges file" pass
+    "t102_bpe_encode" -> ((s, dir) => {
+      graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
+          frozenBpeMerges, capTokens = 12)
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -2222,6 +2240,9 @@ object SparkEntry {
         |SELECT w1, w2, c12, round((c12 + 0.5) / (c1 + 0.5 * nv), 6) AS p_cond
         |FROM f, v ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin,
 
+    // the frozen merge chain replayed as nested literal replaces
+    "t102_bpe_encode" -> bpeEncodeOracle(frozenBpeMerges, cap = 12),
+
     // buckets from the same md5-derived hyperplanes; the component sum goes
     // through DECIMAL(27,7) in both engines (double→decimal casts round
     // half-away-from-zero in both), so the mean is order-independent
@@ -2589,6 +2610,31 @@ object SparkEntry {
     * [t·planes, (t+1)·planes) of planeMatrix(tables·planes, dim) — identical
     * to Similarity.lshTopK — candidates unioned across tables (UNION dedups,
     * mirroring the pre-rerank dropDuplicates), then exact cosine rerank. */
+  /** t102 oracle: the frozen merge list re-applied in DuckDB — each word
+    * rendered as the boundary-wrapped symbol string and every merge ONE
+    * literal `replace`, nested in rank order (string replace is
+    * left-to-right non-overlapping in both engines — the applyMerge fold
+    * semantics, spec-pinned). */
+  private def bpeEncodeOracle(merges: Seq[(String, String)], cap: Int): String = {
+    val fused = merges.foldLeft("f") { case (c, (a, b)) =>
+      s"replace($c, '<$a><$b>', '<$a$b>')"
+    }
+    s"""WITH w0 AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS wpos
+       |  FROM documents),
+       |w AS (SELECT * FROM w0 WHERE w <> ''),
+       |v AS (SELECT DISTINCT w FROM w),
+       |e0 AS (SELECT w, '<' || array_to_string([w[i] for i in range(1, len(w)+1)], '><') || '>' AS f FROM v),
+       |e1 AS (SELECT w, $fused AS f FROM e0),
+       |enc AS (SELECT w, string_split(f[2:len(f)-1], '><') AS toks FROM e1),
+       |j AS (SELECT doc_id, wpos, toks FROM w JOIN enc USING (w)),
+       |g AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       |  array_to_string(flatten(list(toks ORDER BY wpos))[1:$cap], ',') AS tokens_head
+       |  FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, tokens_head FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** s100 oracle: single-table sign-signature buckets (rows [0, planes) of
     * the md5 plane matrix, the [[graft.ops.Similarity.lshBucket]]
     * derivation), then per-(bucket, dimension) means with the component sum

@@ -143,4 +143,50 @@ object Bpe {
     }
     (merges.toSeq, rounds)
   }
+
+  /** Apply a FROZEN merge list to a corpus — the production half of the
+    * tokenizer story: train once (t97 / [[train]]), freeze the merge list
+    * as the published artifact, then encode 100 TB with it.
+    *
+    * Scale shape: encoding is computed per DISTINCT word, never per
+    * occurrence — one corpus pass builds the distinct-word relation
+    * (map-side-combined, vocab-sized shuffle), the merge fold runs over
+    * that small relation, and the result broadcast-joins back to the
+    * corpus. Per-word merging needs no custom expression: the word is
+    * rendered as a boundary-wrapped symbol string (`<c1><c2>…`) and each
+    * merge (a, b) is ONE codegen'd literal `replace("<a><b>" → "<ab>")` —
+    * string replace is left-to-right and non-overlapping, exactly
+    * [[applyMerge]]'s fold semantics (spec-pinned equivalent), and the
+    * whole merge chain is a static tree of built-ins inside whole-stage
+    * codegen. Symbols must not contain the boundary characters.
+    *
+    * Output: one row per input document carrying at least one word —
+    * (idCol, n_tokens, first `capTokens` tokens as CSV). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)], capTokens: Int = 12): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      !(a + b).exists(c => c == '<' || c == '>') },
+      "merge symbols must not contain the boundary characters < >")
+    val words = docs
+      .select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+      .filter(col("w") =!= "")
+    val vocab = words.select(col("w")).distinct()
+    val wrapped = concat(lit("<"),
+      array_join(expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"), "><"),
+      lit(">"))
+    val fused = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    val enc = vocab.withColumn("__fused", fused)
+      .withColumn("toks",
+        split(col("__fused").substr(lit(2), length(col("__fused")) - 2), "><"))
+      .select(col("w"), col("toks"), size(col("toks")).cast("long").as("n_word_toks"))
+    words.join(broadcast(enc), Seq("w"))
+      .groupBy(col("__id"))
+      .agg(sum(col("n_word_toks")).as("n_tokens"),
+        array_join(slice(flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("toks")))),
+            s => s.getField("toks"))), 1, capTokens), ",").as("tokens_head"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -381,18 +381,34 @@ object Dedup {
     * isolated nodes (appearing in no edge) are absent from the output.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25,
+                          maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    // LAZY local truncation: lineage is cut now, blocks cache at the next
-    // action — which is always the convergence probe below, so each round
-    // pays one job, not a materialize-then-probe pair. The reliable path
-    // stays EAGER: a lazy reliable checkpoint recomputes its RDD a second
-    // time when the checkpoint file is written (it does not cache), which
-    // would cost more than the extra job it saves.
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(eager = false)
+    // Truncation must strip the plan's estimated Statistics along with its
+    // lineage. `Dataset.checkpoint`/`localCheckpoint` carry the source
+    // plan's stats into the new LogicalRDD, and Catalyst's size-only join
+    // estimate is the PRODUCT of its children's sizeInBytes — so across
+    // rounds the carried estimate compounds (each round cubes it: one
+    // neighbor join + two pointer-jump joins) and its BigInt digit count
+    // triples per round. By round ~14 the driver spends minutes per join
+    // inside BigInteger.multiply (Karatsuba/ToomCook) just PLANNING —
+    // observed as an exponential per-round wall blowup (0.4 s → 170 s by
+    // round 15) on a long-diameter graph, with data, partitions, and
+    // lineage all flat. Rebuilding the frame from the checkpointed RDD
+    // (df.rdd → createDataFrame) resets stats to the session default every
+    // round; the Row conversion touches only the thin label map.
+    //
+    // The local path checkpoints LAZILY: lineage is cut now, blocks cache
+    // at the next action — always the convergence probe below, so each
+    // round pays one job, not a materialize-then-probe pair. The reliable
+    // path caches before checkpointing (a bare reliable checkpoint
+    // recomputes its RDD when the checkpoint file is written).
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      if (checkpointDir.isDefined) { rdd.cache(); rdd.checkpoint() }
+      else rdd.localCheckpoint()
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
     // cached pre-partitioned on m — the per-round neighbor join's key — so
     // the edge list (the one relation here that isn't label-map-thin)
     // crosses the network ONCE at build, not once per round: the cached
@@ -436,6 +452,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // min over own + neighbors' labels
       val viaNbr = sym.join(labels.select(col("node").as("m"), col("label")), "m")
         .select(col("n").as("node"), col("label"))
@@ -461,7 +478,8 @@ object Dedup {
         prevSum = curSum
         // dev visibility only: round pacing for scale tuning, off by default
         if (sys.env.contains("GRAFT_CC_LOG")) System.err.println(
-          f"[cc] round $iter probe ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
+          f"[cc] round $iter probe ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"wall ${(System.nanoTime() - roundT0) / 1e9}%.2f s converged=$converged")
       }
     }
     sym.unpersist()

@@ -780,6 +780,38 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq("aa", "a"))
   }
 
+  test("BPE encode: replace-chain ≡ applyMerge fold on every sf0.001 word") {
+    // encode's per-word merge chain is codegen'd string replace; applyMerge
+    // is the symbol-array fold. Same left-to-right non-overlap semantics —
+    // pin the equivalence over the real corpus vocabulary with a trained
+    // merge list (so multi-char symbol merges are exercised too).
+    val docs = core.Tables.documents(spark, sf("sf0.001"))
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 24)
+    // fold path: full vocab (keep 1-char words: encode must carry them)
+    val vocab0 = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+    val folded = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      graft.ops.Bpe.applyMerge(v, a, b) }
+      .select(col("w"), col("syms")).as[(String, Seq[String])].collect().toMap
+    // encode path, reconstructed per word from the doc-level output of a
+    // one-word-per-doc frame (wpos grouping degenerates to the word)
+    val oneWordDocs = vocab0.select(col("w")).withColumn("doc_id",
+      monotonically_increasing_id())
+    val enc = graft.ops.Bpe.encode(oneWordDocs, "doc_id", "w", merges,
+        capTokens = 1000)
+      .join(oneWordDocs, "doc_id")
+      .select(col("w"), col("tokens_head"), col("n_tokens"))
+      .as[(String, String, Long)].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (w, toksCsv, n) =>
+      val toks = toksCsv.split(",").toSeq
+      assert(toks == folded(w), s"word $w: $toks != ${folded(w)}")
+      assert(n == toks.length.toLong)
+    }
+  }
+
   test("bloom: no false negatives, incremental dedup exact vs plain anti-join") {
     val history = (1L to 300L).map(i => s"doc-$i").toDF("fp")
     val (bitsN, k) = (1 << 12, 4)
