@@ -69,7 +69,19 @@ object SparkEntry {
     * production encodes the full corpus with the PUBLISHED list — which is
     * why t102 applies a constant instead of retraining per run, exactly
     * like running a released tokenizer's merges file. */
-  val frozenBpeMerges: Seq[(String, String)] = Seq() // filled by BpeFreeze
+  val frozenBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"))
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
