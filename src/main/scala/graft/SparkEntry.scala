@@ -1446,8 +1446,7 @@ object SparkEntry {
     // share and the global skew ratio — the diagnostic that picks between
     // plain shuffle, AQE skew split, and salting (q49) for a hot-key join
     "q101_skew_profile" -> ((s, dir) => {
-      graft.ops.Diagnostics.keyProfile(
-        Tables.normalizeEventTs(t(s, dir, "events")), "user_id", topN = 20)
+      graft.ops.Diagnostics.keyProfile(t(s, dir, "events"), "user_id", topN = 20)
     }),
 
     // apply the FROZEN tokenizer (t97 trains, this encodes): per-distinct-
@@ -1458,6 +1457,14 @@ object SparkEntry {
       graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text",
           frozenBpeMerges, capTokens = 12)
         .orderBy(col("doc_id"))
+    }),
+
+    // ordered funnel over the event stream: step k+1 counts only strictly
+    // after the user's earliest step-k completion; each stage is a filtered
+    // min-agg joined to the shrinking previous-step relation
+    "e103_funnel" -> ((s, dir) => {
+      graft.ops.Events.funnel(t(s, dir, "events"), "user_id", "event_type", "ts_ns",
+        Seq("signup", "view", "click", "purchase"))
     }),
 
     // ORC source/sink roundtrip (columnar format beyond the reference; the
@@ -1827,6 +1834,26 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // strictly-after chain: each step joins the previous step's earliest
+    // completion; epoch_ns ties out exactly with the Spark side's ts_ns.
+    // floor(x*1e6+0.5)/1e6: step-count ratios are small rationals that CAN
+    // land on a 6-dp boundary — round() tie behavior is not portable there
+    "e103_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events),
+        |s1 AS (SELECT u, min(ts) AS ts FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.ts) AS ts FROM e JOIN s1 ON e.u = s1.u AND e.ts > s1.ts WHERE e.t = 'view' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS ts FROM e JOIN s2 ON e.u = s2.u AND e.ts > s2.ts WHERE e.t = 'click' GROUP BY e.u),
+        |s4 AS (SELECT e.u, min(e.ts) AS ts FROM e JOIN s3 ON e.u = s3.u AND e.ts > s3.ts WHERE e.t = 'purchase' GROUP BY e.u),
+        |c AS (SELECT 1 AS step, 'signup' AS event_type, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
+        |f AS (SELECT users AS first_users FROM c WHERE step = 1)
+        |SELECT CAST(step AS BIGINT) AS step, event_type, users,
+        |  floor(CAST(users AS DOUBLE) / coalesce(lag(users) OVER (ORDER BY step), users) * 1e6 + 0.5) / 1e6 AS conv_from_prev,
+        |  floor(CAST(users AS DOUBLE) / first_users * 1e6 + 0.5) / 1e6 AS conv_from_first
+        |FROM c, f ORDER BY step""".stripMargin,
+
     "e32_sessionize" ->
       """WITH e AS (SELECT user_id, ts, value, epoch_ms(ts) AS ms FROM events),
         |d AS (SELECT *, CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 7200000

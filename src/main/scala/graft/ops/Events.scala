@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over an event stream (beyond the reference
+  * surface — the product-analytics queries a clickstream warehouse runs).
+  */
+object Events {
+
+  /** Funnel analysis: how many users reach each step of an ORDERED step
+    * sequence, where step k+1 counts only if it happens strictly after the
+    * user's earliest completion of step k.
+    *
+    * Declarative chain, no per-user sequence scan: step 1 is a filtered
+    * min-timestamp aggregate; each later step filters its event type,
+    * joins the (user, prev_ts) relation of the previous step, and takes
+    * the min timestamp after it. Every stage shrinks: step k's relation
+    * holds only users who reached it, and AQE broadcasts it against the
+    * filtered event scan (the big side is scanned once per step with its
+    * type filter pushed to parquet). Per-step output: users reached,
+    * conversion from the previous step, conversion from step 1 — computed
+    * over the tiny per-step count relation.
+    *
+    * Events with NULL user or timestamp never match (SQL join/filter
+    * semantics). Ties (same timestamp) do NOT advance the funnel: strictly
+    * increasing timestamps keep "after" unambiguous and engine-portable. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // (user, earliest ts reaching step k) for each step, built iteratively
+    val reached: Seq[DataFrame] = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+            col(tsCol).as("ts"))
+          .filter(col("t") === step)
+        val r =
+          if (i == 0) ev.groupBy(col("u")).agg(min(col("ts")).as("ts"))
+          else {
+            val prev = acc.last.select(col("u"), col("ts").as("prev_ts"))
+            ev.join(prev, "u")
+              .filter(col("ts") > col("prev_ts"))
+              .groupBy(col("u")).agg(min(col("ts")).as("ts"))
+          }
+        acc :+ r
+    }
+    val counts = reached.zip(steps).zipWithIndex.map { case ((r, step), i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("long").as("step"), lit(step).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+    val first = counts.filter(col("step") === 1)
+      .select(col("users").as("first_users"))
+    // NOT round(): step-count ratios are small rationals, which CAN land
+    // exactly on a 6-dp boundary (denominator divisible by 2^7) — the
+    // portable floor(x·1e6 + 0.5)/1e6 IEEE form rounds identically in any
+    // engine (same rationale as bucketCentroids)
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    counts
+      .withColumn("prev_users", lag(col("users"), 1).over(w))
+      .crossJoin(broadcast(first))
+      .select(col("step"), col("event_type"), col("users"),
+        r6(col("users") / coalesce(col("prev_users"), col("users")))
+          .as("conv_from_prev"),
+        r6(col("users") / col("first_users")).as("conv_from_first"))
+      .orderBy(col("step"))
+  }
+}

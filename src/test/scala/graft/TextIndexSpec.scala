@@ -85,6 +85,22 @@ class TextIndexSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9)
   }
 
+  test("funnel: ordered steps, strictly-after semantics, tie does not advance") {
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),      // full funnel
+      (2L, "B", 1L), (2L, "A", 2L), (2L, "B", 5L),       // B-before-A ignored, later B counts
+      (3L, "B", 2L), (3L, "A", 3L),                       // B only before A -> step 1 only
+      (4L, "B", 1L), (4L, "C", 2L),                       // never signs up
+      (5L, "A", 4L), (5L, "B", 4L)                        // tie: B NOT strictly after A
+    ).toDF("u", "t", "ts")
+    val r = graft.ops.Events.funnel(ev, "u", "t", "ts", Seq("A", "B", "C"))
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((1L, "A", 4L), (2L, "B", 2L), (3L, "C", 1L)))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(1.0, 0.5, 0.5))   // conv_from_prev
+    assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 0.5, 0.25))  // conv_from_first
+  }
+
   test("keyProfile: ranks, shares, cumulative shares, skew ratio") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val r = Diagnostics.keyProfile(df, "k", topN = 2).orderBy("rank").collect()
