@@ -1467,6 +1467,15 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"))
     }),
 
+    // cohort retention triangle: users cohorted by first-event day, one
+    // corpus-keyed exchange (the per-user min), everything after operates
+    // on thin per-user / per-cell relations
+    "e104_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      graft.ops.Events.retention(ev, "user_id", "day")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1834,6 +1843,18 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // per-user-distinct (u, day) relation, cohort = min day, cells by date
+    // subtraction (integer days in both engines)
+    "e104_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT u, min(d) AS cohort_day FROM ev GROUP BY u),
+        |s AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_day, CAST(ev.d - c.cohort_day AS BIGINT) AS day_offset, count(*) AS active_users
+        |  FROM ev JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT a.cohort_day, day_offset, active_users, cohort_users,
+        |  floor(CAST(active_users AS DOUBLE) / cohort_users * 1e6 + 0.5) / 1e6 AS retention
+        |FROM a JOIN s USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin,
+
     // strictly-after chain: each step joins the previous step's earliest
     // completion; epoch_ns ties out exactly with the Spark side's ts_ns.
     // floor(x*1e6+0.5)/1e6: step-count ratios are small rationals that CAN

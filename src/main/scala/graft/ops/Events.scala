@@ -53,11 +53,6 @@ object Events {
     }.reduce(_ unionByName _)
     val first = counts.filter(col("step") === 1)
       .select(col("users").as("first_users"))
-    // NOT round(): step-count ratios are small rationals, which CAN land
-    // exactly on a 6-dp boundary (denominator divisible by 2^7) — the
-    // portable floor(x·1e6 + 0.5)/1e6 IEEE form rounds identically in any
-    // engine (same rationale as bucketCentroids)
-    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
     counts
       .withColumn("prev_users", lag(col("users"), 1).over(w))
@@ -67,5 +62,35 @@ object Events {
           .as("conv_from_prev"),
         r6(col("users") / col("first_users")).as("conv_from_first"))
       .orderBy(col("step"))
+  }
+
+  // NOT round(): user-count ratios are small rationals, which CAN land
+  // exactly on a 6-dp boundary (denominator divisible by 2^7) — the
+  // portable floor(x·1e6 + 0.5)/1e6 IEEE form rounds identically in any
+  // engine (same rationale as Similarity.bucketCentroids)
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Cohort retention: users are cohorted by the DAY of their first event;
+    * cell (cohort_day, day_offset) counts the cohort's users active
+    * `day_offset` days later, with the retention rate against the cohort's
+    * size. The classic growth-analytics triangle.
+    *
+    * Scale shape: one min-agg shuffle on user builds (user, cohort_day) —
+    * the only corpus-keyed exchange; the activity relation joins it
+    * (AQE broadcast: one thin row per user), then ONE map-side-combined
+    * aggregate on (cohort_day, day_offset) over per-user-distinct days.
+    * `tsDayCol` must be a day-granular date/integer column (engine-portable
+    * date math stays with the caller). */
+  def retention(events: DataFrame, userCol: String, tsDayCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("u"), col(tsDayCol).as("d")).distinct()
+    val cohort = ev.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+    ev.join(cohort, "u")
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        r6(col("active_users") / col("cohort_users")).as("retention"))
   }
 }

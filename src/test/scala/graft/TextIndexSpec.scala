@@ -101,6 +101,23 @@ class TextIndexSpec extends SparkSpec {
     assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 0.5, 0.25))  // conv_from_first
   }
 
+  test("retention: cohort by first day, per-cell distinct users, exact rates") {
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"), // dup day collapses
+      (2L, "2024-01-01"), (2L, "2024-01-03"),
+      (3L, "2024-01-02")
+    ).toDF("u", "ds").withColumn("day", to_date(col("ds")))
+    val r = graft.ops.Events.retention(ev, "u", "day")
+      .orderBy("cohort_day", "day_offset").collect()
+    val cells = r.map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getDouble(4))).toSeq
+    assert(cells == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),   // cohort 1/1: both users day 0
+      ("2024-01-01", 1L, 1L, 2L, 0.5),   // u1 back on day 1
+      ("2024-01-01", 2L, 1L, 2L, 0.5),   // u2 back on day 2
+      ("2024-01-02", 0L, 1L, 1L, 1.0)))  // u3's own cohort
+  }
+
   test("keyProfile: ranks, shares, cumulative shares, skew ratio") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val r = Diagnostics.keyProfile(df, "k", topN = 2).orderBy("rank").collect()
