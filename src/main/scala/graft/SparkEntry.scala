@@ -1476,6 +1476,17 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // quality-weighted corpus downsampling to an expected 200-doc budget:
+    // keep probability ∝ quality, md5-threshold decided per row, Σw through
+    // DECIMAL so the scale constant is reduction-order independent
+    "d105_weighted_downsample" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("weight"))
+      graft.ops.Sampling.weightedDownsample(scored, "doc_id", "weight",
+          targetRows = 200L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1843,6 +1854,27 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // the t63 quality chain as the weight; same float-op order as the
+    // Spark side (w · (target/Σw) · 2^20 + 0.5, left-assoc), Σw in DECIMAL
+    "d105_weighted_downsample" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS weight FROM parts),
+        |tw AS (SELECT sum(CAST(weight AS DECIMAL(27,7))) AS tw FROM q),
+        |k AS (SELECT doc_id, weight,
+        |  CAST(floor(weight * (200.0 / CAST(tw AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS qq
+        |  FROM q, tw)
+        |SELECT doc_id, weight FROM k
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) <
+        |  CASE WHEN qq <= 0 THEN '00000' WHEN qq >= 1048576 THEN 'g'
+        |       ELSE printf('%05x', qq) END
+        |ORDER BY doc_id""".stripMargin,
+
     // per-user-distinct (u, day) relation, cohort = min day, cells by date
     // subtraction (integer days in both engines)
     "e104_retention" ->

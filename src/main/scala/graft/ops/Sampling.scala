@@ -193,6 +193,35 @@ object Sampling {
       .select(col("id"), col("token"), col("tfidf"), col("rnk"))
   }
 
+  /** Weight-proportional Bernoulli downsampling to an EXPECTED row budget —
+    * the quality-weighted corpus reweighting step (keep probability
+    * ∝ per-document quality, scaled so the expected kept count is
+    * `targetRows`). Classic pretraining-data curation: better documents
+    * survive with proportionally higher probability, and the budget is a
+    * single scalar the pipeline controls.
+    *
+    * Engine-portable by the repo's sampling rules: the keep decision is
+    * the md5-prefix threshold compare (as stratifiedHashFraction), the
+    * per-row threshold is an INTEGER quantization of w·(target/Σw)·2^20
+    * via the portable floor(x + 0.5) IEEE form (no round(), no pow/ln —
+    * libm-free), and Σw runs through DECIMAL(27,7) so the scalar is
+    * reduction-order independent. Probabilities cap at 1 (the 'g'
+    * sentinel sorts above every hex digit); non-positive weights never
+    * keep. One scalar aggregate + one broadcast + one corpus scan. */
+  def weightedDownsample(df: DataFrame, idCol: String, weightCol: String,
+                         targetRows: Long): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val tw = df.agg(sum(col(weightCol).cast("decimal(27,7)")).as("__tw"))
+    val q = floor(col(weightCol) * (lit(targetRows.toDouble) / col("__tw").cast("double"))
+      * lit(1048576.0) + lit(0.5)).cast("long")
+    val thresh = when(q <= 0L, lit("00000"))
+      .when(q >= (1L << 20), lit("g"))
+      .otherwise(format_string("%05x", q))
+    df.crossJoin(broadcast(tw))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 5) < thresh)
+      .drop("__tw")
+  }
+
   /** Deterministic global shuffle + fixed-size shard assignment — the
     * "write the training set in randomized shards" step. Rows are permuted
     * by md5(id) (content-hash: reproducible across runs, retries, engines),

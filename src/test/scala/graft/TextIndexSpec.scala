@@ -118,6 +118,27 @@ class TextIndexSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L, 1L, 1.0)))  // u3's own cohort
   }
 
+  test("weightedDownsample: proportional keep, caps, non-positive excluded") {
+    import graft.ops.Sampling
+    val docs = core.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), lit(1.0).as("w"))
+    // uniform weights over 50 docs, target 20 → keep-prob exactly 0.4;
+    // the kept count is hash-deterministic, assert a sane band
+    val kept = Sampling.weightedDownsample(docs, "doc_id", "w", 20L)
+    val n = kept.count()
+    assert(n > 5 && n < 40, s"kept $n of 50 at p=0.4")
+    // determinism: the same call yields the same set
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedDownsample(docs, "doc_id", "w", 20L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // zero/negative weights never kept; a dominant weight caps at keep-all
+    val zw = Seq((1L, 0.0), (2L, -1.0), (3L, 100.0)).toDF("id", "w")
+    val k2 = Sampling.weightedDownsample(zw, "id", "w", 3L)
+      .select("id").as[Long].collect().toSeq
+    assert(k2 == Seq(3L))
+  }
+
   test("keyProfile: ranks, shares, cumulative shares, skew ratio") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val r = Diagnostics.keyProfile(df, "k", topN = 2).orderBy("rank").collect()
