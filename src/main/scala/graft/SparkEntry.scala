@@ -1903,8 +1903,10 @@ object SparkEntry {
         |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
         |f AS (SELECT users AS first_users FROM c WHERE step = 1)
         |SELECT CAST(step AS BIGINT) AS step, event_type, users,
-        |  floor(CAST(users AS DOUBLE) / coalesce(lag(users) OVER (ORDER BY step), users) * 1e6 + 0.5) / 1e6 AS conv_from_prev,
-        |  floor(CAST(users AS DOUBLE) / first_users * 1e6 + 0.5) / 1e6 AS conv_from_first
+        |  CASE WHEN coalesce(lag(users) OVER (ORDER BY step), users) = 0 THEN 0.0
+        |       ELSE floor(CAST(users AS DOUBLE) / coalesce(lag(users) OVER (ORDER BY step), users) * 1e6 + 0.5) / 1e6 END AS conv_from_prev,
+        |  CASE WHEN first_users = 0 THEN 0.0
+        |       ELSE floor(CAST(users AS DOUBLE) / first_users * 1e6 + 0.5) / 1e6 END AS conv_from_first
         |FROM c, f ORDER BY step""".stripMargin,
 
     "e32_sessionize" ->

@@ -53,14 +53,18 @@ object Events {
     }.reduce(_ unionByName _)
     val first = counts.filter(col("step") === 1)
       .select(col("users").as("first_users"))
+    // empty-step guards: once a step has 0 users every later step does too,
+    // and 0/0 must be 0.0, not an ANSI division error
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    def safeDiv(n: Column, d: Column): Column =
+      when(d === 0L, lit(0.0)).otherwise(r6(n / d))
     counts
       .withColumn("prev_users", lag(col("users"), 1).over(w))
       .crossJoin(broadcast(first))
       .select(col("step"), col("event_type"), col("users"),
-        r6(col("users") / coalesce(col("prev_users"), col("users")))
+        safeDiv(col("users"), coalesce(col("prev_users"), col("users")))
           .as("conv_from_prev"),
-        r6(col("users") / col("first_users")).as("conv_from_first"))
+        safeDiv(col("users"), col("first_users")).as("conv_from_first"))
       .orderBy(col("step"))
   }
 

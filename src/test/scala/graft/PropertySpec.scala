@@ -155,6 +155,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: long path graphs (the deep-round regime)") {
+    // Regression guard for the r8 stats-compounding planner blowup: a path
+    // of n nodes has diameter n-1, forcing ~log2(n) pointer-jump rounds —
+    // the regime where carried join statistics compounded exponentially
+    // (random sparse graphs converge in 1-3 rounds and never saw it).
+    for (n <- Seq(64L, 300L)) {
+      val edges = (0L until n - 1).map(i => (i * 7919L % 1000000L + i * 2L, // non-monotone ids
+        (i + 1) * 7919L % 1000000L + (i + 1) * 2L))
+      val df = edges.toDF("a", "b")
+      val t0 = System.nanoTime()
+      val got = Dedup.connectedComponents(df, "a", "b").collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val minId = edges.flatMap(e => Seq(e._1, e._2)).min
+      assert(got.length == n && got.forall(_.getLong(1) == minId))
+      // pre-fix this exploded past 10 minutes on 300 nodes; post-fix each
+      // round is sub-second — generous bound to stay host-noise-proof
+      assert(secs < 120.0, f"long-path CC took $secs%.1f s")
+    }
+  }
+
+  test("funnel ≡ driver brute force on random event sequences") {
+    import graft.ops.Events
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.choose(1L, 8L), Gen.oneOf("A", "B", "C", "X"), Gen.choose(1L, 30L)))
+    forAll(evGen, cases = 8) { evs =>
+      whenever(evs.exists(_._2 == "A")) {
+        val steps = Seq("A", "B", "C")
+        // reference: per-user strictly-after chain
+        def reach(u: Long): Int = {
+          val mine = evs.filter(_._1 == u)
+          var last = Long.MinValue
+          var k = 0
+          var continue = true
+          for (s <- steps if continue) {
+            val c = mine.filter(e => e._2 == s && (k == 0 || e._3 > last)).map(_._3)
+            if (c.nonEmpty) { last = c.min; k += 1 } else continue = false
+          }
+          k
+        }
+        val users = evs.map(_._1).distinct
+        val expected = steps.indices.map(i => users.count(u => reach(u) >= i + 1).toLong)
+        val got = Events.funnel(evs.toDF("u", "t", "ts"), "u", "t", "ts", steps)
+          .orderBy("step").select("users").as[Long].collect().toSeq
+        assert(got == expected, s"evs=$evs got=$got exp=$expected")
+      }
+    }
+  }
+
+  test("keyProfile ≡ driver counts on random key streams") {
+    import graft.ops.Diagnostics
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 12L))
+    forAll(keysGen, cases = 8) { keys =>
+      val expected = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val topN = 5
+      val order = expected.toSeq.sortBy { case (k, c) => (-c, k) }.take(topN)
+      val got = Diagnostics.keyProfile(keys.toDF("k"), "k", topN)
+        .orderBy("rank").collect()
+      assert(got.length == math.min(topN, expected.size))
+      got.zip(order).zipWithIndex.foreach { case ((r, (k, c)), i) =>
+        assert(r.getLong(0) == i + 1 && r.getString(1) == k.toString &&
+          r.getLong(2) == c)
+        assert(r.getLong(6) == keys.length.toLong) // total_rows
+      }
+      // cumulative share of the last returned row = prefix mass
+      val prefix = order.map(_._2).sum.toDouble / keys.length
+      assert(math.abs(got.last.getDouble(4) - prefix) < 1e-5)
+    }
+  }
+
+  test("weightedDownsample ≡ driver threshold recomputation") {
+    import graft.ops.Sampling
+    val wGen = Gen.nonEmptyListOf(Gen.choose(0, 1000))
+    forAll(wGen, cases = 6) { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w / 250.0) }
+      val target = 3L
+      val tw = rows.map(r => BigDecimal(r._2).setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+      whenever(tw > 0) {
+        def md5hex5(id: Long): String = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(5)
+        }
+        val expected = rows.filter { case (id, w) =>
+          val q = math.floor(w * (target.toDouble / tw.toDouble) * 1048576.0 + 0.5).toLong
+          val thresh = if (q <= 0) "00000" else if (q >= (1L << 20)) "g" else f"$q%05x"
+          md5hex5(id) < thresh
+        }.map(_._1).toSet
+        val got = Sampling.weightedDownsample(rows.toDF("id", "w"), "id", "w", target)
+          .select("id").as[Long].collect().toSet
+        assert(got == expected, s"ws=$ws")
+      }
+    }
+  }
+
   test("connectedComponents/dedupByClusters: empty and self-loop edge cases") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
