@@ -1487,6 +1487,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus report card: the one-pass dataset summary a curation pipeline
+    // publishes with a release — doc/token/lang counts, exact-dup rate,
+    // quality mean (decimal sum) and exact percentiles, as a flat
+    // (metric, value) relation. One aggregate over one scan.
+    "p106_corpus_card" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"), col("text"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("q"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      val a = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct"),
+        sum(col("q").cast("decimal(27,7)")).as("qsum"),
+        expr("percentile(q, 0.5)").as("p50"),
+        expr("percentile(q, 0.9)").as("p90"))
+      a.select(expr(
+        """stack(7,
+          |  'dup_rate', floor((1.0 - CAST(n_distinct AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6,
+          |  'mean_quality', floor(CAST(qsum AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_langs', CAST(n_langs AS DOUBLE),
+          |  'n_tokens', CAST(n_tokens AS DOUBLE),
+          |  'p50_quality', round(p50, 4),
+          |  'p90_quality', round(p90, 4)) AS (metric, value)""".stripMargin))
+        .orderBy(col("metric"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1854,6 +1882,31 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // same quality chain + the same portable floor-rounding; percentile ↔
+    // quantile_cont (the q39-established interpolation parity)
+    "p106_corpus_card" ->
+      """WITH toks AS (SELECT lang, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT lang, text, len(t) AS ntok,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |scored AS (SELECT lang, text, ntok, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS q FROM parts),
+        |a AS (SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs, count(DISTINCT text) AS n_distinct,
+        |  sum(CAST(q AS DECIMAL(27,7))) AS qsum,
+        |  quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.9) AS p90 FROM scored)
+        |SELECT metric, value FROM (
+        |  SELECT 'dup_rate' AS metric, floor((1.0 - CAST(n_distinct AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 AS value FROM a
+        |  UNION ALL SELECT 'mean_quality', floor(CAST(qsum AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 FROM a
+        |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'p50_quality', round(p50, 4) FROM a
+        |  UNION ALL SELECT 'p90_quality', round(p90, 4) FROM a)
+        |ORDER BY metric""".stripMargin,
+
     // the t63 quality chain as the weight; same float-op order as the
     // Spark side (w · (target/Σw) · 2^20 + 0.5, left-assoc), Σw in DECIMAL
     "d105_weighted_downsample" ->
