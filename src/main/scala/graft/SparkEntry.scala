@@ -1515,6 +1515,20 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // multimodal frame sampling: n evenly-spaced fixed-size byte frames per
+    // payload, pure expression-level slicing (the video/audio frame-sample
+    // plumbing; the ASCII corpus keeps byte==char so DuckDB can reproduce
+    // the slices). Offsets floor in both engines (trunc==floor at off>=0,
+    // and the greatest(...,1) clamp absorbs the negative-off edge)
+    "m107_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.attachBinary(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.frameSample(media, n = 4, frameBytes = 16)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame").cast("string").as("frame_str"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ORC source/sink roundtrip (columnar format beyond the reference; the
     // oracle reads the ORIGINAL parquet, so a hash match proves write/read
     // fidelity of the ORC path end-to-end)
@@ -1882,6 +1896,18 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // ASCII corpus ⇒ byte slicing == char slicing; same offset math with an
+    // explicit floor (Spark's int cast truncates, trunc == floor at off ≥ 0,
+    // and both engines clamp the negative edge to position 1)
+    "m107_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS media, length(text) AS total FROM documents),
+        |fr AS (SELECT media_id,
+        |  unnest([{'i': i, 'f': substr(media, greatest(CAST(floor(CAST(total - 16 AS DOUBLE) * i / 3) AS INTEGER) + 1, 1), 16)}
+        |          for i in [0, 1, 2, 3]]) AS s
+        |  FROM m)
+        |SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx, s.f AS frame_str
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+
     // same quality chain + the same portable floor-rounding; percentile ↔
     // quantile_cont (the q39-established interpolation parity)
     "p106_corpus_card" ->
