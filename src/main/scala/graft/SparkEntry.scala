@@ -1515,6 +1515,25 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // CCNet-style LM quality score: per-doc mean bigram log-prob under the
+    // corpus's own add-0.5 model; each ln rounds through DECIMAL before the
+    // per-doc sum so the distributed mean is order-independent
+    "t110_doc_logprob" -> ((s, dir) => {
+      graft.ops.TextIndex.bigramLogProbScore(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // max-containment near-dup pairs — the ASYMMETRIC dedup metric: a short
+    // doc fully pasted inside a long one has tiny Jaccard but containment
+    // ~1.0; same candidate/skew machinery as d22 (df cap on the numerator,
+    // exact set-size denominators)
+    "d109_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", n = 3,
+          threshold = 0.9, maxShingleDf = 500L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // multimodal frame sampling: n evenly-spaced fixed-size byte frames per
     // payload, pure expression-level slicing (the video/audio frame-sample
     // plumbing; the ASCII corpus keeps byte==char so DuckDB can reproduce
@@ -1896,6 +1915,36 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sessionization oracle: gaps-and-islands in SQL (2h gap, ms epochs)
+    // the t89 model chain + a per-doc scoring join; ln() of identical
+    // doubles in both engines, each term decimal-rounded pre-sum
+    "t110_doc_logprob" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |tk2 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS s FROM tk2),
+        |p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |c AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |f AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS nv FROM c),
+        |lp AS (SELECT doc_id,
+        |  CAST(ln((CAST(coalesce(c.c12, 0) AS DOUBLE) + 0.5) / (CAST(coalesce(f.c1, 0) AS DOUBLE) + 0.5 * CAST(nv AS DOUBLE))) AS DECIMAL(27,7)) AS l
+        |  FROM p LEFT JOIN c USING (w1, w2) LEFT JOIN f USING (w1), v),
+        |g AS (SELECT doc_id, count(*) AS n_bigrams, sum(l) AS s FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  floor(CAST(s AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS avg_logprob
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // d22's chain with the containment denominator (least set size)
+    "d109_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shc AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 500),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(n * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n * 1.0 / least(sa.sz, sb.sz) >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
     // ASCII corpus ⇒ byte slicing == char slicing; same offset math with an
     // explicit floor (Spark's int cast truncates, trunc == floor at off ≥ 0,
     // and both engines clamp the negative edge to position 1)

@@ -79,7 +79,35 @@ object Dedup {
     */
   def jaccardPairs(df0: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, bandCols: Seq[String] = Nil,
-                   maxShingleDf: Long = 0L, pairJoin: Boolean = true): DataFrame = {
+                   maxShingleDf: Long = 0L, pairJoin: Boolean = true): DataFrame =
+    pairCore(df0, idCol, textCol, n, bandCols, maxShingleDf, pairJoin)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Max-containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold` —
+    * the ASYMMETRIC twin of [[jaccardPairs]] for sub-document duplication.
+    * A short quote fully contained in a long article has tiny Jaccard
+    * (the union is article-sized) but containment 1.0; dedup pipelines
+    * (BigQuery/Lee-et-al style) flag on containment exactly because near-
+    * total inclusion is what copy-paste looks like at different lengths.
+    * Same candidate shapes, exchanges, and skew guards as jaccardPairs. */
+  def containmentPairs(df0: DataFrame, idCol: String, textCol: String, n: Int,
+                       threshold: Double, bandCols: Seq[String] = Nil,
+                       maxShingleDf: Long = 0L, pairJoin: Boolean = true): DataFrame =
+    pairCore(df0, idCol, textCol, n, bandCols, maxShingleDf, pairJoin)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+
+  /** Shared candidate/intersection core of the exact pair family: emits
+    * (id_a, id_b, inter, sz_a, sz_b) with denominators as exact distinct
+    * set sizes regardless of the numerator's df cap. */
+  private def pairCore(df0: DataFrame, idCol: String, textCol: String, n: Int,
+                       bandCols: Seq[String], maxShingleDf: Long,
+                       pairJoin: Boolean): DataFrame = {
     val df = graft.core.Par.widen(df0)
     val sh0 = df.select(
       (col(idCol).as("id") +: bandCols.map(col)) :+
@@ -118,10 +146,6 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least `minShared`

@@ -90,4 +90,47 @@ object TextIndex {
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Per-document mean bigram log-probability under the corpus's own add-k
+    * bigram model — the CCNet-style LM quality score (low = surprising
+    * transitions = boilerplate, mojibake, or word salad; pipelines keep a
+    * quantile band of it). [[bigramConditional]] is the model-estimation
+    * view; this is the scoring pass.
+    *
+    * Scale shape: the doc-bigram stream is a projection (no shuffle until
+    * the model join); the model relation is vocab²-bounded and consumed
+    * three ways (pair counts, left totals, vocabulary scalar), so it is
+    * localCheckpointed once; join strategy is left to AQE (broadcast when
+    * the model fits, shuffle when a 100 TB vocab does not). Unseen bigrams
+    * back off to k/(c1 + k·V), unseen left-words to 1/V.
+    *
+    * Determinism: each ln(p) is rounded through DECIMAL(27,7) before the
+    * per-doc sum, so the distributed mean is reduction-order independent;
+    * the final rounding is the portable floor form. */
+  def bigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
+                         k: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokensExpr(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("v"))
+    pairs
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(totals, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+        (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(27,7)")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("__s").cast("double") / col("n_bigrams") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("avg_logprob"))
+  }
 }

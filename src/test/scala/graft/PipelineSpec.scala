@@ -34,6 +34,24 @@ class PipelineSpec extends SparkSpec {
     assert(!m.contains((1L, 3L)))
   }
 
+  test("containmentPairs: sub-document inclusion that Jaccard misses") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d") // both its trigrams inside doc 1
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(c.length == 1 &&
+      (c.head.getLong(0), c.head.getLong(1), c.head.getDouble(2)) == ((1L, 2L, 1.0)))
+    // the symmetric metric on the same pair: 2 shared of 8 distinct = 0.25
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5).count() == 0)
+    // both directions reduce to min-size denominator: swapping roles is identical
+    val sw = Dedup.containmentPairs(
+      d.withColumn("doc_id", lit(3L) - col("doc_id")), "doc_id", "text", 3, 0.9)
+      .collect()
+    assert(sw.length == 1 && sw.head.getDouble(2) == 1.0)
+  }
+
   test("jaccardPairs: streamed join shape ≡ in-row shape (sf0.001, with and without df cap)") {
     val d = core.Tables.documents(spark, sf("sf0.001"))
     def pairs(join: Boolean, cap: Long) =

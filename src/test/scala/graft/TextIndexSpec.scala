@@ -64,6 +64,23 @@ class TextIndexSpec extends SparkSpec {
     assert(mass.agg(min("mass")).as[Double].head() > 0.0)
   }
 
+  test("bigramLogProbScore: hand-computed add-k means") {
+    val d = Seq((1L, "a b a"), (2L, "b b")).toDF("doc_id", "text")
+    val r = graft.ops.TextIndex.bigramLogProbScore(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // model: c(a,b)=c(b,a)=c(b,b)=1; c(a,·)=1, c(b,·)=2; V=2
+    // doc1: mean(ln 1.5/2, ln 1.5/3); doc2: ln 1.5/3 — with 7-dp per-term
+    // rounding and the portable floor 6-dp mean
+    def score(ps: Seq[Double]): Double = {
+      val s = ps.map(p => BigDecimal(math.log(p))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      math.floor(s / ps.length * 1e6 + 0.5) / 1e6
+    }
+    assert(r == Seq(
+      (1L, 2L, score(Seq(0.75, 0.5))),
+      (2L, 1L, score(Seq(0.5)))))
+  }
+
   test("bucketCentroids: exact per-bucket means, every dimension present") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val c = Similarity.bucketCentroids(e, "vec_id", "embedding", planes = 3, dim = 64)
