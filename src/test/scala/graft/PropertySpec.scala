@@ -248,6 +248,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProbScore ≡ driver brute force on random token docs") {
+    import graft.ops.TextIndex
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAll(docGen, cases = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val bigrams = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+          .map(p => (p(0), p(1))).toSeq
+      }.filter(_._2.nonEmpty)
+      whenever(bigrams.nonEmpty) {
+        val all = bigrams.flatMap(_._2)
+        val c12 = all.groupBy(identity).view.mapValues(_.size).toMap
+        val c1 = all.groupBy(_._1).view.mapValues(_.size).toMap
+        val v = all.map(_._2).distinct.size
+        val expected = bigrams.map { case (id, bs) =>
+          val terms = bs.map { bg =>
+            val p = (c12(bg) + 0.5) / (c1(bg._1) + 0.5 * v)
+            BigDecimal(math.log(p)).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+          }
+          id -> (bs.length.toLong,
+            math.floor(terms.sum.toDouble / bs.length * 1e6 + 0.5) / 1e6)
+        }.toMap
+        val got = TextIndex.bigramLogProbScore(docs.toDF("doc_id", "text"),
+            "doc_id", "text")
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == expected, s"texts=$texts")
+      }
+    }
+  }
+
   test("connectedComponents/dedupByClusters: empty and self-loop edge cases") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
