@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the bench's stdout as JSON; sbt's
+// "[success] Total time: …" trailer would otherwise land after the JSON
+// line, and the default logged output strategy would prefix every forked
+// stdout line with "[info] " — both break a last-line JSON parse.
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

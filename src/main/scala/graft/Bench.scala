@@ -110,7 +110,11 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values: the driver keeps only a bounded stdout tail, and at
+    // a 110-query surface full-precision doubles push the line start (the
+    // parseable "{"metric":…" prefix) out of that window — ms precision is
+    // all a min-of-passes estimate carries anyway
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val detail = names.map { n =>
@@ -127,7 +131,7 @@ object Bench {
     val out = java.nio.file.Paths.get(artifact)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

@@ -2459,7 +2459,7 @@ object SparkEntry {
         |c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
         |v AS (SELECT count(DISTINCT w2) AS nv FROM c),
         |f AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM c)
-        |SELECT w1, w2, c12, round((c12 + 0.5) / (c1 + 0.5 * nv), 6) AS p_cond
+        |SELECT w1, w2, c12, floor((c12 + 0.5) / (c1 + 0.5 * nv) * 1e6 + 0.5) / 1e6 AS p_cond
         |FROM f, v ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // the frozen merge chain replayed as nested literal replaces
@@ -2476,14 +2476,14 @@ object SparkEntry {
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
         |st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows, max(cnt) AS max_cnt FROM c),
         |top AS (SELECT key, cnt,
-        |  row_number() OVER (ORDER BY cnt DESC, key) AS rank,
-        |  sum(cnt) OVER (ORDER BY cnt DESC, key ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        |  row_number() OVER (ORDER BY cnt DESC, key NULLS LAST) AS rank,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, key NULLS LAST ROWS UNBOUNDED PRECEDING) AS cum_cnt
         |  FROM c QUALIFY rank <= 20)
         |SELECT CAST(rank AS BIGINT) AS rank, CAST(key AS VARCHAR) AS key, cnt,
-        |  round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
-        |  round(CAST(cum_cnt AS DOUBLE) / total_rows, 6) AS cum_share,
+        |  floor(CAST(cnt AS DOUBLE) / total_rows * 1e6 + 0.5) / 1e6 AS share,
+        |  floor(CAST(cum_cnt AS DOUBLE) / total_rows * 1e6 + 0.5) / 1e6 AS cum_share,
         |  n_keys, total_rows,
-        |  round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
+        |  floor(CAST(max_cnt AS DOUBLE) * n_keys / total_rows * 1e6 + 0.5) / 1e6 AS skew_ratio
         |FROM top, st ORDER BY rank""".stripMargin,
 
     // initial BPE symbols are single chars, so an adjacency's fused string
@@ -2838,18 +2838,22 @@ object SparkEntry {
     * left-to-right non-overlapping in both engines — the applyMerge fold
     * semantics, spec-pinned). */
   private def bpeEncodeOracle(merges: Seq[(String, String)], cap: Int): String = {
+    // the same non-printable \u0001/\u0002 symbol delimiters as Bpe.encode,
+    // embedded as raw bytes in the SQL literals (DuckDB passes them through)
+    val bo = "\u0001"; val bc = "\u0002"
     val fused = merges.foldLeft("f") { case (c, (a, b)) =>
-      s"replace($c, '<$a><$b>', '<$a$b>')"
+      s"replace($c, '$bo$a$bc$bo$b$bc', '$bo$a$b$bc')"
     }
     s"""WITH w0 AS (SELECT doc_id,
        |    unnest(string_split(text, ' ')) AS w,
        |    generate_subscripts(string_split(text, ' '), 1) AS wpos
        |  FROM documents),
-       |w AS (SELECT * FROM w0 WHERE w <> ''),
+       |w AS (SELECT * FROM w0 WHERE w <> ''
+       |  AND NOT contains(w, chr(1)) AND NOT contains(w, chr(2))),
        |v AS (SELECT DISTINCT w FROM w),
-       |e0 AS (SELECT w, '<' || array_to_string([w[i] for i in range(1, len(w)+1)], '><') || '>' AS f FROM v),
+       |e0 AS (SELECT w, '$bo' || array_to_string([w[i] for i in range(1, len(w)+1)], '$bc$bo') || '$bc' AS f FROM v),
        |e1 AS (SELECT w, $fused AS f FROM e0),
-       |enc AS (SELECT w, string_split(f[2:len(f)-1], '><') AS toks FROM e1),
+       |enc AS (SELECT w, string_split(f[2:len(f)-1], '$bc$bo') AS toks FROM e1),
        |j AS (SELECT doc_id, wpos, toks FROM w JOIN enc USING (w)),
        |g AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
        |  array_to_string(flatten(list(toks ORDER BY wpos))[1:$cap], ',') AS tokens_head

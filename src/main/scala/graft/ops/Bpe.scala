@@ -153,33 +153,53 @@ object Bpe {
     * (map-side-combined, vocab-sized shuffle), the merge fold runs over
     * that small relation, and the result broadcast-joins back to the
     * corpus. Per-word merging needs no custom expression: the word is
-    * rendered as a boundary-wrapped symbol string (`<c1><c2>…`) and each
-    * merge (a, b) is ONE codegen'd literal `replace("<a><b>" → "<ab>")` —
+    * rendered as a boundary-wrapped symbol string (`\u0001c1\u0002\u0001c2\u0002…`) and each
+    * merge (a, b) is ONE codegen'd literal replace of the wrapped pair with
+    * the wrapped fused symbol —
     * string replace is left-to-right and non-overlapping, exactly
     * [[applyMerge]]'s fold semantics (spec-pinned equivalent), and the
     * whole merge chain is a static tree of built-ins inside whole-stage
-    * codegen. Symbols must not contain the boundary characters.
+    * codegen.
+    *
+    * The boundary characters are the non-printable \u0001 (open) and
+    * \u0002 (close) — characters that cannot occur in sane corpus text —
+    * so ordinary punctuation ('<', '>' in markup-ish words, which survive
+    * a space-only split) can never forge a symbol boundary and false-match
+    * a merge pattern across symbols. Merge symbols are required free of
+    * the delimiters; corpus words carrying them (corrupt control-char
+    * bytes) are excluded from the token stream rather than silently
+    * mis-tokenized — the oracle applies the same filter.
     *
     * Output: one row per input document carrying at least one word —
     * (idCol, n_tokens, first `capTokens` tokens as CSV). */
+  // non-printable symbol delimiters: cannot occur in sane corpus text,
+  // so punctuation like '<'/'>' (which survives a space-only split) can
+  // never forge a boundary inside a merge-replace pattern
+  private val BO = "\u0001" // symbol open
+  private val BC = "\u0002" // symbol close
+
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)], capTokens: Int = 12): DataFrame = {
     require(merges.forall { case (a, b) =>
-      !(a + b).exists(c => c == '<' || c == '>') },
-      "merge symbols must not contain the boundary characters < >")
+      !(a + b).exists(c => c == BO.head || c == BC.head) },
+      "merge symbols must not contain the boundary characters \\u0001 \\u0002")
     val words = docs
       .select(col(idCol).as("__id"), posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
-      .filter(col("w") =!= "")
+      // words carrying a delimiter byte (corrupt control-char text) are
+      // excluded from the token stream rather than silently mis-tokenized;
+      // the oracle applies the same filter
+      .filter(col("w") =!= "" &&
+        !col("w").contains(lit(BO)) && !col("w").contains(lit(BC)))
     val vocab = words.select(col("w")).distinct()
-    val wrapped = concat(lit("<"),
-      array_join(expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"), "><"),
-      lit(">"))
+    val wrapped = concat(lit(BO),
+      array_join(expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"), BC + BO),
+      lit(BC))
     val fused = merges.foldLeft(wrapped) { case (c, (a, b)) =>
-      replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      replace(c, lit(BO + a + BC + BO + b + BC), lit(BO + a + b + BC))
     }
     val enc = vocab.withColumn("__fused", fused)
       .withColumn("toks",
-        split(col("__fused").substr(lit(2), length(col("__fused")) - 2), "><"))
+        split(col("__fused").substr(lit(2), length(col("__fused")) - 2), BC + BO))
       .select(col("w"), col("toks"), size(col("toks")).cast("long").as("n_word_toks"))
     words.join(broadcast(enc), Seq("w"))
       .groupBy(col("__id"))
@@ -189,4 +209,5 @@ object Bpe {
             s => s.getField("toks"))), 1, capTokens), ",").as("tokens_head"))
       .withColumnRenamed("__id", idCol)
   }
+
 }

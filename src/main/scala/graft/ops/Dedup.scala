@@ -427,11 +427,29 @@ object Dedup {
     // round pays one job, not a materialize-then-probe pair. The reliable
     // path caches before checkpointing (a bare reliable checkpoint
     // recomputes its RDD when the checkpoint file is written).
+    // Every truncated round leaves cached blocks behind (the local path's
+    // localCheckpoint blocks, the reliable path's pre-checkpoint cache).
+    // Across up to maxIter rounds those label-map RDDs would pile up in
+    // executor storage on a long-running job, so each round's RDD is
+    // tracked and unpersisted once a LATER round has materialized: after
+    // the probe's action, future plans reference only the newest
+    // checkpointed RDD, so older rounds' blocks can never be read again
+    // (a localCheckpointed RDD is never recomputed — blocks either exist
+    // or the job has already failed — and the reliable path re-reads its
+    // checkpoint files, not the cache).
+    val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       if (checkpointDir.isDefined) { rdd.cache(); rdd.checkpoint() }
       else rdd.localCheckpoint()
+      pendingUnpersist += rdd
       df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    // call only right after an action has materialized the NEWEST round
+    def releaseSuperseded(): Unit = {
+      while (pendingUnpersist.length > 1) {
+        pendingUnpersist.remove(0).unpersist(blocking = false)
+      }
     }
     // cached pre-partitioned on m — the per-round neighbor join's key — so
     // the edge list (the one relation here that isn't label-map-thin)
@@ -497,7 +515,8 @@ object Dedup {
       iter += 1
       if (iter % 2 == 1 || iter == maxIter) {
         val t0 = System.nanoTime()
-        val curSum = labelSum(labels)
+        val curSum = labelSum(labels) // the action that materializes this round
+        releaseSuperseded()
         converged = curSum.compareTo(prevSum) == 0
         prevSum = curSum
         // dev visibility only: round pacing for scale tuning, off by default

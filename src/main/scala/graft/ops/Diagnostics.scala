@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,21 +37,30 @@ object Diagnostics {
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("total_rows"),
       max(col("cnt")).as("max_cnt"))
-    val ord = Window.orderBy(col("cnt").desc, col("key"))
+    // the share/cum_share/skew ratios are small rationals (cnt/total_rows)
+    // that CAN land exactly on a 6-dp tie; floor(x·1e6 + 0.5)/1e6 is pure
+    // IEEE double math every engine reproduces bit-for-bit, where round()
+    // ties differ between Spark (shortest-repr HALF_UP) and DuckDB
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // a NULL key is a legal group (count(1) counts it); Spark default-sorts
+    // nulls FIRST ascending while DuckDB sorts them LAST, so a null group
+    // tying at the topN boundary would select different rows per engine —
+    // pin nulls-last explicitly on the tie-break (oracle says NULLS LAST)
+    val ord = Window.orderBy(col("cnt").desc, col("key").asc_nulls_last)
     counts
-      .orderBy(col("cnt").desc, col("key")).limit(topN)
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last).limit(topN)
       .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("cum_cnt", sum(col("cnt")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(stats))
       .select(
         col("rank"), col("key").cast("string").as("key"), col("cnt"),
-        round(col("cnt") / col("total_rows"), 6).as("share"),
-        round(col("cum_cnt") / col("total_rows"), 6).as("cum_share"),
+        r6(col("cnt") / col("total_rows")).as("share"),
+        r6(col("cum_cnt") / col("total_rows")).as("cum_share"),
         col("n_keys"), col("total_rows"),
         // max_cnt·n_keys in doubles: the long product overflows at
         // plausible (hot key × high cardinality) combinations under ANSI
-        round(col("max_cnt").cast("double") * col("n_keys") / col("total_rows"), 6)
+        r6(col("max_cnt").cast("double") * col("n_keys") / col("total_rows"))
           .as("skew_ratio"))
   }
 }

@@ -85,7 +85,11 @@ object TextIndex {
     counts.withColumn("c1", sum(col("c12")).over(leftW))
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"), col("c12"),
-        round((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v")), 6)
+        // portable floor form, not round(): add-k probabilities are small
+        // rationals that can tie exactly at 6 dp, where Spark's and
+        // DuckDB's round() half-up conventions diverge
+        (floor((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("p_cond"))
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(topN)
