@@ -1558,6 +1558,69 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
       slice.coalesce(1).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy(col("c_custkey"))
+    }),
+
+    // segment-level exact dedup with reassembly (Lee et al.): every
+    // repeated 16-word block keeps only its FIRST occurrence (min (doc,
+    // pos)) and documents are re-stitched from their survivors — the
+    // keep-one-copy sibling of d88's drop-all-copies boilerplate pruning
+    "d111_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          blockWords = 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // greedy token-budget prefix: rank by quality (desc, doc_id tiebreak),
+    // keep docs while the inclusive running token total fits the budget —
+    // the "best 10k-token subset" curation step; the running total comes
+    // from per-partition sums, never a single-partition window
+    "t112_token_budget" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.tokenBudgetPrefix(scored, "doc_id", "score",
+          "n_tokens", budgetTokens = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // perceptual-hash near-dup pairs over binary payloads: payloads
+    // size-normalized to a fixed 120-byte crop (the resize stand-in), 60
+    // evenly spaced bytes mean-thresholded into a 60-bit fingerprint (the
+    // deterministic stand-in for a real image pHash decode), then the d24
+    // banded Hamming machinery verbatim — multimodal dedup end-to-end
+    "m113_phash_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.attachBinary(
+        t(s, dir, "documents"), "doc_id", "text")
+      val sigs = graft.multimodal.Multimodal.pHash60(media)
+        .select(col("id"), col("phash").as("simhash"))
+      Dedup.simHashPairs(sigs, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // corpus snapshot diff: release B vs release A compared by content
+    // fingerprint — only (id, 40-byte hash) rows ever shuffle, the bodies
+    // never do; snapshots derived deterministically from the corpus
+    // (A drops doc_id%23==0, B drops %29==0 and revises %17==0)
+    "p114_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snapA = docs.filter(col("doc_id") % 23 =!= 0)
+      val snapB = docs.filter(col("doc_id") % 29 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.Snapshot.diff(snapA, snapB, "doc_id",
+          md5(concat_ws("|", col("text"), col("lang"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // two-stage ANN: int8 coarse scan (exact integer dot × scales) picks
+    // k·4 candidates per query, exact float cosine re-ranks them to top-k
+    // — the memory-bandwidth play, deterministic end-to-end so the oracle
+    // reproduces candidate set AND final ranking bit-for-bit
+    "s115_rerank_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.rerankTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
     })
   )
 
@@ -2803,7 +2866,98 @@ object SparkEntry {
         |rk AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM tf),
         |v AS (SELECT w, r FROM rk WHERE r <= 1000)
         |SELECT doc_id, round(CAST(sum(coalesce(r, 1001)) AS DOUBLE) / count(*), 4) AS rarity
-        |FROM tok LEFT JOIN v USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM tok LEFT JOIN v USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // non-overlapping 16-word blocks; first occurrence = min (doc, pos);
+    // re-stitch the survivors in order (string_agg ORDER BY == array_sort
+    // of (seg_idx, seg) structs — seg_idx is unique per doc)
+    "d111_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 16)) AS st FROM t),
+        |s AS (SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) AS seg_idx,
+        |  array_to_string(toks[st : st + 15], ' ') AS seg FROM s0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM s),
+        |g AS (SELECT doc_id, count(*) AS n_segs,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_deduped
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_segs, n_kept, text_deduped FROM g ORDER BY doc_id""".stripMargin,
+
+    // the d105 quality chain as the rank key; the inclusive running token
+    // total reproduces the per-partition-sums prefix exactly (integer sum
+    // over a unique total order)
+    "t112_token_budget" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, len(t) AS nt,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS score FROM parts),
+        |c AS (SELECT doc_id, score, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // 60 evenly spaced byte samples (ASCII corpus: byte == char, ascii()
+    // is the codepoint in both engines), integer cross-multiplied mean
+    // threshold, bit i = 1 via exact power-of-two sum (each power distinct,
+    // so the bigint sum IS the OR); all-pairs Hamming equals the banded
+    // search for maxDist 3 < 4 bands by pigeonhole (the d24 argument)
+    "m113_phash_neardup" ->
+      """WITH m AS (SELECT doc_id AS id, text FROM documents WHERE length(text) >= 120),
+        |smp AS (SELECT id, [ascii(text[119 * i // 59 + 1]) for i in range(0, 60)] AS s FROM m),
+        |h AS (SELECT id, s, list_sum(s) AS tot FROM smp),
+        |fp AS (SELECT id, CAST(list_sum([CASE WHEN s[i+1] * 60 > tot THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END for i in range(0, 60)]) AS BIGINT) AS phash FROM h),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+        |  FROM fp a JOIN fp b ON a.id < b.id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // same deterministic snapshot derivation, full-outer on the id with a
+    // content fingerprint per side; unchanged rows omitted
+    "p114_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text || '|' || lang) AS fp_a FROM documents WHERE doc_id % 23 <> 0),
+        |b0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text, lang
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |b AS (SELECT doc_id, md5(text || '|' || lang) AS fp_b FROM b0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp_a IS NULL THEN 'added'
+        |       WHEN fp_b IS NULL THEN 'removed'
+        |       WHEN fp_a <> fp_b THEN 'changed' END AS status
+        |FROM j WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+        |ORDER BY doc_id""".stripMargin,
+
+    // s76's quantize chain for the codes; coarse = exact integer dot of
+    // the codes × the two scales (one double product, fixed association);
+    // both windows tie-break on neighbor id, so candidate set and final
+    // ranking are engine-identical; exact cosine = the s29 formula
+    "s115_rerank_exact" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e, list_max([abs(x) for x in e]) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |  [CAST(coalesce(round(x / nullif(scale, 0)), 0) AS BIGINT) for x in e] AS qv FROM sc),
+        |qs AS (SELECT vec_id AS query_id, e AS qe, scale AS qscale, qv AS qqv FROM q WHERE vec_id < 8),
+        |coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_sum([qqv[i] * c.qv[i] for i in range(1, len(qqv) + 1)]) AS DOUBLE) * qscale * c.scale AS approx
+        |  FROM qs, q c WHERE c.vec_id <> query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rn
+        |  FROM coarse) WHERE rn <= 40),
+        |ex AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_sum([qs.qe[i] * ce.e[i] for i in range(1, len(qs.qe) + 1)]) /
+        |  (sqrt(list_sum([qs.qe[i] * qs.qe[i] for i in range(1, len(qs.qe) + 1)])) *
+        |   sqrt(list_sum([ce.e[i] * ce.e[i] for i in range(1, len(ce.e) + 1)]))) AS cosine
+        |  FROM cand JOIN qs USING (query_id) JOIN q ce ON ce.vec_id = cand.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ex)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r
+        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then

@@ -91,6 +91,56 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual-hash width: 60 bits = [[graft.ops.Dedup.SimHashBits]], so
+    * the banded Hamming pair machinery (`Dedup.simHashPairs`) applies to
+    * pHash fingerprints unchanged. */
+  val PHashBits = 60
+
+  /** Perceptual-hash fingerprint per media payload — the image near-dup
+    * signature. A REAL pHash decodes the image, downsamples to a tiny
+    * grayscale grid, and thresholds DCT coefficients against their median;
+    * this container has no codecs, so the DECODE step is the deterministic
+    * byte-level stand-in: [[PHashBits]] evenly spaced payload bytes play
+    * the pixel grid, thresholded against their own mean. The thresholding,
+    * bit assembly, and downstream banding/pairing — the Spark-side
+    * plumbing a real codec would plug into — are real and oracle-verified.
+    *
+    * A real pHash NORMALIZES SIZE first (resize to a fixed grid) so that
+    * trailing edits don't shift every downstream pixel; the byte-level
+    * stand-in for that normalization is a fixed `cropBytes` prefix window —
+    * two payloads sharing their first `cropBytes` bytes hash identically
+    * however their tails differ, which is what makes near-dup PAIRS exist
+    * at small Hamming distance (length-relative sampling would shift all
+    * 60 positions on any length change and push every near-dup past the
+    * band threshold).
+    *
+    * Engine-portable by construction: samples are byte values via ascii()
+    * over the UTF-8 decode (the test corpus is pure ASCII, so byte == char
+    * — the m107 contract), the mean compare is integer cross-multiplication
+    * (`s_i · nBits > Σs` — no float division to round differently), and the
+    * fold is shiftleft/bitwiseOR (ANSI-safe). Pure projection over the
+    * payload stream — ZERO exchange at any corpus size.
+    *
+    * Payloads shorter than `cropBytes` are dropped (a real pHash can't
+    * grid a sub-minimum image either). Returns (id, phash). */
+  def pHash60(df: DataFrame, cropBytes: Int = 120): DataFrame = {
+    val n = PHashBits
+    require(cropBytes >= n, s"cropBytes=$cropBytes must be >= $n")
+    val base = df
+      .withColumn("__t", col("media").cast("string"))
+      .filter(length(col("__t")) >= cropBytes)
+    // evenly spaced 1-based positions inside the crop window (integer div)
+    val withSamples = base.withColumn("__smp", array((0 until n).map { i =>
+      ascii(expr(s"substr(__t, ${(cropBytes - 1) * i / (n - 1) + 1}, 1)"))
+    }: _*))
+      .withColumn("__sum", aggregate(col("__smp"), lit(0), (acc, x) => acc + x))
+    val sig = (0 until n).map { i =>
+      when(element_at(col("__smp"), i + 1) * lit(n) > col("__sum"),
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    withSamples.select(col("media_id").as("id"), sig.as("phash"))
+  }
+
   /** Frame sampling: split a media payload into `n` evenly-spaced fixed-size
     * chunks ("frames") — pure expression-level byte slicing, no UDF. Output
     * one row per (media_id, frame_idx, frame bytes). */

@@ -765,6 +765,58 @@ object Dedup {
         count(col("__hot")).as("n_dropped"))
   }
 
+  /** Segment-level exact deduplication with document reassembly — the
+    * keep-first-occurrence flavor of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): every repeated segment
+    * is removed from the corpus EXCEPT its first occurrence, and documents
+    * are re-stitched from their surviving segments in order. Distinct from
+    * [[pruneBoilerplateSegments]], which drops ALL copies of over-threshold
+    * segments: here exactly one copy of every segment survives, so no
+    * content is lost — only repetition.
+    *
+    * A segment is a non-overlapping `blockWords`-word window (the t80
+    * chunking grid without overlap); a real paragraph splitter plugs into
+    * the same shape when the text carries paragraph boundaries. "First" =
+    * minimum (id, seg_idx) — a deterministic, engine-portable total order.
+    *
+    * Scale shape: the survival decision is ONE window over the segment
+    * stream keyed by the segment text (one corpus-text exchange — decision
+    * and reassembly text travel together, trading a second corpus-sized
+    * join for carrying text through the exchange once), and reassembly is
+    * one exchange on the doc id. No all-pairs, no driver-side data; a
+    * boilerplate segment in k docs costs a k-row sorted run inside one
+    * partition — the bound the first-occurrence semantics inherently
+    * require (AQE skew-split cannot cut a window group, but the run holds
+    * (id, seg_idx) pairs only during the sort, not collected state).
+    *
+    * Returns (id, n_segs, n_kept, text_deduped) — every input doc appears;
+    * text_deduped = "" when all its segments were seen earlier. */
+  def segmentDedup(docs0: DataFrame, idCol: String, textCol: String,
+                   blockWords: Int = 16): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    val docs = graft.core.Par.widen(docs0)
+    // (size + blockWords - 1) div blockWords segments; split("") = [""], so
+    // every doc has >= 1 segment and sequence() never descends
+    val segs = docs.select(col(idCol).as("id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, (size(split(`$textCol`, ' ')) + ${blockWords - 1}) div $blockWords - 1),
+           |  j -> array_join(slice(split(`$textCol`, ' '), j * $blockWords + 1, $blockWords), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("id").asc, col("seg_idx").asc)
+    segs.withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so only kept segments are stitched
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("text_deduped"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // ---- Bloom-prefiltered incremental dedup ---------------------------------
   // The landing-zone pattern: a (small) new batch arrives and must be deduped
   // against a (huge) historical corpus. A Bloom filter over the history keys

@@ -116,6 +116,32 @@ object Relational {
     (df.sparkSession.createDataFrame(indexed, schema), offsets.last)
   }
 
+  /** Inclusive running total of a LongType column in the frame's current
+    * order, plus the grand total — the weighted sibling of
+    * [[withRowIndexCounted]], same two-pass shape: one job computes
+    * per-partition SUMS (a scalar per partition crosses the driver, never
+    * rows), then the scan adds each partition's prefix offset inside the
+    * closure. No shuffle, no single-partition window, at any size. */
+  private[ops] def withRunningTotalCounted(df: DataFrame, valueCol: String,
+                                           name: String): (DataFrame, Long) = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val vi = df.schema.fieldIndex(valueCol)
+    require(df.schema.fields(vi).dataType == LongType,
+      s"withRunningTotalCounted: $valueCol must be LongType")
+    val src = df.rdd
+    val sums = src
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; while (it.hasNext) { s += it.next().getLong(vi) }; Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val out = src.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { row => run += row.getLong(vi); Row.fromSeq(row.toSeq :+ run) }
+    }
+    (df.sparkSession.createDataFrame(out, schema), offsets.last)
+  }
+
   /** Wide→long melt (agnes `melt`, src/view.rs:1276-1376): the N `meltCols`
     * become (`nameCol`:string, `valueCol`) pairs, hold columns repeated N per
     * input row, row-major — exactly the emission order of Spark's `stack`.

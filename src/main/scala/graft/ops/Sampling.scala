@@ -222,6 +222,31 @@ object Sampling {
       .drop("__tw")
   }
 
+  /** Greedy token-budget prefix selection: rank the corpus globally by
+    * (`scoreCol` desc, `idCol` asc — a deterministic total order), take
+    * documents in rank order while the INCLUSIVE running token total stays
+    * within `budgetTokens`, and annotate each survivor with that running
+    * total (`cumCol`). This is the "best N-billion-token subset" curation
+    * step: the pipeline fixes a token budget, not a document count, and
+    * quality decides who makes the cut.
+    *
+    * Scale shape: the global order is Spark's distributed range sort (one
+    * range exchange — the terasort shape, same as [[shuffleShards]]), and
+    * the running total comes from per-partition SUMS (a scalar per
+    * partition crosses the driver, never rows) added to an in-closure
+    * prefix — no single-partition window, no driver-side data. The budget
+    * filter is a stateless map over the annotated stream. The document
+    * that CROSSES the budget line is dropped (inclusive-total rule), so
+    * the kept set never exceeds the budget. */
+  def tokenBudgetPrefix(df: DataFrame, idCol: String, scoreCol: String,
+                        nTokensCol: String, budgetTokens: Long,
+                        cumCol: String = "cum_tokens"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val ordered = df.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val (cum, _) = Relational.withRunningTotalCounted(ordered, nTokensCol, cumCol)
+    cum.filter(col(cumCol) <= budgetTokens)
+  }
+
   /** Deterministic global shuffle + fixed-size shard assignment — the
     * "write the training set in randomized shards" step. Rows are permuted
     * by md5(id) (content-hash: reproducible across runs, retries, engines),

@@ -240,6 +240,62 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
 
+  /** Two-stage exact-ish ANN: an int8-quantized coarse scan picks
+    * `k · expand` candidates per query by approximate inner product, then
+    * an exact float cosine re-ranks ONLY those candidates to the final
+    * top-k — the classic memory-bandwidth play (codes are 4× smaller than
+    * float32, so the full-corpus pass streams 4× less data; the expensive
+    * float vectors are fetched for a candidate set thousands of times
+    * smaller than the corpus).
+    *
+    * Determinism: the coarse score is an EXACT integer dot of the codes
+    * (accumulated in long — no float reduction order to disagree on)
+    * times the two scales (one double product, fixed association), and
+    * both ranking windows tie-break on neighbor id — any engine reproduces
+    * the identical candidate set and final ranking, which is how the
+    * oracle verifies this end-to-end.
+    *
+    * Scale shape: quantization is a projection; the coarse scan is the
+    * brute-force shape (corpus × broadcast queries — no shuffle of the
+    * corpus) on int8 codes; candidates are re-fetched by a BROADCAST join
+    * of the tiny candidate id set against the corpus, so the float vectors
+    * never shuffle either. Recall vs true cosine top-k is governed by
+    * `expand` (norm variance is what the coarse inner product mis-ranks).
+    *
+    * Output: (query_id, neighbor_id, cosine) — k rows per query. */
+  def rerankTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, expand: Int = 4): DataFrame = {
+    require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    val corpus = graft.core.Par.widen(corpus0)
+    val cq = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("scale").as("cscale"), col("qvec").as("cq"))
+    val qq = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("qscale"), col("qvec").as("qq")))
+    // exact integer dot (codes ∈ [-127, 127]: a 64-dim dot tops out near
+    // 10^6, but accumulate in long anyway — ANSI-overflow-proof at any dim)
+    val idot = aggregate(zip_with(col("qq"), col("cq"),
+      (x, y) => x.cast("long") * y), lit(0L), (acc, v) => acc + v)
+    val coarse = cq.crossJoin(qq)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__approx", idot.cast("double") * col("qscale") * col("cscale"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        corpus.sparkSession, col("qv"), col("cv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("__rk", row_number().over(wE))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
     * (bucket, dimension) with the bucket's mean component and size. This is
     * the declarative cluster-summary pass under SemDeDup-style semantic

@@ -1219,4 +1219,73 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("segmentDedup: first occurrence survives, reassembly order, full-dup doc empties") {
+    val df = Seq(
+      (1L, "a b c d"),   // segs "a b", "c d" — both first occurrences
+      (2L, "a b x y"),   // "a b" repeats doc 1 → only "x y" survives
+      (3L, "c d"),       // whole doc repeats doc 1's second block → ""
+      (4L, "z z z z z z") // within-doc repetition: 3× "z z", one survives
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.segmentDedup(df, "doc_id", "text", blockWords = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 1L, "z z")))
+    // short tail block is its own segment, distinct from a full block
+    val tail = ops.Dedup.segmentDedup(
+      Seq((1L, "p q r"), (2L, "r")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 → "p q" + tail "r"; doc 2's single block "r" repeats the tail
+    assert(tail == Seq((1L, 2L, 2L, "p q r"), (2L, 1L, 0L, "")))
+  }
+
+  test("pHash60: crop-window semantics, tail-edit invariance, reference parity") {
+    def media(rows: Seq[(Long, String)]) =
+      graft.multimodal.Multimodal.attachBinary(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+    // driver-side reference implementation of the 60-bit signature
+    def ref(s: String, crop: Int): Long = {
+      val smp = (0 until 60).map(i => s.charAt((crop - 1) * i / 59).toInt)
+      val sum = smp.sum
+      smp.zipWithIndex.map { case (v, i) => if (v * 60 > sum) 1L << i else 0L }
+        .foldLeft(0L)(_ | _)
+    }
+    val base = (1 to 130).map(i => ('a' + i % 26).toChar).mkString
+    val tailEdit = base.take(120) + "#### DIFFERENT TAIL ####"
+    val inWindow = "Z" * 40 + base.drop(40) // first 40 bytes replaced
+    val rows = Seq((1L, base), (2L, tailEdit), (3L, inWindow), (4L, "short"))
+    val got = graft.multimodal.Multimodal.pHash60(media(rows), cropBytes = 120)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // payload 4 (< 120 bytes) is dropped; tail edits beyond the crop window
+    // are invisible (the size-normalization contract), in-window edits not
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == got(1)._2, "tail edit past the crop must not change the hash")
+    assert(got(0)._2 != got(2)._2, "in-window edit must change the hash")
+    got.foreach { case (id, h) =>
+      assert(h == ref(rows.find(_._1 == id).get._2, 120), s"parity for $id")
+    }
+    // composed near-dup pairs: the shared-crop pair at distance 0
+    val pairs = ops.Dedup.simHashPairs(
+      graft.multimodal.Multimodal.pHash60(media(rows), 120)
+        .select(col("id"), col("phash").as("simhash")), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
+  test("Snapshot.diff + diffSummary: classification, unchanged omitted, counts") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
+    val d = ops.Snapshot.diff(a, b, "doc_id", md5(col("text")))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(d == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val s = ops.Snapshot.diffSummary(a, b, "doc_id", md5(col("text")))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s == ((1L, 1L, 1L, 1L)))
+    // identical snapshots: empty diff, all-unchanged summary
+    assert(ops.Snapshot.diff(a, a, "doc_id", md5(col("text"))).count() == 0L)
+  }
 }

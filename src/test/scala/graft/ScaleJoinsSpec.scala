@@ -422,4 +422,66 @@ class ScaleJoinsSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.15, s"approx $approx vs exact $exact")
     }
   }
+
+  test("rerankTopK: corpus-covering expand reproduces exact brute force; k rows per query") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 5)
+    val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // expand covering the whole corpus → the coarse pass cannot evict any
+    // candidate, so the exact re-rank IS brute force — pins the quantize,
+    // candidate-fetch, and re-rank plumbing end-to-end
+    val n = e.count().toInt
+    val full = ops.Similarity.rerankTopK(e, q, "vec_id", "embedding", 10,
+        expand = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute, "full-expand rerank must reproduce exact brute-force top-k")
+    // tight expand: approximate by design — exactly k rows per query, and
+    // wherever it agrees with brute force the SCORES are identical (the
+    // re-rank is exact; only candidate membership is approximate)
+    val tight = ops.Similarity.rerankTopK(e, q, "vec_id", "embedding", 10, expand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(tight.groupBy(_._1._1).forall(_._2.length == 10), "k rows per query")
+    val tm = tight.toMap
+    val overlap = tm.keySet.intersect(brute.keySet)
+    // int8 coarse ranking is a small perturbation of the float ranking on
+    // this corpus — a 4× candidate buffer recovers the bulk of the top-k
+    assert(overlap.size * 10 >= tm.size * 7, s"overlap ${overlap.size}/${tm.size}")
+    overlap.foreach(k => assert(tm(k) == brute(k)))
+  }
+
+  test("tokenBudgetPrefix: inclusive prefix rule, running totals, determinism") {
+    // order by (score desc, id): sizes 5, 4, 3, 1 — budget 10 keeps docs
+    // 1-2 (cum 5, 9); doc 3 CROSSES (12 > 10) and, prefix semantics (not
+    // knapsack), doc 4 is out too even though its 1 token would still fit
+    val df = Seq(
+      (1L, 0.9, 5L), (2L, 0.8, 4L), (3L, 0.7, 3L), (4L, 0.6, 1L)
+    ).toDF("doc_id", "score", "n_tokens")
+    val got = ops.Sampling.tokenBudgetPrefix(df, "doc_id", "score", "n_tokens", 10L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 5L), (2L, 9L)))
+    // tie on score → doc_id ascending breaks it
+    val tied = Seq((7L, 0.5, 2L), (5L, 0.5, 2L), (6L, 0.5, 2L))
+      .toDF("doc_id", "score", "n_tokens")
+    val t = ops.Sampling.tokenBudgetPrefix(tied, "doc_id", "score", "n_tokens", 4L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSeq.sorted
+    assert(t == Seq((5L, 2L), (6L, 4L)))
+    // determinism under physical layout changes: same kept set from a
+    // repartitioned input (the order is a total order, the totals exact)
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), (col("doc_id") % 7).cast("double").as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def run(in: org.apache.spark.sql.DataFrame) =
+      ops.Sampling.tokenBudgetPrefix(in, "doc_id", "score", "n_tokens", 2000L)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    val r1 = run(d)
+    val r2 = run(d.repartition(17))
+    assert(r1 == r2 && r1.nonEmpty)
+    // running totals reconstruct the driver-computed prefix exactly
+    val expect = d.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, n)) => (id, cum + n) }
+      .drop(1).takeWhile(_._2 <= 2000L).toSet
+    assert(r1 == expect)
+  }
 }
