@@ -1621,6 +1621,54 @@ object SparkEntry {
       graft.ops.Similarity.rerankTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 10, expand = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // the full release cut, composed from verified stages: t112's
+    // quality-ranked token-budget prefix feeds t98's deterministic
+    // content-hash shuffle into fixed-size training shards — strict row
+    // order IS the shard layout the writer would partitionBy
+    "p116_release_cut" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val kept = graft.ops.Sampling.tokenBudgetPrefix(scored, "doc_id",
+          "score", "n_tokens", budgetTokens = 10000L)
+        .select(col("doc_id"), col("n_tokens"))
+      graft.ops.Sampling.shuffleShards(kept, "doc_id", shardSize = 32L)
+        .orderBy(col("pos"))
+    }),
+
+    // tokenizer coverage report: per-language efficiency of the FROZEN
+    // tokenizer (t102's merges) — bytes/token and tokens/word are the
+    // numbers a tokenizer owner watches across corpus releases
+    "t117_tokenizer_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = graft.ops.Bpe.encode(docs, "doc_id", "text",
+          frozenBpeMerges, capTokens = 12)
+        .select(col("doc_id"), col("n_tokens"))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_words"),
+          col("n_chars"),
+          (floor(col("n_chars").cast("double") / col("n_tokens") * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("bytes_per_token"),
+          (floor(col("n_tokens").cast("double") / col("n_words") * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("tokens_per_word"))
+        .orderBy(col("lang"))
+    }),
+
+    // path analysis: most frequent 3-step event-type sequences — ONE
+    // user-keyed window exchange (the lead chain), a map-side-combined
+    // path aggregate, TakeOrdered top-N
+    "e118_event_paths" -> ((s, dir) => {
+      graft.ops.Events.topPaths(t(s, dir, "events"), n = 3, topN = 25)
     })
   )
 
@@ -2957,7 +3005,42 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ex)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r
-        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+        |WHERE rk <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // t112's chain for the kept set, then the t98 permutation (md5 order,
+    // id tie-break) and integer shard division
+    "p116_release_cut" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, len(t) AS nt,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS score FROM parts),
+        |c AS (SELECT doc_id, score, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q),
+        |kept AS (SELECT doc_id, n_tokens FROM c WHERE cum_tokens <= 10000),
+        |p AS (SELECT doc_id, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM kept)
+        |SELECT doc_id, n_tokens, pos, CAST(pos // 32 AS BIGINT) AS shard
+        |FROM p ORDER BY pos""".stripMargin,
+
+    "t117_tokenizer_coverage" -> bpeCoverageOracle(frozenBpeMerges, cap = 12),
+
+    // lead-chain 3-grams per user in (ts, event_id) order; windows crossing
+    // a user's end excluded; rank over the counted path relation
+    "e118_event_paths" ->
+      """WITH l AS (SELECT event_type AS t0,
+        |  lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path FROM l WHERE t2 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n_occurrences FROM p GROUP BY path)
+        |SELECT path, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank
+        |FROM c ORDER BY n_occurrences DESC, path LIMIT 25""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then
@@ -2991,14 +3074,17 @@ object SparkEntry {
     * literal `replace`, nested in rank order (string replace is
     * left-to-right non-overlapping in both engines — the applyMerge fold
     * semantics, spec-pinned). */
-  private def bpeEncodeOracle(merges: Seq[(String, String)], cap: Int): String = {
+  /** Shared CTE chain of the BPE-encode reproduction (word stream -> frozen
+    * merge replay -> per-doc token stats as `g`); t102 selects `g` directly,
+    * t117 aggregates it per language. */
+  private def bpeEncodeCte(merges: Seq[(String, String)], cap: Int): String = {
     // the same non-printable \u0001/\u0002 symbol delimiters as Bpe.encode,
     // embedded as raw bytes in the SQL literals (DuckDB passes them through)
     val bo = "\u0001"; val bc = "\u0002"
     val fused = merges.foldLeft("f") { case (c, (a, b)) =>
       s"replace($c, '$bo$a$bc$bo$b$bc', '$bo$a$b$bc')"
     }
-    s"""WITH w0 AS (SELECT doc_id,
+    s"""w0 AS (SELECT doc_id,
        |    unnest(string_split(text, ' ')) AS w,
        |    generate_subscripts(string_split(text, ' '), 1) AS wpos
        |  FROM documents),
@@ -3011,9 +3097,27 @@ object SparkEntry {
        |j AS (SELECT doc_id, wpos, toks FROM w JOIN enc USING (w)),
        |g AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
        |  array_to_string(flatten(list(toks ORDER BY wpos))[1:$cap], ',') AS tokens_head
-       |  FROM j GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, tokens_head FROM g ORDER BY doc_id""".stripMargin
+       |  FROM j GROUP BY doc_id)""".stripMargin
   }
+
+  private def bpeEncodeOracle(merges: Seq[(String, String)], cap: Int): String =
+    s"""WITH ${bpeEncodeCte(merges, cap)}
+       |SELECT doc_id, n_tokens, tokens_head FROM g ORDER BY doc_id""".stripMargin
+
+  /** t117 oracle: the same encode chain aggregated per language with the
+    * portable floor-rounded efficiency ratios. */
+  private def bpeCoverageOracle(merges: Seq[(String, String)], cap: Int): String =
+    s"""WITH ${bpeEncodeCte(merges, cap)},
+       |d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+       |jj AS (SELECT d.lang, d.n_chars, d.n_words, g.n_tokens FROM d JOIN g USING (doc_id)),
+       |a AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM jj GROUP BY lang)
+       |SELECT lang, n_docs, n_tokens, n_words, n_chars,
+       |  floor(CAST(n_chars AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS bytes_per_token,
+       |  floor(CAST(n_tokens AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 AS tokens_per_word
+       |FROM a ORDER BY lang""".stripMargin
 
   /** s100 oracle: single-table sign-signature buckets (rows [0, planes) of
     * the md5 plane matrix, the [[graft.ops.Similarity.lshBucket]]

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence analytics over an event stream (beyond the reference
@@ -96,5 +97,40 @@ object Events {
       .select(col("cohort_day"), col("day_offset"), col("active_users"),
         col("cohort_users"),
         r6(col("active_users") / col("cohort_users")).as("retention"))
+  }
+
+  /** Top event-type PATHS: the most frequent length-`n` consecutive
+    * event-type sequences across users (the "what do users actually do"
+    * path-analysis query). A path is the event types of `n` consecutive
+    * events of ONE user in (timestamp, event-id) order — the id tie-break
+    * makes same-timestamp runs deterministic and engine-portable.
+    *
+    * Scale shape: ONE user-keyed window exchange builds the lead chain
+    * (each row carries its next n−1 types — no per-user collect, no
+    * sequence materialization), then a map-side-combined hash aggregate
+    * on the path string (|distinct paths| ≤ |event types|^n rows — tiny),
+    * and the top-N is TakeOrdered (per-partition heaps). Windows crossing
+    * a user's end (NULL leads) are excluded, matching the per-user
+    * sequence semantics.
+    *
+    * Output: (path, n_occurrences, rank), `topN` rows,
+    * ties (n_occurrences) broken lexicographically by path. */
+  def topPaths(events: DataFrame, n: Int, topN: Int,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"n=$n: a path needs at least 2 steps")
+    require(topN >= 1, "topN must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"__l$i"))
+    val withLeads = events.select((col(typeCol) +: leads): _*)
+      .filter(col(s"__l${n - 1}").isNotNull) // window fits inside the user's run
+    val path = concat_ws(">", (col(typeCol) +: (1 until n).map(i => col(s"__l$i"))): _*)
+    val counted = withLeads.select(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc).limit(topN)
+    counted.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_occurrences").desc, col("path").asc))
+        .cast("long"))
   }
 }

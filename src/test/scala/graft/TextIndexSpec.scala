@@ -118,6 +118,28 @@ class TextIndexSpec extends SparkSpec {
     assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 0.5, 0.25))  // conv_from_first
   }
 
+  test("topPaths: per-user lead chains, end-of-run exclusion, tie-broken ranks") {
+    val ev = Seq(
+      // user 1: A B C D -> paths A>B>C, B>C>D
+      (1L, 10L, "A", 1L), (1L, 11L, "B", 2L), (1L, 12L, "C", 3L), (1L, 13L, "D", 4L),
+      // user 2: A B C -> A>B>C (cross-user aggregation)
+      (2L, 20L, "A", 1L), (2L, 21L, "B", 2L), (2L, 22L, "C", 3L),
+      // user 3: two events only -> NO path (window crosses the run's end)
+      (3L, 30L, "A", 1L), (3L, 31L, "B", 2L),
+      // user 4: same-timestamp tie -> event_id order decides X>Y>Z
+      (4L, 40L, "X", 5L), (4L, 41L, "Y", 5L), (4L, 42L, "Z", 5L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ns")
+    val r = graft.ops.Events.topPaths(ev, n = 3, topN = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("A>B>C", 2L, 1L), ("B>C>D", 1L, 2L), ("X>Y>Z", 1L, 3L)))
+    // n = 2 pairs: user 3 contributes now; count ties rank lexicographically
+    val pairs = graft.ops.Events.topPaths(ev, n = 2, topN = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // count-1 ties (C>D, X>Y, Y>Z) break lexicographically: C>D wins slot 3
+    assert(pairs == Seq(("A>B", 3L, 1L), ("B>C", 2L, 2L), ("C>D", 1L, 3L)))
+  }
+
   test("retention: cohort by first day, per-cell distinct users, exact rates") {
     val ev = Seq(
       (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"), // dup day collapses
