@@ -1669,6 +1669,28 @@ object SparkEntry {
     // path aggregate, TakeOrdered top-N
     "e118_event_paths" -> ((s, dir) => {
       graft.ops.Events.topPaths(t(s, dir, "events"), n = 3, topN = 25)
+    }),
+
+    // SCD2 dimension history: per user, consecutive same-event-type runs
+    // collapse to validity intervals [valid_from, valid_to) — one
+    // user-keyed window exchange carries flags, run numbering, and the
+    // per-run rollup; valid_to is a lead over the thin RUNS relation
+    "e119_scd2" -> ((s, dir) => {
+      graft.ops.Events.scd2(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
+    // PQ-compressed ANN: 64-dim float32 → 8 codes (32× smaller corpus
+    // scan), ADC candidate scoring from the query's inlined distance
+    // table, exact cosine re-rank of k·4 candidates; the md5-grid
+    // codebook keeps the full hash-exact oracle (a trained codebook
+    // would swap in via pqCodebook and go rows-only, the IVF precedent)
+    "s120_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10,
+          codebook = graft.ops.Similarity.pqCodebook(8, 16, 8), expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
     })
   )
 
@@ -3040,7 +3062,29 @@ object SparkEntry {
         |c AS (SELECT path, count(*) AS n_occurrences FROM p GROUP BY path)
         |SELECT path, n_occurrences,
         |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank
-        |FROM c ORDER BY n_occurrences DESC, path LIMIT 25""".stripMargin
+        |FROM c ORDER BY n_occurrences DESC, path LIMIT 25""".stripMargin,
+
+    // run detection via lag + running sum; valid_to = lead over the runs
+    // relation; ts compared as epoch nanos to match the engine's ts_ns
+    "e119_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) AS ts_ns FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM f),
+        |g AS (SELECT user_id, run, min(event_type) AS event_type,
+        |  CAST(min(ts_ns) AS BIGINT) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run),
+        |v AS (SELECT user_id, event_type, valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS BIGINT) AS valid_to,
+        |  n_events FROM g)
+        |SELECT user_id, event_type, valid_from, valid_to, n_events,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "s120_pq_topk" -> pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4)
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then
@@ -3118,6 +3162,46 @@ object SparkEntry {
        |  floor(CAST(n_chars AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS bytes_per_token,
        |  floor(CAST(n_tokens AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 AS tokens_per_word
        |FROM a ORDER BY lang""".stripMargin
+
+  /** s120 oracle: the md5-grid PQ codebook inlined ONCE as a nested list
+    * literal (every component n/1024 — exact in decimal AND double, so
+    * the decimal→double promotion is lossless); codes = first-position
+    * argmin per subspace, ADC = per-subspace query-table lookup summed in
+    * subspace order, re-rank = the s29 cosine chain. Every reduction is a
+    * sequential list_sum in the same index order as the engine's
+    * left-assoc folds — bit-identical doubles end to end. */
+  private def pqOracle(m: Int, kc: Int, subDim: Int, kTop: Int, expand: Int): String = {
+    val cb = graft.ops.Similarity.pqCodebook(m, kc, subDim)
+    def num(d: Double) = java.math.BigDecimal.valueOf(d).toPlainString
+    val cLit = cb.map(sc => sc.map(cv => cv.map(num).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    // per-subspace 16-entry squared-L2 distance list for vector column $v
+    def dsFor(v: String) =
+      s"[ list_sum([ ($v[(s-1)*$subDim + j] - C[s][c][j]) * ($v[(s-1)*$subDim + j] - C[s][c][j]) for j in range(1, ${subDim + 1}) ]) for c in range(1, ${kc + 1}) ]"
+    val dsE = dsFor("e"); val dsQ = dsFor("qe")
+    s"""WITH cb AS (SELECT $cLit AS C),
+       |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |  [ list_position($dsE, list_min($dsE)) for s in range(1, ${m + 1}) ] AS codes
+       |  FROM v, cb),
+       |qs AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+       |coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |  list_sum([ $dsQ[c.codes[s]] for s in range(1, ${m + 1}) ]) AS adc
+       |  FROM qs, cb, codes c WHERE c.vec_id <> query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |  FROM coarse) WHERE rn <= ${kTop * expand}),
+       |ex AS (SELECT cand.query_id, cand.neighbor_id,
+       |  list_sum([qs.qe[i] * ce.e[i] for i in range(1, len(qs.qe) + 1)]) /
+       |  (sqrt(list_sum([qs.qe[i] * qs.qe[i] for i in range(1, len(qs.qe) + 1)])) *
+       |   sqrt(list_sum([ce.e[i] * ce.e[i] for i in range(1, len(ce.e) + 1)]))) AS cosine
+       |  FROM cand JOIN qs USING (query_id) JOIN v ce ON ce.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ex)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r
+       |WHERE rk <= $kTop ORDER BY query_id, neighbor_id""".stripMargin
+  }
 
   /** s100 oracle: single-table sign-signature buckets (rows [0, planes) of
     * the md5 plane matrix, the [[graft.ops.Similarity.lshBucket]]

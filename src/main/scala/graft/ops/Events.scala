@@ -115,6 +115,46 @@ object Events {
     *
     * Output: (path, n_occurrences, rank), `topN` rows,
     * ties (n_occurrences) broken lexicographically by path. */
+  /** Type-2 slowly-changing-dimension history from an event log: per key,
+    * collapse consecutive runs of the same tracked value into validity
+    * intervals [valid_from, valid_to) — the "build the dimension table
+    * with full history" warehouse pass (each run = one SCD2 row; the open
+    * run is the current one).
+    *
+    * Scale shape: ONE key-partitioned window exchange carries everything —
+    * the change flags (lag), the run numbering (running sum), and, after
+    * the per-run aggregate (map-side-combined on (key, run)), the
+    * valid_to lookup is a lead over the RUNS relation (one row per run —
+    * orders of magnitude below the event log). (ts, id) ordering makes
+    * same-timestamp events deterministic.
+    *
+    * Output: (keyCol, trackedCol, valid_from, valid_to NULL for the open
+    * run, n_events, is_current). */
+  def scd2(events: DataFrame, keyCol: String, trackedCol: String,
+           tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val runs = events
+      .withColumn("__chg", when(lag(col(trackedCol), 1).over(w).isNull ||
+        lag(col(trackedCol), 1).over(w) =!= col(trackedCol), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__run"))
+      // min, not first: values within a run are equal by construction, but
+      // min is deterministic under any aggregation order
+      .agg(min(col(trackedCol)).as(trackedCol),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // __run in the ordering: two adjacent runs CAN share a valid_from
+    // (same-timestamp events split by the id tie-break), and __run is the
+    // time order by construction
+    val rw = Window.partitionBy(col(keyCol)).orderBy(col("valid_from").asc, col("__run").asc)
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(rw))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+      .select(col(keyCol), col(trackedCol), col("valid_from"), col("valid_to"),
+        col("n_events"), col("is_current"))
+  }
+
   def topPaths(events: DataFrame, n: Int, topN: Int,
                userCol: String = "user_id", typeCol: String = "event_type",
                tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {

@@ -296,6 +296,101 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Deterministic product-quantization codebook: `m` subspaces × `k`
+    * centroids × `subDim` components, component (s, c, j) md5-folded to
+    * the exact grid ((h mod 1024) − 512)/1024 ∈ [−0.5, 0.5) — every value
+    * exactly representable in double, derived with no RNG state, so any
+    * engine (and the SQL oracle) reproduces the codebook bit-for-bit.
+    * A REAL deployment trains the codebook with per-subspace k-means —
+    * that substitution changes only this function (the IVF precedent:
+    * trained artifacts are rows-only; fixed deterministic artifacts keep
+    * the full hash-exact oracle, which is what this grid buys). */
+  def pqCodebook(m: Int, k: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k, subDim) { (s, c, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pq_${s}_${c}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      ((h % 1024L) - 512L).toDouble / 1024.0
+    }
+
+  /** Product-quantization encoding: each vector becomes `m` small codes
+    * (nearest centroid per subspace, squared-L2, ties → lowest code) —
+    * the 4-bit-per-subspace compression under PQ-based ANN (a 64-dim
+    * float32 vector collapses to m = 8 codes: 32× smaller). Pure
+    * projection (the codebook is inlined constants — no join, no
+    * broadcast, zero exchange); argmin = array_position of array_min,
+    * first-occurrence semantics in both engines. Output: (idCol,
+    * pq_codes array<long>, 1-based codes). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length; val k = codebook(0).length; val subDim = codebook(0)(0).length
+    val v = transform(col(vecCol), x => x.cast("double"))
+    def dist(vc: Column, s: Int, c: Int): Column = (0 until subDim).map { j =>
+      val d = element_at(vc, s * subDim + j + 1) - lit(codebook(s)(c)(j))
+      d * d
+    }.reduce(_ + _)
+    val codes = array((0 until m).map { s =>
+      val ds = array((0 until k).map(c => dist(col("__v"), s, c)): _*)
+      array_position(ds, array_min(ds))
+    }: _*)
+    df.withColumn("__v", v)
+      .select(col(idCol), codes.as("pq_codes"))
+  }
+
+  /** PQ-compressed ANN with exact re-rank: the corpus is scanned as
+    * `m`-code rows (32× less memory bandwidth than float32), each query
+    * scores candidates by ADC — the asymmetric distance Σ_s T_q[s][code_s]
+    * where T_q is the query's per-subspace distance-to-centroid table,
+    * evaluated as inlined expressions over the query vector — takes the
+    * `k·expand` best (ascending distance, id tie-break), and an exact
+    * float cosine re-ranks ONLY those to the final top-k (the
+    * [[rerankTopK]] second stage verbatim: candidates broadcast back, the
+    * float vectors never shuffle).
+    *
+    * Everything is deterministic double math over exactly-representable
+    * inputs — the oracle reproduces codes, ADC scores, candidate set, and
+    * final ranking bit-for-bit. Output: (query_id, neighbor_id, cosine). */
+  def pqTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebook: Array[Array[Array[Double]]],
+             expand: Int = 4): DataFrame = {
+    require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    val m = codebook.length; val kc = codebook(0).length; val subDim = codebook(0)(0).length
+    val corpus = graft.core.Par.widen(corpus0)
+    val coded = pqEncode(corpus, idCol, vecCol, codebook)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv")))
+    def qdist(s: Int, c: Int): Column = (0 until subDim).map { j =>
+      val d = element_at(col("__qv"), s * subDim + j + 1) - lit(codebook(s)(c)(j))
+      d * d
+    }.reduce(_ + _)
+    // ADC: per subspace, look the candidate's code up in the query's
+    // distance table (16 inlined expressions); sum across subspaces
+    val adc = (0 until m).map { s =>
+      element_at(array((0 until kc).map(c => qdist(s, c)): _*),
+        element_at(col("pq_codes"), s + 1).cast("int"))
+    }.reduce(_ + _)
+    val coarse = coded.crossJoin(qv)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        corpus.sparkSession, col("qv"), col("cv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("__rk", row_number().over(wE))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
     * (bucket, dimension) with the bucket's mean component and size. This is
     * the declarative cluster-summary pass under SemDeDup-style semantic

@@ -450,6 +450,39 @@ class ScaleJoinsSpec extends SparkSpec {
     overlap.foreach(k => assert(tm(k) == brute(k)))
   }
 
+  test("pqEncode: hand-checked codes, argmin tie to lowest; pqTopK full expand ≡ brute force") {
+    // hand codebook: 2 subspaces × 2 centroids × 1 dim
+    val cb = Array(
+      Array(Array(0.0), Array(1.0)),   // subspace 1: centroids 0, 1
+      Array(Array(0.5), Array(0.5)))   // subspace 2: equal → tie → code 1
+    val vecs = Seq((1L, Seq(0.2f, 9.0f)), (2L, Seq(0.9f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = ops.Similarity.pqEncode(vecs, "vec_id", "embedding", cb)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    // vec 1: 0.2 → centroid 0 (code 1); tie subspace → first-min code 1
+    // vec 2: 0.9 → centroid 1 (code 2)
+    assert(codes == Seq((1L, Seq(1L, 1L)), (2L, Seq(2L, 1L))))
+    // full-corpus expand: candidate set = everything → the exact re-rank
+    // IS brute force, whatever the codebook quality — the same invariant
+    // rerankTopK and IVF nprobe=nlist pin
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 5)
+    val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = e.count().toInt
+    val full = ops.Similarity.pqTopK(e, q, "vec_id", "embedding", 10,
+        ops.Similarity.pqCodebook(8, 16, 8), expand = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute, "full-expand PQ must reproduce exact brute-force top-k")
+    // tight expand: k rows per query; agreed rows carry identical scores
+    val tight = ops.Similarity.pqTopK(e, q, "vec_id", "embedding", 10,
+        ops.Similarity.pqCodebook(8, 16, 8), expand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(tight.groupBy(_._1._1).forall(_._2.length == 10), "k rows per query")
+    tight.toMap.foreach { case (key, c) =>
+      brute.get(key).foreach(b => assert(b == c, s"score mismatch at $key")) }
+  }
+
   test("tokenBudgetPrefix: inclusive prefix rule, running totals, determinism") {
     // order by (score desc, id): sizes 5, 4, 3, 1 — budget 10 keeps docs
     // 1-2 (cum 5, 9); doc 3 CROSSES (12 > 10) and, prefix semantics (not

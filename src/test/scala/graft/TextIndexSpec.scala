@@ -140,6 +140,25 @@ class TextIndexSpec extends SparkSpec {
     assert(pairs == Seq(("A>B", 3L, 1L), ("B>C", 2L, 2L), ("C>D", 1L, 3L)))
   }
 
+  test("scd2: run collapse, interval chaining, same-timestamp id order, open current run") {
+    val ev = Seq(
+      // user 1: A A B A -> runs A[1,3) x2, B[3,4) x1, A[4,∞) x1
+      (1L, 10L, "A", 1L), (1L, 11L, "A", 2L), (1L, 12L, "B", 3L), (1L, 13L, "A", 4L),
+      // user 2: same-timestamp events — event_id order decides the runs:
+      // 20:X, 21:Y, 22:Y at ts 5 -> X[5,5) then Y[5,∞) x2
+      (2L, 20L, "X", 5L), (2L, 21L, "Y", 5L), (2L, 22L, "Y", 5L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ns")
+    val r = graft.ops.Events.scd2(ev, "user_id", "event_type")
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+      .as[(Long, String, Long, Option[Long], Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, "A", 1L, Some(3L), 2L, false),
+      (1L, "B", 3L, Some(4L), 1L, false),
+      (1L, "A", 4L, None, 1L, true),
+      (2L, "X", 5L, Some(5L), 1L, false),
+      (2L, "Y", 5L, None, 2L, true)))
+  }
+
   test("retention: cohort by first day, per-cell distinct users, exact rates") {
     val ev = Seq(
       (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"), // dup day collapses
