@@ -1680,6 +1680,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // CDC apply: an ordered I/U/D change log compacted per key (last
+    // change wins) and applied to the snapshot — keys with U@1 then D@2
+    // end up DELETED, proving the ordering; the snapshot is touched by
+    // one anti-join + union, never shuffled
+    "q121_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val changes = base.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+          .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+        .unionByName(base.filter(col("c_custkey") % 20 === 0)
+          .withColumn("op", lit("D")).withColumn("ord", lit(2L)))
+        .unionByName(base.filter(col("c_custkey") % 25 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 100000L)
+          .withColumn("op", lit("I")).withColumn("ord", lit(1L)))
+      graft.ops.Relational.applyChangelog(base, changes, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // PQ-compressed ANN: 64-dim float32 → 8 codes (32× smaller corpus
     // scan), ADC candidate scoring from the query's inlined distance
     // table, exact cosine re-rank of k·4 candidates; the md5-grid
@@ -3084,7 +3103,25 @@ object SparkEntry {
         |  valid_to IS NULL AS is_current
         |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
 
-    "s120_pq_topk" -> pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4)
+    "s120_pq_topk" -> pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4),
+
+    // last-change-wins compaction over the log, anti-join + union apply;
+    // U@1-then-D@2 keys must vanish
+    "q121_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_mktsegment, 'U' AS op, 1 AS ord
+        |    FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'D', 2
+        |    FROM base WHERE c_custkey % 20 = 0
+        |  UNION ALL SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment, 'I', 1
+        |    FROM base WHERE c_custkey % 25 = 0),
+        |last AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY ord DESC, op) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |kept AS (SELECT b.* FROM base b ANTI JOIN last l USING (c_custkey)),
+        |ins AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM last WHERE op <> 'D')
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then

@@ -232,6 +232,33 @@ object Relational {
       .unionByName(updates)
   }
 
+  /** Apply an ORDERED change log (CDC stream) to a snapshot — the lakehouse
+    * MERGE/CDC-apply pass [[upsert]] doesn't cover: `changes` carries the
+    * base's data columns plus an op marker ('I'/'U' carry the new row, 'D'
+    * deletes the key) and an ordering column; per key the LAST change wins
+    * (ties broken on the op marker for determinism — give changes unique
+    * (keys, ord) for a well-defined log).
+    *
+    * Scale shape: the change log is compacted to one row per key by a
+    * window over the CHANGELOG only (typically orders of magnitude below
+    * the snapshot); the snapshot is touched by exactly one anti-join
+    * against the compacted key set (AQE broadcasts it at real-world
+    * change rates) plus the union of surviving upserts — the snapshot is
+    * scanned once and never shuffled. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                     opCol: String = "op", ordCol: String = "ord"): DataFrame = {
+    require(base.columns.forall(changes.columns.contains),
+      s"changelog must carry the base's columns: ${base.columns.toSeq}")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol).desc, col(opCol).asc)
+    val last = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val survivors = base.join(last.select(keys.map(col): _*), keys, "left_anti")
+    val applied = last.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    survivors.unionByName(applied)
+  }
+
   /** Multi-key group-by with standard fold columns (agnes `aggregate`,
     * src/view.rs:1496-1586, generalized to multiple simultaneous aggs —
     * the reference allows only one value column per call).

@@ -548,4 +548,94 @@ class PropertySpec extends SparkSpec {
     check(List((1L, "en", s"$boiler tail1"), (2L, "de", s"$boiler tail2")))
     forAll(corpus, cases = 8)(check)
   }
+
+  test("segmentDedup ≡ driver brute force; every distinct segment survives exactly once") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def segsOf(text: String, bw: Int): Seq[String] =
+      text.split(" ", -1).grouped(bw).map(_.mkString(" ")).toSeq
+    forAll(corpus, cases = 10) { rows =>
+      val bw = 2
+      val got = ops.Dedup.segmentDedup(rows.toDF("doc_id", "text"), "doc_id", "text", bw)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      // driver brute force: first (doc, pos) occurrence of each segment
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = rows.sortBy(_._1).map { case (id, text) =>
+        val segs = segsOf(text, bw)
+        val kept = segs.filter(s => seen.add(s))
+        (id, segs.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+      assert(got == expect)
+      // global invariant: the kept segments across the corpus are exactly
+      // the distinct segments of the corpus, each once
+      val allKept = got.flatMap(r => if (r._4.isEmpty) Nil else segsOf(r._4, bw))
+      assert(allKept.sorted == rows.flatMap(r => segsOf(r._2, bw)).distinct.sorted)
+    }
+  }
+
+  test("tokenBudgetPrefix: kept mass within budget, monotone in budget, prefix-closed") {
+    val rows = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(1L, 30L))))
+      .map(_.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) })
+    forAll(rows, cases = 10) { rs =>
+      val df = rs.toDF("doc_id", "score", "n_tokens")
+      def kept(b: Long): Seq[Long] =
+        ops.Sampling.tokenBudgetPrefix(df, "doc_id", "score", "n_tokens", b)
+          .select("doc_id").as[Long].collect().toSeq.sorted
+      val k1 = kept(40L); val k2 = kept(80L)
+      // budget respected exactly
+      val byId = rs.map(r => r._1 -> r._3).toMap
+      assert(k1.map(byId).sum <= 40L && k2.map(byId).sum <= 80L)
+      // monotone: a bigger budget keeps a superset
+      assert(k1.toSet.subsetOf(k2.toSet))
+      // prefix-closed under the (score desc, id) order
+      val order = rs.sortBy(r => (-r._2, r._1)).map(_._1)
+      assert(order.take(k2.length).toSet == k2.toSet)
+    }
+  }
+
+  test("snapshot diff: swap symmetry, fingerprint sensitivity, partition of ids") {
+    val rowsGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("x", "y", "z"))))
+      .map(_.distinctBy(_._1))
+    forAll(Gen.zip(rowsGen, rowsGen), cases = 10) { case (ra, rb) =>
+      val a = ra.toDF("doc_id", "text"); val b = rb.toDF("doc_id", "text")
+      val d = ops.Snapshot.diff(a, b, "doc_id", md5(col("text")))
+        .as[(Long, String)].collect().toMap
+      val dRev = ops.Snapshot.diff(b, a, "doc_id", md5(col("text")))
+        .as[(Long, String)].collect().toMap
+      // swapping snapshots swaps added/removed and keeps changed
+      assert(d.keySet == dRev.keySet)
+      d.foreach { case (id, st) =>
+        val exp = st match {
+          case "added" => "removed"; case "removed" => "added"; case s => s }
+        assert(dRev(id) == exp) }
+      // the diff ids are exactly those where the maps disagree
+      val ma = ra.toMap; val mb = rb.toMap
+      val expectIds = (ma.keySet ++ mb.keySet).filter(id => ma.get(id) != mb.get(id))
+      assert(d.keySet == expectIds)
+    }
+  }
+
+  test("applyChangelog ≡ driver replay for arbitrary I/U/D logs") {
+    val baseGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 99)))).map(_.distinctBy(_._1))
+    val chgGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 99), Gen.oneOf("I", "U", "D"))))
+      .map(_.zipWithIndex.map { case ((k, v, op), i) => (k, v, op, i.toLong) })
+      // one change per (key, ord) by construction (ord = log position)
+    forAll(Gen.zip(baseGen, chgGen), cases = 10) { case (bs, cs) =>
+      val base = bs.toDF("k", "v")
+      val changes = cs.toDF("k", "v", "op", "ord")
+      val got = ops.Relational.applyChangelog(base, changes, Seq("k"))
+        .as[(Long, Int)].collect().toSeq.sorted
+      // driver replay: fold the log in ord order over the base map
+      val end = cs.sortBy(_._4).foldLeft(bs.toMap) { case (m, (k, v, op, _)) =>
+        if (op == "D") m - k else m + (k -> v)
+      }
+      assert(got == end.toSeq.sorted)
+    }
+  }
 }
