@@ -1680,6 +1680,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // point-in-time (time-travel) dimension read over the SCD2 history:
+    // the as-of instant is the event-time midpoint (computed as a 1-row
+    // integer aggregate, broadcast back), and the read is a stateless
+    // interval-containment filter over the runs relation — the "what did
+    // the dimension look like at T" companion of e119
+    "e122_dim_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = graft.ops.Events.scd2(ev, "user_id", "event_type")
+      // integer div, never /: epoch-ns values exceed double's 2^53 exact
+      // range, so float math would lose the nanoseconds both engines keep
+      val asof = ev.agg(expr(
+        "min(ts_ns) + (max(ts_ns) - min(ts_ns)) div 2").as("as_of"))
+      hist.crossJoin(broadcast(asof))
+        .filter(col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("n_events"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
     // CDC apply: an ordered I/U/D change log compacted per key (last
     // change wins) and applied to the snapshot — keys with U@1 then D@2
     // end up DELETED, proving the ordering; the snapshot is touched by
@@ -3121,7 +3141,30 @@ object SparkEntry {
         |  WHERE rn = 1),
         |kept AS (SELECT b.* FROM base b ANTI JOIN last l USING (c_custkey)),
         |ins AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM last WHERE op <> 'D')
-        |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""".stripMargin
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""".stripMargin,
+
+    // the e119 chain + integer-midpoint as-of instant + interval
+    // containment (integer // — epoch ns exceed double's exact range)
+    "e122_dim_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) AS ts_ns FROM events),
+        |sel AS (SELECT CAST(min(ts_ns) + (max(ts_ns) - min(ts_ns)) // 2 AS BIGINT) AS as_of FROM e),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM f),
+        |g AS (SELECT user_id, run, min(event_type) AS event_type,
+        |  CAST(min(ts_ns) AS BIGINT) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run),
+        |v AS (SELECT user_id, event_type, valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS BIGINT) AS valid_to,
+        |  n_events FROM g)
+        |SELECT user_id, event_type, valid_from, n_events,
+        |  valid_to IS NULL AS is_current
+        |FROM v, sel
+        |WHERE valid_from <= as_of AND (valid_to IS NULL OR valid_to > as_of)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then

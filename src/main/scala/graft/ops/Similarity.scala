@@ -323,17 +323,19 @@ object Similarity {
     * pq_codes array<long>, 1-based codes). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebook.length; val k = codebook(0).length; val subDim = codebook(0)(0).length
-    val v = transform(col(vecCol), x => x.cast("double"))
-    def dist(vc: Column, s: Int, c: Int): Column = (0 until subDim).map { j =>
-      val d = element_at(vc, s * subDim + j + 1) - lit(codebook(s)(c)(j))
-      d * d
-    }.reduce(_ + _)
+    val m = codebook.length; val k = codebook(0).length
+    // the m·k distance table comes from ONE tight-loop codegen'd
+    // expression (graft.functions.PqDistTable — an unrolled-expression
+    // formulation put the plan's Janino compile time at ~10 s per fresh
+    // plan); the per-row argmin over each k-slice is cheap generic array
+    // ops, first-occurrence ties by array_position semantics
+    val tbl = graft.functions.PqExpressions.pqDistTable(
+      df.sparkSession, col(vecCol), codebook)
     val codes = array((0 until m).map { s =>
-      val ds = array((0 until k).map(c => dist(col("__v"), s, c)): _*)
-      array_position(ds, array_min(ds))
+      val sl = slice(col("__tbl"), s * k + 1, k)
+      array_position(sl, array_min(sl))
     }: _*)
-    df.withColumn("__v", v)
+    df.withColumn("__tbl", tbl)
       .select(col(idCol), codes.as("pq_codes"))
   }
 
@@ -354,21 +356,23 @@ object Similarity {
              vecCol: String, k: Int, codebook: Array[Array[Array[Double]]],
              expand: Int = 4): DataFrame = {
     require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
-    val m = codebook.length; val kc = codebook(0).length; val subDim = codebook(0)(0).length
+    val m = codebook.length; val kc = codebook(0).length
     val corpus = graft.core.Par.widen(corpus0)
     val coded = pqEncode(corpus, idCol, vecCol, codebook)
       .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    // The textbook ADC split: the m·k distance table is evaluated ONCE PER
+    // QUERY on the broadcast side (the same tight-loop PqDistTable
+    // expression pqEncode uses), so the per-candidate cost in the
+    // corpus-sized join is m flat-table lookups + m−1 adds — never a
+    // re-derivation of the table per pair.
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__qv")))
-    def qdist(s: Int, c: Int): Column = (0 until subDim).map { j =>
-      val d = element_at(col("__qv"), s * subDim + j + 1) - lit(codebook(s)(c)(j))
-      d * d
-    }.reduce(_ + _)
-    // ADC: per subspace, look the candidate's code up in the query's
-    // distance table (16 inlined expressions); sum across subspaces
+      graft.functions.PqExpressions.pqDistTable(
+        corpus.sparkSession, col(vecCol), codebook).as("__tbl")))
+    // flat layout: entry (s, code) lives at position s·k + code (code is
+    // 1-based from array_position, matching 1-based element_at)
     val adc = (0 until m).map { s =>
-      element_at(array((0 until kc).map(c => qdist(s, c)): _*),
-        element_at(col("pq_codes"), s + 1).cast("int"))
+      element_at(col("__tbl"),
+        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
     }.reduce(_ + _)
     val coarse = coded.crossJoin(qv)
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -106,6 +106,29 @@ class PlanFingerprintSpec extends SparkSpec {
   // before the vector-fetch joins (corpus scan pruned to 2 cols, AQE
   // broadcasts the candidate side at this scale) and the top-k window
   pin("s30_ann_lsh", "shuffles=4 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
+  // r9 pins. Notes on shapes worth pinning:
+  //  - d111: widen + segment-text window exchange + doc regroup + sort;
+  //    no join anywhere (the decision rides the window).
+  //  - t112: ONLY the range-sort exchange is visible — the running-total
+  //    stages live behind the LogicalRDD boundary (see docs/PLANS.md).
+  //  - m113: zero exchange before the banded pair join (fingerprints are
+  //    a pure projection); the join broadcasts at spec scale.
+  //  - p114: two narrow fingerprint exchanges into a full-outer SMJ (a
+  //    full outer cannot broadcast — this IS the floor).
+  //  - s115/s120: identical two-stage ANN skeleton — broadcast-cross
+  //    coarse pass, WindowGroupLimit candidates, broadcast-back re-rank.
+  //  - e119: ONE user exchange (the (user, run) aggregate reuses the
+  //    window's distribution) + the presentation sort.
+  //  - q121: changelog-only window; the snapshot side joins broadcast.
+  pin("d111_segment_dedup", "shuffles=4 bcast=0 joins=[] scans=[2]")
+  pin("t112_token_budget", "shuffles=1 bcast=0 joins=[] scans=[]")
+  pin("m113_phash_neardup", "shuffles=1 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+  pin("p114_snapshot_diff", "shuffles=3 bcast=0 joins=[SortMergeJoin=1] scans=[3,3]")
+  pin("s115_rerank_exact", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=2,BroadcastNestedLoopJoin=1] scans=[2,2,2,2]")
+  pin("s120_pq_topk", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=2,BroadcastNestedLoopJoin=1] scans=[2,2,2,2]")
+  pin("e118_event_paths", "shuffles=2 bcast=0 joins=[] scans=[4]")
+  pin("e119_scd2", "shuffles=2 bcast=0 joins=[] scans=[4]")
+  pin("q121_cdc_apply", "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,1,1,4,4,4,4]")
   // r7 token_counts form: tf is a per-row codegen'd map projection (zero
   // exchange — term frequency is per-document); the df agg and N are
   // broadcast; the only corpus-sized exchange is the top-k window's, fed
