@@ -1700,6 +1700,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // bucket-pruned PQ ANN — the billion-scale serving shape: LSH bucket
+    // partition (query touches 1/8 of the corpus via an EQUI join), ADC
+    // over 32×-compressed codes in-bucket, exact re-rank of the winners;
+    // every stage deterministic, so the oracle replays it end to end
+    "s123_lshpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.lshPqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10,
+          codebook = graft.ops.Similarity.pqCodebook(8, 16, 8),
+          planes = 3, dim = 64, expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // CDC apply: an ordered I/U/D change log compacted per key (last
     // change wins) and applied to the snapshot — keys with U@1 then D@2
     // end up DELETED, proving the ordering; the snapshot is touched by
@@ -3125,6 +3138,9 @@ object SparkEntry {
 
     "s120_pq_topk" -> pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4),
 
+    "s123_lshpq_topk" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
+      planes = 3, dim = 64, kTop = 10, expand = 4),
+
     // last-change-wins compaction over the log, anti-join + union apply;
     // U@1-then-D@2 keys must vanish
     "q121_cdc_apply" ->
@@ -3268,6 +3284,49 @@ object SparkEntry {
        |coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
        |  list_sum([ $dsQ[c.codes[s]] for s in range(1, ${m + 1}) ]) AS adc
        |  FROM qs, cb, codes c WHERE c.vec_id <> query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |  FROM coarse) WHERE rn <= ${kTop * expand}),
+       |ex AS (SELECT cand.query_id, cand.neighbor_id,
+       |  list_sum([qs.qe[i] * ce.e[i] for i in range(1, len(qs.qe) + 1)]) /
+       |  (sqrt(list_sum([qs.qe[i] * qs.qe[i] for i in range(1, len(qs.qe) + 1)])) *
+       |   sqrt(list_sum([ce.e[i] * ce.e[i] for i in range(1, len(ce.e) + 1)]))) AS cosine
+       |  FROM cand JOIN qs USING (query_id) JOIN v ce ON ce.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ex)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r
+       |WHERE rk <= $kTop ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** s123 oracle: the s100 bucket derivation + the s120 PQ chain with the
+    * coarse pass restricted to the query's own bucket (the equi-join the
+    * engine runs). Same sequential list_sums, same first-position argmin,
+    * same tie-broken windows — bit-identical end to end. */
+  private def lshPqOracle(m: Int, kc: Int, subDim: Int, planes: Int, dim: Int,
+                          kTop: Int, expand: Int): String = {
+    val cb = graft.ops.Similarity.pqCodebook(m, kc, subDim)
+    val mat = graft.ops.Similarity.planeMatrix(planes, dim)
+    def num(d: Double) = java.math.BigDecimal.valueOf(d).toPlainString
+    def lst(a: Array[Double]): String = a.map(num).mkString("[", ", ", "]")
+    val bucketExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val cLit = cb.map(sc => sc.map(cv => cv.map(num).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    def dsFor(v: String) =
+      s"[ list_sum([ ($v[(s-1)*$subDim + j] - C[s][c][j]) * ($v[(s-1)*$subDim + j] - C[s][c][j]) for j in range(1, ${subDim + 1}) ]) for c in range(1, ${kc + 1}) ]"
+    val dsE = dsFor("e"); val dsQ = dsFor("qe")
+    s"""WITH cbk AS (SELECT $cLit AS C),
+       |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bucketExpr AS BIGINT) AS bkt FROM v),
+       |codes AS (SELECT vec_id, bkt,
+       |  [ list_position($dsE, list_min($dsE)) for s in range(1, ${m + 1}) ] AS codes
+       |  FROM b, cbk),
+       |qs AS (SELECT vec_id AS query_id, e AS qe, bkt AS qbkt FROM b WHERE vec_id < 8),
+       |coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |  list_sum([ $dsQ[c.codes[s]] for s in range(1, ${m + 1}) ]) AS adc
+       |  FROM qs, cbk, codes c WHERE c.bkt = qs.qbkt AND c.vec_id <> query_id),
        |cand AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn

@@ -395,6 +395,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Bucket-pruned PQ ANN — the billion-scale serving shape composed from
+    * the library's own verified pieces: the corpus is LSH-bucketed
+    * ([[lshBucket]] — deterministic md5 hyperplanes), a query's coarse
+    * scan touches ONLY its own bucket (an EQUI join on the bucket id — the
+    * expected 1/2^planes of the corpus — where [[pqTopK]] cross-joins
+    * everything), the in-bucket rows are PQ codes (32× smaller than
+    * float32) scored by ADC against the query's once-evaluated distance
+    * table, and the exact cosine re-rank touches only the k·expand
+    * winners. A production layout would additionally `partitionBy` the
+    * bucket column so storage itself prunes; the streaming equi-join is
+    * the same read shape without the rewrite.
+    *
+    * Fully deterministic (md5 hyperplanes + md5-grid codebook + tie-broken
+    * windows) → the oracle reproduces buckets, codes, ADC, candidates,
+    * and ranking bit-for-bit. Recall compounds the bucket's recall with
+    * PQ's coarse fidelity — `planes` and `expand` are the explicit knobs;
+    * a query whose bucket holds fewer than k neighbors returns fewer rows
+    * (prune semantics, not an error). */
+  def lshPqTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, codebook: Array[Array[Array[Double]]],
+                planes: Int, dim: Int, expand: Int = 4): DataFrame = {
+    require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    val m = codebook.length; val kc = codebook(0).length
+    val corpus = graft.core.Par.widen(corpus0)
+    val spark = corpus.sparkSession
+    val ctbl = graft.functions.PqExpressions.pqDistTable(spark, col(vecCol), codebook)
+    val codes = array((0 until m).map { s =>
+      val sl = slice(col("__ctbl"), s * kc + 1, kc)
+      array_position(sl, array_min(sl))
+    }: _*)
+    val coded = corpus.withColumn("__ctbl", ctbl)
+      .select(col(idCol).as("neighbor_id"),
+        lshBucket(col(vecCol), planes, dim).as("__b"), codes.as("pq_codes"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      lshBucket(col(vecCol), planes, dim).as("__b"),
+      graft.functions.PqExpressions.pqDistTable(spark, col(vecCol), codebook).as("__tbl")))
+    val adc = (0 until m).map { s =>
+      element_at(col("__tbl"),
+        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
+    val coarse = coded.join(qv, Seq("__b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        spark, col("qv"), col("cv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("__rk", row_number().over(wE))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
     * (bucket, dimension) with the bucket's mean component and size. This is
     * the declarative cluster-summary pass under SemDeDup-style semantic

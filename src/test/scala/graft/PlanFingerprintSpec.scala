@@ -129,6 +129,9 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("e118_event_paths", "shuffles=2 bcast=0 joins=[] scans=[4]")
   pin("e119_scd2", "shuffles=2 bcast=0 joins=[] scans=[4]")
   pin("q121_cdc_apply", "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[1,1,1,4,4,4,4]")
+  //  - s123: the coarse pass is an equi BHJ on the bucket id (the prune)
+  //    instead of s120's nested-loop cross — same two-stage skeleton.
+  pin("s123_lshpq_topk", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r7 token_counts form: tf is a per-row codegen'd map projection (zero
   // exchange — term frequency is per-document); the df agg and N are
   // broadcast; the only corpus-sized exchange is the top-k window's, fed

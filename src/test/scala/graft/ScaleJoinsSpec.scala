@@ -483,6 +483,37 @@ class ScaleJoinsSpec extends SparkSpec {
       brute.get(key).foreach(b => assert(b == c, s"score mismatch at $key")) }
   }
 
+  test("lshPqTopK: corpus-covering expand ≡ exact in-bucket top-k") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 5)
+    val cb = ops.Similarity.pqCodebook(8, 16, 8)
+    val n = e.count().toInt
+    val got = ops.Similarity.lshPqTopK(e, q, "vec_id", "embedding", 10, cb,
+        planes = 2, dim = 64, expand = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // expected: exact cosine top-k RESTRICTED to the query's own bucket —
+    // with the candidate buffer covering the bucket, PQ's coarse ranking
+    // cannot evict anyone, so the composition must equal this exactly
+    // (ranked on the unrounded cosine, rounded only for the final compare)
+    val b = e.select(col("vec_id"),
+      ops.Similarity.lshBucket(col("embedding"), 2, 64).as("b"))
+    val pairs = b.select(col("vec_id").as("query_id"), col("b"))
+      .filter(col("query_id") < 5)
+      .join(b.select(col("vec_id").as("neighbor_id"), col("b")), "b")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), "neighbor_id")
+      .withColumn("c0", graft.functions.VectorExpressions.cosineNative(spark, col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c0").desc, col("neighbor_id").asc)
+    val expect = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("neighbor_id"), round(col("c0"), 4).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect, "bucket-pruned PQ at full expand must equal exact in-bucket top-k")
+    assert(got.nonEmpty)
+  }
+
   test("tokenBudgetPrefix: inclusive prefix rule, running totals, determinism") {
     // order by (score desc, id): sizes 5, 4, 3, 1 — budget 10 keeps docs
     // 1-2 (cum 5, 9); doc 3 CROSSES (12 > 10) and, prefix semantics (not
