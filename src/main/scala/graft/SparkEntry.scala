@@ -1700,6 +1700,45 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // streaming SCD2: the e119 history maintained INCREMENTALLY — per-key
+    // open-run state (O(|keys|), the dimension-table bound), closed
+    // intervals emitted as changes arrive; a real AvailableNow run whose
+    // output the batch oracle's non-current rows reproduce exactly
+    "q124_stream_scd2" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      import s.implicits._
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
+        glob = Some("events.parquet"))
+      val ev = Tables.normalizeEventTs(raw)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+        .as[graft.streaming.Streams.Scd2Evt]
+      val closed = graft.streaming.Streams.scd2Stream(ev)
+      val sq = closed.toDF().writeStream.format("memory")
+        .queryName("graft_q124_sink").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table("graft_q124_sink")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
+    // aggregate pushdown INTO the parquet scan: MIN/MAX/COUNT answered
+    // from footer statistics — the scan reads metadata, not 600k rows
+    // (plan shows PushedAggregation; spec-pinned)
+    "q125_agg_pushdown" -> ((s0, dir) => {
+      val s = s0.newSession()
+      // pushdown lives in the V2 parquet reader (scoped to this session)
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(expr("count(*)").as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+
     // bucket-pruned PQ ANN — the billion-scale serving shape: LSH bucket
     // partition (query touches 1/8 of the corpus via an EQUI join), ADC
     // over 32×-compressed codes in-bucket, exact re-rank of the winners;
@@ -3140,6 +3179,30 @@ object SparkEntry {
 
     "s123_lshpq_topk" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
       planes = 3, dim = 64, kTop = 10, expand = 4),
+
+    // the streaming emission is exactly the batch history's CLOSED rows
+    "q124_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) AS ts_ns FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM f),
+        |g AS (SELECT user_id, run, min(event_type) AS event_type,
+        |  CAST(min(ts_ns) AS BIGINT) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run),
+        |v AS (SELECT user_id, event_type, valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS BIGINT) AS valid_to,
+        |  n_events FROM g)
+        |SELECT user_id, event_type, valid_from, valid_to, n_events
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "q125_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty, min(l_orderkey) AS min_ok,
+        |  max(l_orderkey) AS max_ok FROM lineitem""".stripMargin,
 
     // last-change-wins compaction over the log, anti-join + union apply;
     // U@1-then-D@2 keys must vanish

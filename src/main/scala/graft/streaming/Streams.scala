@@ -125,6 +125,56 @@ object Streams {
     Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
       s.n, s.total)
 
+  /** A typed change event for [[scd2Stream]] (ns-precision ordering key). */
+  case class Scd2Evt(user_id: Long, event_id: Long, event_type: String, ts_ns: Long)
+
+  /** The open run carried per key between micro-batches. */
+  case class Scd2State(tpe: String, start: Long, n: Long)
+
+  /** A CLOSED validity interval (the open run stays in state). */
+  case class Scd2Row(user_id: Long, event_type: String, valid_from: Long,
+                     valid_to: Long, n_events: Long)
+
+  /** Streaming SCD2: the incremental twin of [[graft.ops.Events.scd2]] —
+    * per key, consecutive same-value runs close into validity intervals
+    * AS THE STREAM ARRIVES; the open (current) run lives in state and is
+    * emitted only when a later change closes it. Output rows are exactly
+    * the batch operator's `is_current = false` rows, which is how the
+    * oracle verifies a real AvailableNow run.
+    *
+    * State is ONE open run per key — O(|keys|) total, the same bound as
+    * the dimension table this stream maintains (not a function of stream
+    * length); no watermark is needed because nothing is ever dropped —
+    * a key's state is always live by definition of "current run".
+    * Within a micro-batch rows sort by (ts_ns, event_id) — the batch
+    * operator's deterministic order; ACROSS batches correctness requires
+    * per-key in-order delivery (the usual CDC-source contract). */
+  def scd2Stream(events: Dataset[Scd2Evt]): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state: GroupState[Scd2State]) =>
+          var out = List.empty[Scd2Row]
+          var st = state.getOption
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          for (e <- sorted) {
+            st match {
+              case Some(s) if s.tpe == e.event_type =>
+                st = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out ::= Scd2Row(userId, s.tpe, s.start, e.ts_ns, s.n)
+                st = Some(Scd2State(e.event_type, e.ts_ns, 1))
+              case None =>
+                st = Some(Scd2State(e.event_type, e.ts_ns, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
   /** Streaming exact deduplication with bounded state: drops rows whose
     * `keys` were already seen, holding state only within the watermark
     * horizon (`dropDuplicatesWithinWatermark`) so state size tracks the

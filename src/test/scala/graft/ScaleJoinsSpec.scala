@@ -483,6 +483,24 @@ class ScaleJoinsSpec extends SparkSpec {
       brute.get(key).foreach(b => assert(b == c, s"score mismatch at $key")) }
   }
 
+  test("q125: MIN/MAX/COUNT answered from parquet footer statistics (PushedAggregation)") {
+    val s = spark.newSession()
+    // aggregate pushdown exists only in the V2 parquet reader; the scoped
+    // session opts parquet out of the V1 list
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val agg = s.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .agg(expr("count(*)").as("n"), min(col("l_quantity")), max(col("l_orderkey")))
+    val fmt = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate must reach the scan:\n$fmt")
+    // and the numbers match a full-scan aggregate with pushdown off
+    val full = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .agg(expr("count(*)"), min(col("l_quantity")), max(col("l_orderkey")))
+    assert(agg.collect().toSeq.map(_.toSeq) == full.collect().toSeq.map(_.toSeq))
+  }
+
   test("lshPqTopK: corpus-covering expand ≡ exact in-bucket top-k") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter(col("vec_id") < 5)

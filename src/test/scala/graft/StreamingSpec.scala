@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream: cross-batch run continuation, in-batch ordering, open run withheld") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{Scd2Evt, Scd2Row}
+    val in = MemoryStream[Scd2Evt]
+    val q = Streams.scd2Stream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 (out of order in the batch): A@1, A@2, then B@5 starts —
+      // closes A[1,5) with 2 events; B stays OPEN in state (not emitted)
+      in.addData(Scd2Evt(1, 11, "A", 2), Scd2Evt(1, 10, "A", 1), Scd2Evt(1, 12, "B", 5))
+      q.processAllAvailable()
+      val after1 = spark.table("scd2_out").as[Scd2Row].collect().toSet
+      assert(after1 == Set(Scd2Row(1, "A", 1, 5, 2)))
+      // batch 2: B continues (n grows across the batch boundary), then C
+      // closes it — B's interval spans both batches
+      in.addData(Scd2Evt(1, 13, "B", 7), Scd2Evt(1, 14, "C", 9))
+      q.processAllAvailable()
+      val after2 = spark.table("scd2_out").as[Scd2Row].collect().toSet
+      assert(after2 == Set(Scd2Row(1, "A", 1, 5, 2), Scd2Row(1, "B", 5, 9, 2)))
+    } finally q.stop()
+  }
+
   test("writeStreamParquet: file sink lands rows with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
