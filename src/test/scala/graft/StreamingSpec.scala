@@ -117,6 +117,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream ≡ batch scd2's closed rows on randomized logs") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{Scd2Evt, Scd2Row}
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      // in-order delivery ACROSS batches (the operator's documented CDC
+      // contract) — within a batch the operator sorts for itself
+      val evts = (0 until 40).map { i =>
+        Scd2Evt(rnd.nextInt(4).toLong, 100L + i,
+          s"T${rnd.nextInt(3)}", rnd.nextInt(20).toLong)
+      }.sortBy(e => (e.ts_ns, e.event_id))
+      val in = MemoryStream[Scd2Evt]
+      val q = Streams.scd2Stream(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(s"scd2_prop_$trial")
+        .outputMode("append").start()
+      try {
+        // split across two batches at an arbitrary point — cross-batch
+        // state must make the emission independent of the batching
+        val (b1, b2) = evts.splitAt(13 + trial * 7)
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val got = spark.table(s"scd2_prop_$trial").as[Scd2Row].collect().toSet
+        val batch = graft.ops.Events.scd2(
+            evts.toDF("user_id", "event_id", "event_type", "ts_ns"),
+            "user_id", "event_type")
+          .filter(!col("is_current"))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("n_events"))
+          .as[Scd2Row].collect().toSet
+        assert(got == batch, s"trial $trial: stream != batch closed rows")
+      } finally q.stop()
+    }
+  }
+
   test("writeStreamParquet: file sink lands rows with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
