@@ -1700,6 +1700,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // regular-grid resampling + forward fill: one row per (user, day)
+    // across each user's span — empty days carry 0 events and the
+    // previous day's value; the last-value pick is (ts, id)-max, fully
+    // deterministic
+    "e126_resample_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      graft.ops.Events.resampleDaily(ev, "user_id", "day", "value")
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // streaming SCD2: the e119 history maintained INCREMENTALLY — per-key
     // open-run state (O(|keys|), the dimension-table bound), closed
     // intervals emitted as changes arrive; a real AvailableNow run whose
@@ -3203,6 +3213,25 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(l_quantity) AS min_qty,
         |  max(l_quantity) AS max_qty, min(l_orderkey) AS min_ok,
         |  max(l_orderkey) AS max_ok FROM lineitem""".stripMargin,
+
+    // last-per-day via (ts, id)-desc row_number; the grid from
+    // generate_series; forward fill via IGNORE NULLS last_value
+    "e126_resample_ffill" ->
+      """WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS d, ts, event_id, value FROM events),
+        |r AS (SELECT u, d, value,
+        |  row_number() OVER (PARTITION BY u, d ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |dv AS (SELECT u, d, value AS dayv FROM r WHERE rn = 1),
+        |cnt AS (SELECT u, d, count(*) AS n_events FROM e GROUP BY u, d),
+        |span AS (SELECT u, min(d) AS d0, max(d) AS d1 FROM e GROUP BY u),
+        |grid AS (SELECT u, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |j AS (SELECT g.u, g.d, coalesce(c.n_events, 0) AS n_events, dv.dayv
+        |  FROM grid g LEFT JOIN cnt c ON g.u = c.u AND g.d = c.d
+        |  LEFT JOIN dv ON g.u = dv.u AND g.d = dv.d),
+        |f AS (SELECT u, d, n_events,
+        |  last_value(dayv IGNORE NULLS) OVER (PARTITION BY u ORDER BY d ROWS UNBOUNDED PRECEDING) AS value_ffill
+        |  FROM j)
+        |SELECT u AS user_id, d AS day, CAST(n_events AS BIGINT) AS n_events, value_ffill
+        |FROM f ORDER BY user_id, day""".stripMargin,
 
     // last-change-wins compaction over the log, anti-join + union apply;
     // U@1-then-D@2 keys must vanish

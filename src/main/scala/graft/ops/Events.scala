@@ -99,6 +99,43 @@ object Events {
         r6(col("active_users") / col("cohort_users")).as("retention"))
   }
 
+  /** Regular-grid resampling with forward fill — the time-series
+    * normalization pass (metrics dashboards, feature windows, ML label
+    * joins all want one row per (key, period), not the raw irregular
+    * event stream). Per key: a daily grid spans the key's first to last
+    * event day; each day carries its event count and the day's LAST value
+    * ((ts, id)-max — deterministic); empty days carry n_events = 0 and
+    * the previous day's value (forward fill).
+    *
+    * Scale shape: ONE map-side-combined (key, day) aggregate over the
+    * corpus (max_by + count in the same pass); the per-key span is a
+    * second, key-sized aggregate whose grid EXPLODES to one row per
+    * (key, day) — bounded by keys × span, orders below the event log;
+    * the grid joins the daily relation on (key, day) (AQE broadcasts the
+    * appropriate side) and the fill is one key-partitioned window over
+    * grid-sized rows. The corpus is never shuffled twice.
+    *
+    * `tsDayCol` must be day-granular (caller owns the engine-portable
+    * date derivation, as [[retention]]). Output: (keyCol, day, n_events,
+    * value_ffill). */
+  def resampleDaily(events: DataFrame, keyCol: String, tsDayCol: String,
+                    valueCol: String, tsCol: String = "ts_ns",
+                    idCol: String = "event_id"): DataFrame = {
+    val e = events.select(col(keyCol).as("u"), col(tsDayCol).as("d"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"), col(valueCol).as("__v"))
+    val daily = e.groupBy(col("u"), col("d"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("__v"), struct(col("__ts"), col("__id"))).as("__dayv"))
+    val grid = e.groupBy(col("u")).agg(min(col("d")).as("__d0"), max(col("d")).as("__d1"))
+      .select(col("u"), explode(expr("sequence(__d0, __d1, interval 1 day)")).as("d"))
+    val wf = Window.partitionBy(col("u")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("u", "d"), "left")
+      .withColumn("value_ffill", last(col("__dayv"), ignoreNulls = true).over(wf))
+      .select(col("u").as(keyCol), col("d").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_ffill"))
+  }
+
   /** Top event-type PATHS: the most frequent length-`n` consecutive
     * event-type sequences across users (the "what do users actually do"
     * path-analysis query). A path is the event types of `n` consecutive

@@ -159,6 +159,27 @@ class TextIndexSpec extends SparkSpec {
       (2L, "Y", 5L, None, 2L, true)))
   }
 
+  test("resampleDaily: grid spans, forward fill, last-per-day by (ts, id)") {
+    val ev = Seq(
+      // user 1: events on day 1 (two, same ts — id breaks the tie) and day 4
+      (1L, 10L, java.sql.Date.valueOf("2024-01-01"), 100L, 5.0),
+      (1L, 11L, java.sql.Date.valueOf("2024-01-01"), 100L, 7.0), // later id wins
+      (1L, 12L, java.sql.Date.valueOf("2024-01-04"), 400L, 9.0),
+      // user 2: single event — single-row grid
+      (2L, 20L, java.sql.Date.valueOf("2024-01-10"), 10L, 3.0)
+    ).toDF("user_id", "event_id", "day", "ts_ns", "value")
+    val r = graft.ops.Events.resampleDaily(ev, "user_id", "day", "value")
+      .orderBy("user_id", "day")
+      .as[(Long, java.sql.Date, Long, Double)].collect().toSeq
+      .map { case (u, d, n, v) => (u, d.toString, n, v) }
+    assert(r == Seq(
+      (1L, "2024-01-01", 2L, 7.0), // same-ts tie → higher event_id's value
+      (1L, "2024-01-02", 0L, 7.0), // filled
+      (1L, "2024-01-03", 0L, 7.0), // filled
+      (1L, "2024-01-04", 1L, 9.0),
+      (2L, "2024-01-10", 1L, 3.0)))
+  }
+
   test("retention: cohort by first day, per-cell distinct users, exact rates") {
     val ev = Seq(
       (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"), // dup day collapses
