@@ -1700,6 +1700,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // data-quality gate: every constraint yields one (check, violations)
+    // row — 0 proves the constraint HELD; all row checks ride ONE scan
+    // (conditional aggregation), uniqueness one key agg, the FK one
+    // payload-free anti join
+    "q127_data_quality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      graft.ops.Quality.report(li, Seq(
+          "l_quantity_in_1_50" -> col("l_quantity").between(1, 50),
+          "l_quantity_le_30" -> (col("l_quantity") <= 30), // intentionally violated
+          "l_price_positive" -> (col("l_extendedprice") > 0),
+          "l_shipdate_nonnull" -> col("l_shipdate").isNotNull),
+        extra = Seq(
+          graft.ops.Quality.uniqueCheck(o, Seq("o_orderkey"), "orders_key_unique"),
+          graft.ops.Quality.fkCheck(li, "l_orderkey", o, "o_orderkey",
+            "lineitem_order_fk")))
+        .orderBy(col("check"))
+    }),
+
     // regular-grid resampling + forward fill: one row per (user, day)
     // across each user's span — empty days carry 0 events and the
     // previous day's value; the last-value pick is (ts, id)-max, fully
@@ -3213,6 +3232,22 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(l_quantity) AS min_qty,
         |  max(l_quantity) AS max_qty, min(l_orderkey) AS min_ok,
         |  max(l_orderkey) AS max_ok FROM lineitem""".stripMargin,
+
+    // one violation count per named constraint; NULL predicate = violation
+    "q127_data_quality" ->
+      """WITH rowc AS (
+        |  SELECT 'l_quantity_in_1_50' AS "check", CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL SELECT 'l_quantity_le_30', CAST(sum(CASE WHEN coalesce(l_quantity <= 30, false) THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_price_positive', CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate_nonnull', CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem),
+        |uq AS (SELECT 'orders_key_unique' AS "check",
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)),
+        |fk AS (SELECT 'lineitem_order_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |  ANTI JOIN (SELECT o_orderkey AS l_orderkey FROM orders) o USING (l_orderkey))
+        |SELECT * FROM rowc UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM fk
+        |ORDER BY "check"""".stripMargin,
 
     // last-per-day via (ts, id)-desc row_number; the grid from
     // generate_series; forward fill via IGNORE NULLS last_value

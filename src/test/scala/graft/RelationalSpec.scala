@@ -157,4 +157,31 @@ class RelationalSpec extends SparkSpec {
       Relational.upsert(base, updates.select("s", "k", "v"), Seq("k"))
     }
   }
+
+  test("Quality: NULL predicate counts as violation; unique excess; FK orphans; null FK optional") {
+    import graft.ops.Quality
+    val t = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), None),
+      (Some(3L), Some(-1.0)), (Some(3L), Some(2.0)), (None, Some(4.0))
+    ).toDF("k", "v")
+    val rc = Quality.rowChecks(t, Seq(
+        "v_pos" -> (col("v") > 0), "v_nonnull" -> col("v").isNotNull))
+      .orderBy("check").as[(String, Long)].collect().toSeq
+    // v_pos: the NULL v row violates too (three-valued logic must not
+    // hide bad rows) plus the -1.0 row = 2; v_nonnull: 1
+    assert(rc == Seq(("v_nonnull", 1L), ("v_pos", 2L)))
+    // k=3 twice -> 1 excess row; the NULL key groups and counts once (0 excess)
+    val uq = Quality.uniqueCheck(t, Seq("k")).as[(String, Long)].collect().head
+    assert(uq == (("unique_key", 1L)))
+    // parent {1,3}: k=2 is an orphan; the NULL k row is exempt (optional FK)
+    val parent = Seq(1L, 3L).toDF("pk")
+    val fk = Quality.fkCheck(t, "k", parent, "pk").as[(String, Long)].collect().head
+    assert(fk == (("foreign_key", 1L)))
+    // a passing table reports explicit zeros — absence is never evidence
+    val clean = Seq((1L, 1.0)).toDF("k", "v")
+    val rep = Quality.report(clean, Seq("v_pos" -> (col("v") > 0)),
+        extra = Seq(Quality.uniqueCheck(clean, Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map("v_pos" -> 0L, "unique_key" -> 0L))
+  }
 }
