@@ -1700,6 +1700,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // deterministic PageRank over the near-dup graph (d24's simhash
+    // pairs): which copy is the most CENTRAL — the principled canonical
+    // pick when clusters merge many sources. Every per-node quantity
+    // floor-rounded at the same points in both engines, neighbor sums
+    // through DECIMAL — a floating fixed-point iteration the oracle
+    // replays with a recursive CTE
+    "d128_pagerank" -> ((s, dir) => {
+      val sims = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+      val pairs = Dedup.simHashPairs(sims, maxDist = 3)
+      graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // data-quality gate: every constraint yields one (check, violations)
     // row — 0 proves the constraint HELD; all row checks ride ONE scan
     // (conditional aggregation), uniqueness one key agg, the FK one
@@ -3233,6 +3246,12 @@ object SparkEntry {
         |  max(l_quantity) AS max_qty, min(l_orderkey) AS min_ok,
         |  max(l_orderkey) AS max_ok FROM lineitem""".stripMargin,
 
+    // the engine's iteration replayed as a recursive CTE: same floor
+    // roundings at the same points, neighbor sums through DECIMAL(27,7)
+    // (order-independent), teleport 0.15 as a literal (never 1 - 0.85,
+    // which is a different double)
+    "d128_pagerank" -> pageRankOracle(iters = 10),
+
     // one violation count per named constraint; NULL predicate = violation
     "q127_data_quality" ->
       """WITH rowc AS (
@@ -3313,22 +3332,48 @@ object SparkEntry {
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then
     * naive all-pairs Hamming distance (exactly equals the banded search for
     * maxDist 3 < 4 bands, by pigeonhole). */
-  private def simHashOracle: String = {
+  /** CTE chain reproducing the simhash near-dup PAIRS relation `p`
+    * (dist ≤ 3) — shared by the d24 oracle and d128's graph oracle. */
+  private def simHashPairsCte: String = {
     val bits = graft.ops.Dedup.SimHashBits
     val votes = (0 until bits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val fp = (0 until bits)
       .map(b => s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
        |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fp AS simhash FROM votes),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, dist FROM p WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND
+       |    bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
   }
+
+  private def simHashOracle: String =
+    s"""WITH $simHashPairsCte
+       |SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** d128 oracle: the simhash pair graph symmetrized, then the engine's
+    * PageRank iteration replayed bit-for-bit by a recursive CTE. */
+  private def pageRankOracle(iters: Int): String =
+    s"""WITH RECURSIVE $simHashPairsCte,
+       |sym AS (SELECT id_a AS n, id_b AS m FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT n AS node, count(*) AS deg FROM sym GROUP BY n),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM deg),
+       |pr AS (
+       |  SELECT 0 AS it, node, deg, floor(1.0 / nv * 1e6 + 0.5) / 1e6 AS pr
+       |  FROM deg, nn
+       |  UNION ALL
+       |  SELECT s.it + 1, d.node, d.deg,
+       |    floor((0.15 / nn.nv + 0.85 * CAST(s.s AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |  FROM (SELECT p2.it, sym.m AS node,
+       |          sum(CAST(floor(p2.pr / p2.deg * 1e6 + 0.5) / 1e6 AS DECIMAL(27,7))) AS s
+       |        FROM pr p2 JOIN sym ON sym.n = p2.node
+       |        WHERE p2.it < $iters GROUP BY p2.it, sym.m) s
+       |  JOIN deg d ON d.node = s.node, nn)
+       |SELECT node, pr FROM pr WHERE it = $iters ORDER BY node""".stripMargin
 
   /** Oracle for s30: same hyperplane literals as the engine (inlined), same
     * sign-signature bucketing, same cosine rerank as the s29 oracle. */

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over candidate-pair graphs (the near-dup graph being
+  * the one a training-data pipeline actually owns). [[Dedup.connectedComponents]]
+  * answers "which docs are the same"; PageRank answers "which copy is the
+  * most CENTRAL" — a principled canonical-pick signal when clusters merge
+  * many sources (the hub that everything near-duplicates is usually the
+  * original).
+  */
+object Graph {
+
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** PageRank over an UNDIRECTED edge list, fixed iteration count —
+    * engineered for exact cross-engine reproducibility, which no floating
+    * PageRank normally has:
+    *  - every per-node quantity (init, out-contribution, new rank) is
+    *    rounded through the portable floor(x·1e6 + 0.5)/1e6 IEEE form at
+    *    the SAME points in both engines;
+    *  - the neighbor-contribution sum runs through DECIMAL(27,7), so the
+    *    distributed reduction is order-independent (the bucketCentroids
+    *    trick) — two runs, two partitionings, or two ENGINES cannot
+    *    disagree in any bit the 6-dp rounding keeps.
+    * The result is a deterministic fixed-point iteration the SQL oracle
+    * replays with a recursive CTE.
+    *
+    * Scale shape (the [[Dedup.connectedComponents]] discipline): the
+    * symmetrized edge list is cached pre-partitioned on the contribution
+    * key and crosses the network ONCE; each round shuffles only the
+    * edge list and the node-sized rank relation, and `localCheckpoint`
+    * truncates lineage per round (superseded round blocks released after
+    * the next round materializes). Isolated nodes don't exist in an edge
+    * list; every node has degree ≥ 1, so no dangling-mass correction is
+    * needed. Returns (node, pr). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85,
+               teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // teleport is an EXPLICIT constant, never computed as 1 − damping:
+    // 1.0 - 0.85 = 0.15000000000000002 in IEEE double, a different number
+    // than the literal 0.15 the SQL oracle would write — the kind of
+    // last-ulp divergence the whole design exists to exclude
+    val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+      .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
+      .repartition(col("n")).cache()
+    val nodes = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+    val nN = nodes.count() // node-sized aggregate, one driver scalar
+    val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      pendingUnpersist += rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    var pr = truncate(nodes.select(col("node"), col("deg"),
+      r6(lit(1.0) / lit(nN.toDouble)).as("pr")))
+    pr.count() // materialize round 0
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(
+        pr.select(col("node").as("n"), r6(col("pr") / col("deg")).as("__c")), "n")
+        .select(col("m").as("node"), col("__c"))
+      val sums = contrib.groupBy(col("node"))
+        .agg(sum(col("__c").cast("decimal(27,7)")).as("__s"))
+      pr = truncate(nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          r6(lit(teleport) / lit(nN.toDouble) +
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0))).as("pr")))
+      pr.count() // materialize; earlier rounds' blocks now unreachable
+      while (pendingUnpersist.length > 1) {
+        pendingUnpersist.remove(0).unpersist(blocking = false)
+      }
+    }
+    sym.unpersist()
+    pr.select(col("node"), col("pr"))
+  }
+}

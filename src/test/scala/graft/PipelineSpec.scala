@@ -1276,6 +1276,37 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0L)))
   }
 
+  test("pageRank: driver replay parity, symmetry, mass conservation") {
+    // driver-side reference replay of the exact rounding discipline
+    def refPr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+      val n = deg.size
+      var pr: Map[Long, Double] = deg.map { case (k, _) => k -> r6(1.0 / n) }
+      for (_ <- 1 to iters) {
+        val contrib = pr.map { case (k, v) => k -> r6(v / deg(k)) }
+        val sums = sym.groupBy(_._2).view.mapValues(
+          _.map(e => BigDecimal(contrib(e._1))).sum).toMap
+        pr = deg.map { case (k, _) =>
+          k -> r6(0.15 / n + 0.85 * sums.getOrElse(k, BigDecimal(0)).toDouble) }
+      }
+      pr
+    }
+    // path 1-2-3 plus a triangle 4-5-6 sharing no nodes
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val got = ops.Graph.pageRank(edges.toDF("a", "b"), "a", "b", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == refPr(edges, 5))
+    // symmetric positions get identical ranks; the path's hub outranks its ends
+    assert(got(1L) == got(3L))
+    assert(got(2L) > got(1L))
+    // triangle nodes are all symmetric — equal ranks — and keep init mass
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    // total mass conserved within the 6-dp rounding budget
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ${got.values.sum}")
+  }
+
   test("Snapshot.diff + diffSummary: classification, unchanged omitted, counts") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val b = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
