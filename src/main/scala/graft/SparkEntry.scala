@@ -1709,7 +1709,7 @@ object SparkEntry {
     "d128_pagerank" -> ((s, dir) => {
       val sims = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
       val pairs = Dedup.simHashPairs(sims, maxDist = 3)
-      graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 10)
+      graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 5)
         .orderBy(col("node"))
     }),
 
@@ -3250,7 +3250,7 @@ object SparkEntry {
     // roundings at the same points, neighbor sums through DECIMAL(27,7)
     // (order-independent), teleport 0.15 as a literal (never 1 - 0.85,
     // which is a different double)
-    "d128_pagerank" -> pageRankOracle(iters = 10),
+    "d128_pagerank" -> pageRankOracle(iters = 5),
 
     // one violation count per named constraint; NULL predicate = violation
     "q127_data_quality" ->

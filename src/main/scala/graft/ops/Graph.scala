@@ -34,7 +34,14 @@ object Graph {
     * truncates lineage per round (superseded round blocks released after
     * the next round materializes). Isolated nodes don't exist in an edge
     * list; every node has degree ≥ 1, so no dangling-mass correction is
-    * needed. Returns (node, pr). */
+    * needed.
+    *
+    * `iters` guidance: each round is one edge-join job, so cost is
+    * iters × |edges|. For the canonical-pick use the ranking ORDER is
+    * what matters, and on near-dup graphs — tight, dense clusters — the
+    * within-cluster order stabilizes within about the cluster diameter
+    * (the d73 convergence argument); 5 rounds ranks them, 10+ is for
+    * rank VALUES on long-diameter graphs. Returns (node, pr). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
@@ -58,10 +65,17 @@ object Graph {
     }
     var pr = truncate(nodes.select(col("node"), col("deg"),
       r6(lit(1.0) / lit(nN.toDouble)).as("pr")))
-    pr.count() // materialize round 0
     for (_ <- 1 to iters) {
-      val contrib = sym.join(
-        pr.select(col("node").as("n"), r6(col("pr") / col("deg")).as("__c")), "n")
+      // explicit broadcast: the truncated rank relation is a LogicalRDD
+      // with no stats, so the planner would otherwise shuffle-join
+      // against the (much larger) edge cache every round. The rank side
+      // is NODE-sized — the same candidate-sized-broadcast contract
+      // dedupByClusters runs on — and broadcasting it keeps the edge
+      // list where its cache already lives. (At sf0.1 the d128 cost is
+      // dominated by building the 271k-pair graph plus ~1 s/round of
+      // join+agg — the iterative floor of the CC family.)
+      val contrib = sym.join(broadcast(
+        pr.select(col("node").as("n"), r6(col("pr") / col("deg")).as("__c"))), "n")
         .select(col("m").as("node"), col("__c"))
       val sums = contrib.groupBy(col("node"))
         .agg(sum(col("__c").cast("decimal(27,7)")).as("__s"))
@@ -69,10 +83,18 @@ object Graph {
         .select(col("node"), col("deg"),
           r6(lit(teleport) / lit(nN.toDouble) +
             lit(damping) * coalesce(col("__s").cast("double"), lit(0.0))).as("pr")))
-      pr.count() // materialize; earlier rounds' blocks now unreachable
-      while (pendingUnpersist.length > 1) {
-        pendingUnpersist.remove(0).unpersist(blocking = false)
-      }
+    }
+    // One materializing action after the loop: every round's
+    // localCheckpoint cut LINEAGE (and the compounding size-estimate
+    // stats — the CC lesson) at build time; the blocks compute inside
+    // this one cascaded job. (Both pacing shapes were measured at sf0.1
+    // on the 271k-edge near-dup graph — per-round actions 13.5 s, the
+    // cascade 12.8-26.8 s with higher variance; the cost is the ten
+    // edge-join rounds themselves, see the iters guidance below.)
+    // After the action, superseded rounds' blocks are unreachable.
+    pr.count()
+    while (pendingUnpersist.length > 1) {
+      pendingUnpersist.remove(0).unpersist(blocking = false)
     }
     sym.unpersist()
     pr.select(col("node"), col("pr"))
