@@ -1700,6 +1700,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // near-dup pair audit: per simhash candidate pair, exact character
+    // edit distance + normalized ratio — the O(len²) DP runs only on the
+    // LSH-shrunk pair set, with texts fetched by candidate-sized
+    // broadcast joins (the corpus is never shuffled)
+    "d129_pair_explain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(
+        Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      Dedup.explainPairs(docs, pairs, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // deterministic PageRank over the near-dup graph (d24's simhash
     // pairs): which copy is the most CENTRAL — the principled canonical
     // pick when clusters merge many sources. Every per-node quantity
@@ -3251,6 +3263,19 @@ object SparkEntry {
     // (order-independent), teleport 0.15 as a literal (never 1 - 0.85,
     // which is a different double)
     "d128_pagerank" -> pageRankOracle(iters = 5),
+
+    // identical unit-cost Levenshtein in both engines; the ratio uses the
+    // portable floor form
+    "d129_pair_explain" ->
+      s"""WITH $simHashPairsCte,
+         |j AS (SELECT p.id_a, p.id_b, a.text AS ta, b.text AS tb
+         |  FROM p JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(length(ta) AS BIGINT) AS len_a, CAST(length(tb) AS BIGINT) AS len_b,
+         |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+         |  floor(CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(length(ta), length(tb), 1) * 1e6 + 0.5) / 1e6 AS edit_ratio
+         |FROM j ORDER BY id_a, id_b""".stripMargin,
 
     // one violation count per named constraint; NULL predicate = violation
     "q127_data_quality" ->

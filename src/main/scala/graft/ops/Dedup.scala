@@ -817,6 +817,37 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Near-dup pair EXPLANATION — the audit view a curator reads before
+    * trusting a dedup threshold: per candidate pair, both lengths, the
+    * exact character edit distance (Levenshtein — identical unit-cost
+    * semantics in Spark and DuckDB), and the length-normalized edit
+    * ratio (portable floor rounding; 0 = identical, →1 = unrelated).
+    *
+    * Scale shape: the corpus is scanned twice to FETCH pair-member texts
+    * via broadcast joins of the candidate-sized id sets (never shuffled);
+    * the explanation join then runs over pair-sized relations only, and
+    * the O(len²) edit-distance DP touches exactly the candidate pairs —
+    * the one place quadratic character work is affordable, because
+    * upstream LSH already shrank the pair set by orders of magnitude.
+    * Returns (id_a, id_b, len_a, len_b, edit_distance, edit_ratio). */
+  def explainPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+      .join(broadcast(p.select(col("id_a")).distinct()), Seq("id_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+      .join(broadcast(p.select(col("id_b")).distinct()), Seq("id_b"))
+    val ed = levenshtein(col("__ta"), col("__tb")).cast("long")
+    p.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        length(col("__ta")).cast("long").as("len_a"),
+        length(col("__tb")).cast("long").as("len_b"),
+        ed.as("edit_distance"),
+        (floor(ed.cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("edit_ratio"))
+  }
+
   // ---- Bloom-prefiltered incremental dedup ---------------------------------
   // The landing-zone pattern: a (small) new batch arrives and must be deduped
   // against a (huge) historical corpus. A Bloom filter over the history keys

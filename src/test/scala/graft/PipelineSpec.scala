@@ -1276,6 +1276,19 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0L)))
   }
 
+  test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "unrelated")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = ops.Dedup.explainPairs(docs, pairs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 6L, 7L, 3L, 0.428571), // levenshtein(kitten, sitting) = 3; 3/7
+      (1L, 3L, 6L, 6L, 0L, 0.0)))     // exact dup: distance 0
+  }
+
   test("pageRank: driver replay parity, symmetry, mass conservation") {
     // driver-side reference replay of the exact rounding discipline
     def refPr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
