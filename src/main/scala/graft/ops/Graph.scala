@@ -50,12 +50,21 @@ object Graph {
     // 1.0 - 0.85 = 0.15000000000000002 in IEEE double, a different number
     // than the literal 0.15 the SQL oracle would write — the kind of
     // last-ulp divergence the whole design exists to exclude
+    // The cache is partitioned on the CONTRIBUTION-SUM key `m`, not the
+    // join key `n`: the rank side is broadcast every round, so the join
+    // imposes no distribution on the edge list — but the per-round
+    // groupBy(m) does. Partitioning the cache on m lets every round's
+    // HashAggregate reuse the cached distribution (alias-aware output
+    // partitioning carries m→node through the project), so after the
+    // one-time build NO round shuffles the edge list at all.
     val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
-      .repartition(col("n")).cache()
+      .repartition(col("m")).cache()
+    // Degrees are node-sized and read every round — cache them too, or
+    // each round re-runs the edge-sized degree aggregation.
     val nodes = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .select(col("n").as("node"), col("deg"))
-    val nN = nodes.count() // node-sized aggregate, one driver scalar
+      .select(col("n").as("node"), col("deg")).cache()
+    val nN = nodes.count() // node-sized aggregate, one driver scalar; materializes the cache
     val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
@@ -97,6 +106,7 @@ object Graph {
       pendingUnpersist.remove(0).unpersist(blocking = false)
     }
     sym.unpersist()
+    nodes.unpersist()
     pr.select(col("node"), col("pr"))
   }
 }
