@@ -1725,6 +1725,47 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // leakage-safe train/val/test split: near-dup CLUSTERS are the split
+    // unit, so no near-duplicate pair ever straddles the train/eval
+    // boundary (the split-time complement of d61's benchmark
+    // decontamination). Split = md5 of the cluster representative against
+    // the cumulative hex5 thresholds — a pure content function, stable
+    // under corpus growth; the candidate-sized cluster map is broadcast
+    // and the corpus never shuffles
+    "d130_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(
+        Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      graft.ops.Sampling.clusterSplit(docs.select(col("doc_id")),
+          "doc_id", cc, "node", "component",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // hard-negative mining: per query, the top-k most-similar vectors with
+    // a DIFFERENT label — boundary-hugging negatives for contrastive
+    // training. One corpus scan, broadcast queries, salted two-stage top-k
+    "s131_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // per-source cap (C4/Gopher-style domain balancing): at most k docs per
+    // source, the k best by quality — bounds any source's ABSOLUTE
+    // contribution to the mix no matter how large it grows (t86's
+    // percentile prune keeps a fraction; a crawl dump needs a ceiling).
+    // One window shuffle on the source key
+    "d132_source_cap" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      graft.ops.Sampling.topKByScore(scored, "source", "doc_id", "quality", k = 10)
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    }),
+
     // data-quality gate: every constraint yields one (check, violations)
     // row — 0 proves the constraint HELD; all row checks ride ONE scan
     // (conditional aggregation), uniqueness one key agg, the FK one
@@ -3264,6 +3305,44 @@ object SparkEntry {
     // which is a different double)
     "d128_pagerank" -> pageRankOracle(iters = 5),
 
+    // cluster-unit split: the engine's simhash pair graph → recursive-CTE
+    // components → coalesce(rep, own id) → the SAME hex5 cumulative
+    // thresholds (constants built by the shared Sampling.hex5, so both
+    // engines compare against identical literals)
+    "d130_cluster_split" -> clusterSplitOracle(0.8, 0.9),
+
+    // s29's brute-force cosine with the label-mismatch predicate fused in
+    "s131_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl FROM embeddings),
+        |scored AS (
+        |  SELECT qid, nid, nl,
+        |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv)+1)]) /
+        |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)])) *
+        |     sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv)+1)]))) AS cosine
+        |  FROM q, c WHERE qid <> nid AND nl <> ql),
+        |ranked AS (SELECT qid, nid, nl, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM scored)
+        |SELECT qid AS query_id, nid AS neighbor_id, nl AS neg_label, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // t63's quality CTE + a per-source top-k window; identical md5
+    // tie-break on both sides
+    "d132_source_cap" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |d AS (SELECT q.doc_id, doc.source, q.quality FROM q JOIN documents doc USING (doc_id)),
+        |r AS (SELECT doc_id, source, quality, row_number() OVER (
+        |  PARTITION BY source ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)
+        |SELECT doc_id, source, quality FROM r WHERE rk <= 10
+        |ORDER BY source, quality DESC, doc_id""".stripMargin,
+
     // identical unit-cost Levenshtein in both engines; the ratio uses the
     // portable floor form
     "d129_pair_explain" ->
@@ -3379,6 +3458,29 @@ object SparkEntry {
   private def simHashOracle: String =
     s"""WITH $simHashPairsCte
        |SELECT id_a, id_b, dist FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** d130 oracle: the simhash pair graph → recursive-CTE connected
+    * components → split of coalesce(component, own id) via md5 against the
+    * cumulative [[graft.ops.Sampling.hex5]] thresholds — the exact
+    * constants the engine compares against. */
+  private def clusterSplitOracle(trainCum: Double, valCum: Double): String = {
+    val t1 = graft.ops.Sampling.hex5(trainCum)
+    val t2 = graft.ops.Sampling.hex5(valCum)
+    s"""WITH RECURSIVE $simHashPairsCte,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(node, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+       |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+       |rep AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep_id
+       |        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+       |SELECT doc_id, rep_id,
+       |  CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 5) < '$t1' THEN 'train'
+       |       WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 5) < '$t2' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM rep ORDER BY doc_id""".stripMargin
+  }
 
   /** d128 oracle: the simhash pair graph symmetrized, then the engine's
     * PageRank iteration replayed bit-for-bit by a recursive CTE. */

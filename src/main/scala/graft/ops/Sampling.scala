@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** A fraction as a 5-hex-char md5-prefix threshold, quantized to 1/2^20.
+    * 'g' sorts above every hex char, so a full fraction keeps all rows
+    * exactly; quantization can round a near-1.0 fraction up to 2^20, whose
+    * 6-char hex would break the 5-char lexicographic compare — any
+    * quantized value at the cap means "keep everything" too. Shared by the
+    * samplers AND the oracle-SQL builders, so both engines inline the SAME
+    * constant. */
+  private[graft] def hex5(f: Double): String = {
+    val q = math.round(f * (1 << 20))
+    if (q >= (1 << 20)) "g" else f"$q%05x"
+  }
+
   /** Content-hash fractional sample per stratum: keep a row iff the first 5
     * hex chars of md5(id) sort below the stratum's threshold (the fraction
     * quantized to 1/2^20). Engine-portable (md5 + lexicographic hex compare
@@ -28,14 +40,6 @@ object Sampling {
                              fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    // 'g' sorts above every hex char, so a full fraction keeps all rows
-    // exactly; quantization can round a near-1.0 fraction up to 2^20,
-    // whose 6-char hex would break the 5-char lexicographic compare — any
-    // quantized value at the cap means "keep everything" too
-    def hex5(f: Double): String = {
-      val q = math.round(f * (1 << 20))
-      if (q >= (1 << 20)) "g" else f"$q%05x"
-    }
     val thresh = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("string")) { case (acc, (sv, f)) =>
         when(col(stratumCol) === sv, lit(hex5(f))).otherwise(acc)
@@ -110,6 +114,73 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Per-stratum cap: keep at most `k` rows per stratum, the k BEST by
+    * `scoreCol` — the C4/Gopher-style per-domain cap that stops one huge
+    * source (a crawl dump, a boilerplate-heavy domain) from dominating the
+    * training mix no matter how large it grows. Differs from
+    * [[stratifiedExact]] (k by hash — unbiased, score-blind) and
+    * [[topFractionByScore]] (relative fraction — unbounded count): a cap
+    * bounds the ABSOLUTE contribution of a stratum, which is the contract
+    * domain balancing needs. Rank = row_number over (score desc, md5(id),
+    * id) — fully deterministic under score ties and engine-reproducible.
+    * One window shuffle on the stratum key; per-stratum state in the window
+    * operator is O(1) rows retained beyond the frame (row_number needs no
+    * buffering), so a pathologically hot stratum costs sort spill, not
+    * memory. */
+  def topKByScore(df: DataFrame, stratumCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Leakage-safe train/val/test split: every row gets exactly one split
+    * label, and rows of the same near-dup cluster ALWAYS land in the same
+    * split — the property a plain per-row hash split lacks, and without
+    * which near-duplicate copies of one document straddle the train/eval
+    * boundary and leak evaluation content into training (the
+    * split-boundary analogue of d61-style benchmark decontamination).
+    *
+    * `clusters` is a (nodeCol, componentCol) map as produced by
+    * [[Dedup.connectedComponents]] — CANDIDATE-sized (only rows that
+    * appear in some near-dup pair). The split key is the cluster
+    * representative for clustered rows and the row's own id otherwise, so
+    * the decision stays a pure function of content: reproducible across
+    * runs, engines, and corpus growth (a new singleton doc never moves an
+    * existing cluster's split).
+    *
+    * `cuts` are (name, fraction) in priority order, fractions summing to
+    * 1; the assignment compares the first 5 hex chars of md5(rep) against
+    * the cumulative [[hex5]] thresholds — the same engine-portable rule as
+    * [[stratifiedHashFraction]].
+    *
+    * Scale shape: the cluster map is broadcast (candidate-sized — the
+    * [[Dedup.dedupByClustersPriority]] contract); the assignment itself is
+    * a stateless map-side projection. The corpus is never shuffled. */
+  def clusterSplit(df: DataFrame, idCol: String,
+                   clusters: DataFrame, nodeCol: String, componentCol: String,
+                   cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0.0), "cuts must be positive")
+    require(math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      s"cut fractions must sum to 1, got ${cuts.map(_._2).sum}")
+    val cum = cuts.map(_._2).scanLeft(0.0)(_ + _).tail
+    val comp = clusters.select(col(nodeCol).as(idCol), col(componentCol).as("__comp"))
+    val rep = coalesce(col("__comp"), col(idCol))
+    val h = substring(md5(rep.cast("string")), 1, 5)
+    // last cut is the unconditional else-branch: its cumulative threshold
+    // is 1.0, which quantizes to the keep-everything cap anyway
+    val splitExpr = cuts.init.zip(cum.init).foldRight(lit(cuts.last._1): Column) {
+      case (((name, _), c), els) => when(h < lit(hex5(c)), lit(name)).otherwise(els)
+    }
+    df.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("rep_id", rep)
+      .withColumn("split", splitExpr)
+      .drop("__comp")
   }
 
   /** Mean corpus-frequency rank of a document's tokens — a cheap

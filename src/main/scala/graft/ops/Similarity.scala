@@ -59,6 +59,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that sit closest to the decision boundary and carry the
+    * most gradient signal (random negatives are trivially separable; these
+    * are not). Same exact-cosine contract as [[bruteForceTopK]] with the
+    * label-mismatch predicate fused into the scan.
+    *
+    * Scale shape: queries broadcast, ONE corpus scan, and the top-k runs in
+    * TWO stages — a salted per-(query, salt)-partition top-k first, so the
+    * final per-query window ranks q·salts·k pre-reduced rows instead of the
+    * corpus-sized score stream (with few queries a single window would
+    * funnel every scored row through q partitions — the skew this stage
+    * exists to break). Top-k of per-salt top-k is exact because every
+    * dropped row has ≥ k better same-salt rows, so it can never enter the
+    * global top k.
+    *
+    * @return (query_id, neighbor_id, neg_label, cosine) — k rows per query,
+    *         deterministic tie-break on neighbor id. */
+  def hardNegatives(corpus0: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    salts: Int = 16): DataFrame = {
+    require(k >= 1 && salts >= 1, s"k=$k and salts=$salts must be >= 1")
+    val corpus = graft.core.Par.widen(corpus0)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neg_label"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("ql"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        corpus.sparkSession, col("qv"), col("cv")))
+      .withColumn("__salt", pmod(hash(col("neighbor_id")), lit(salts)))
+    val pre = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__prn", row_number().over(pre)).filter(col("__prn") <= k)
+      .withColumn("rn", row_number().over(fin)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) is the first
     * 60 bits of md5("p_i") folded to [-1, 1]. Computed once driver-side and
     * inlined as array literals — no RNG state to ship, no per-row hashing,

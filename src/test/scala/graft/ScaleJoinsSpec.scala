@@ -566,4 +566,95 @@ class ScaleJoinsSpec extends SparkSpec {
       .drop(1).takeWhile(_._2 <= 2000L).toSet
     assert(r1 == expect)
   }
+
+  test("clusterSplit: cluster-atomic splits, exact singleton rule, sane fractions") {
+    val docs = core.Tables.documents(spark, sf("sf0.001"))
+    val pairs = ops.Dedup.simHashPairs(
+        ops.Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      .select(col("id_a"), col("id_b"))
+    val cc = ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val split = ops.Sampling.clusterSplit(docs.select(col("doc_id")), "doc_id",
+      cc, "node", "component",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    // a partition of the corpus: every doc exactly once, labels from the cuts
+    assert(split.count() == docs.count())
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // THE leakage property: no near-dup pair straddles a split boundary
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle == 0L, s"$straddle near-dup pairs straddle splits")
+    // singleton rows (rep = own id) follow the documented md5-vs-hex5 rule
+    // exactly; the literals pin the 1/2^20 quantization (0.8 → ccccd,
+    // 0.9 → e6666) the oracle inlines
+    val rule = docs.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 5) < "ccccd", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 5) < "e6666", "val")
+        .otherwise("test").as("want"))
+    val wrongSingles = split.filter(col("rep_id") === col("doc_id"))
+      .join(rule, "doc_id").filter(col("split") =!= col("want")).count()
+    assert(wrongSingles == 0L, "singleton split must equal the per-row hash rule")
+    // fractions land near the cuts (md5 uniformity; loose small-table bound)
+    val n = split.count().toDouble
+    val tr = split.filter(col("split") === "train").count() / n
+    assert(tr > 0.7 && tr < 0.9, s"train fraction $tr")
+    split.unpersist()
+  }
+
+  test("hardNegatives: label-mismatched boundary negatives, driver-exact, salt-invariant") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 6)
+    val hn = ops.Similarity.hardNegatives(e, q, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val labels = e.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    // k rows per query; never self, never the query's own label
+    assert(hn.groupBy(_._1).forall(_._2.length == 5))
+    hn.foreach { case (qid, nid, nl, _) =>
+      assert(qid != nid && labels(nid) == nl && nl != labels(qid))
+    }
+    // ids match a driver-side exact reference (same fold order, same
+    // (cosine desc, id) tie-break)
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u * v }
+      dot(ad, bd) / (math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd)))
+    }
+    val want = q.select(col("vec_id"), col("label")).as[(Long, Int)].collect()
+      .map { case (qid, ql) =>
+        qid -> vecs.toSeq
+          .filter { case (nid, _) => nid != qid && labels(nid) != ql }
+          .map { case (nid, v) => (nid, cos(vecs(qid), v)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+      }.toMap
+    assert(hn.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet } == want)
+    // the salted two-stage reduction is exact: equals the unsalted ranking
+    val one = ops.Similarity.hardNegatives(e, q, "vec_id", "embedding", "label",
+        k = 5, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == hn.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("topKByScore: absolute per-stratum cap, best-k by score, k>=n keeps all") {
+    val d = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("a", 4L, 0.5),
+      ("b", 5L, 0.1), ("b", 6L, 0.2)
+    ).toDF("g", "id", "score")
+    val kept = ops.Sampling.topKByScore(d, "g", "id", "score", 2)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    // a: best-2 = 0.9 and 0.7; the 0.5 tie pair never enters. b: cap not binding
+    assert(kept == Set(("a", 1L), ("a", 3L), ("b", 5L), ("b", 6L)))
+    // at the cap boundary the md5(id) tie-break picks ONE 0.5 row, deterministically
+    val k3 = ops.Sampling.topKByScore(d, "g", "id", "score", 3)
+      .filter(col("g") === "a").select("id").as[Long].collect().toSet
+    val tieWinner = Seq(2L, 4L).minBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(k3 == Set(1L, 3L, tieWinner))
+    assert(ops.Sampling.topKByScore(d, "g", "id", "score", 10).count() == d.count())
+  }
 }
