@@ -1766,6 +1766,28 @@ object SparkEntry {
         .orderBy(col("source"), col("quality").desc, col("doc_id"))
     }),
 
+    // source-interleaved training order: consecutive positions cycle
+    // through sources by construction (t98's shuffle mixes in
+    // expectation) — balanced batch composition for training runs.
+    // Window rank per source, then terasort-shape global positions
+    "t133_interleave" -> ((s, dir) => {
+      graft.ops.Sampling.interleaveByStratum(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("stratum_rank"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
+    // Jaccard-decile histogram over the capped candidate-pair set: the
+    // threshold-calibration evidence (where does near-dup mass end and
+    // topical overlap begin?) from ONE pass of the d22 machinery; binning
+    // on raw IEEE ratios, every output value exact
+    "d134_jaccard_hist" -> ((s, dir) => {
+      Dedup.jaccardHistogram(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJ = 0.1, maxShingleDf = 500)
+        .orderBy(col("bin"))
+    }),
+
     // data-quality gate: every constraint yields one (check, violations)
     // row — 0 proves the constraint HELD; all row checks ride ONE scan
     // (conditional aggregation), uniqueness one key agg, the FK one
@@ -3325,6 +3347,34 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM scored)
         |SELECT qid AS query_id, nid AS neighbor_id, nl AS neg_label, round(cosine, 4) AS cosine
         |FROM ranked WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // per-source rank by md5 order, then the interleaved global position:
+    // (rank, source) is a unique total order both engines replay
+    "t133_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS stratum_rank
+        |  FROM documents)
+        |SELECT doc_id, source, stratum_rank,
+        |  CAST(row_number() OVER (ORDER BY stratum_rank, source) - 1 AS BIGINT) AS pos
+        |FROM r ORDER BY pos""".stripMargin,
+
+    // d22's capped candidate CTE widened to j >= 0.1, binned on the raw
+    // IEEE ratio — floor(10j) is bit-identical in both engines
+    "d134_jaccard_hist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shc AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 500),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT n * 1.0 / (sa.sz + sb.sz - n) AS jac
+        |      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.1),
+        |b AS (SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS bin FROM j)
+        |SELECT bin, bin / 10.0 AS bin_lo, (bin + 1) / 10.0 AS bin_hi,
+        |  count(*) AS n_pairs
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // t63's quality CTE + a per-source top-k window; identical md5
     // tie-break on both sides

@@ -102,6 +102,28 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
 
+  /** Similarity histogram over the candidate-pair set: pair counts per
+    * Jaccard decile for pairs with j ≥ `minJ` — the threshold-calibration
+    * report a pipeline runs BEFORE committing to a dedup threshold (a
+    * bimodal histogram says where the near-dup mass ends and the
+    * topical-overlap mass begins; thresholding blind skips that
+    * evidence). One pass over the same capped candidate machinery as
+    * [[jaccardPairs]]; the output is ≤ 10 rows. The bin index uses raw
+    * IEEE ratios (`min(floor(10·j), 9)`) — bit-identical in any engine,
+    * no rounding anywhere — and the bin edges are reconstructed from the
+    * index, so every output value is exact. */
+  def jaccardHistogram(df0: DataFrame, idCol: String, textCol: String, n: Int,
+                       minJ: Double, maxShingleDf: Long = 0L): DataFrame =
+    pairCore(df0, idCol, textCol, n, Nil, maxShingleDf, pairJoin = true)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .withColumn("bin", least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), (col("bin") / lit(10.0)).as("bin_lo"),
+        ((col("bin") + 1) / lit(10.0)).as("bin_hi"), col("n_pairs"))
+
   /** Shared candidate/intersection core of the exact pair family: emits
     * (id_a, id_b, inter, sz_a, sz_b) with denominators as exact distinct
     * set sizes regardless of the numerator's df cap. */

@@ -357,4 +357,33 @@ object Sampling {
     indexed.withColumn(shardCol, expr(s"`$posCol` div ${shardSize}L"))
       .drop("__shuffle_key")
   }
+
+  /** Deterministic source-INTERLEAVED training order: within each stratum
+    * rows are permuted by (md5(id), id); globally, every stratum's rank-1
+    * row comes before any rank-2 row, so consecutive rows cycle through
+    * strata — any contiguous batch of b rows touches at most ⌈b/n_strata⌉+1
+    * rows of one stratum. [[shuffleShards]] mixes sources in expectation;
+    * this mixes BY CONSTRUCTION — the "balanced batch composition"
+    * ordering for training runs where per-batch source balance matters
+    * (small batches, few gradient steps, strongly-clustered corpora).
+    *
+    * Scale shape: one window shuffle on the stratum key for the rank,
+    * then the same terasort-shape global range sort + per-partition-count
+    * positions as [[shuffleShards]] — no single-partition window, no
+    * driver-side data. The rank is `row_number` (int): a single stratum
+    * beyond 2³¹ rows needs the shard-then-interleave composition instead
+    * (interleave each [[shuffleShards]] shard); the cast to long is for
+    * schema stability, not range.
+    *
+    * Output adds (`rankCol`, `posCol`); `idCol` must be unique. */
+  def interleaveByStratum(df: DataFrame, stratumCol: String, idCol: String,
+                          rankCol: String = "stratum_rank",
+                          posCol: String = "pos"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val ranked = df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .orderBy(col(rankCol), col(stratumCol))
+    val (indexed, _) = Relational.withRowIndexCounted(ranked, posCol)
+    indexed
+  }
 }

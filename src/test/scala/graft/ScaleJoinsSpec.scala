@@ -639,6 +639,49 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(one == hn.map(t => (t._1, t._2)).toSet)
   }
 
+  test("interleaveByStratum: aligned batches cycle through every stratum") {
+    val d = core.Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("source"))
+    val nStrata = d.select("source").distinct().count().toInt
+    val out = ops.Sampling.interleaveByStratum(d, "source", "doc_id").cache()
+    // a permutation: every doc once, positions contiguous from 0
+    assert(out.count() == d.count())
+    assert(out.agg(min("pos"), max("pos")).as[(Long, Long)].head() ==
+      ((0L, d.count() - 1)))
+    // equal-size strata → every aligned batch of n_strata rows holds ALL
+    // strata (the by-construction mixing shuffleShards only has in expectation)
+    val perBatch = out.withColumn("batch", expr(s"pos div $nStrata"))
+      .groupBy("batch").agg(countDistinct("source").as("ns"))
+      .filter(col("ns") =!= nStrata).count()
+    assert(perBatch == 0L, s"$perBatch batches miss a stratum")
+    // deterministic across physical layouts
+    val again = ops.Sampling.interleaveByStratum(d.repartition(17), "source", "doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(again == out.select("doc_id", "pos").as[(Long, Long)].collect().toSet)
+    out.unpersist()
+  }
+
+  test("jaccardHistogram: bins partition the pair set; tail equals jaccardPairs") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val hist = ops.Dedup.jaccardHistogram(d, "doc_id", "text", n = 3,
+      minJ = 0.1, maxShingleDf = 500).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val bin = r.getLong(0)
+      assert(bin >= 1 && bin <= 9) // minJ = 0.1 floors to bin 1 at least
+      assert(r.getDouble(1) == bin / 10.0 && r.getDouble(2) == (bin + 1) / 10.0)
+    }
+    // the histogram's >= 0.8 mass is exactly the d22 pair count at the
+    // same cap (same raw-ratio filter, so no rounding seam)
+    val tail = hist.filter(_.getLong(0) >= 8).map(_.getLong(3)).sum
+    val pairs08 = ops.Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8, maxShingleDf = 500).count()
+    assert(tail == pairs08, s"hist tail $tail != jaccardPairs $pairs08")
+    val total = hist.map(_.getLong(3)).sum
+    val pairs01 = ops.Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.1, maxShingleDf = 500).count()
+    assert(total == pairs01)
+  }
+
   test("topKByScore: absolute per-stratum cap, best-k by score, k>=n keeps all") {
     val d = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("a", 4L, 0.5),
