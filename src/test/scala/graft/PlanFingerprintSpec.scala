@@ -132,6 +132,20 @@ class PlanFingerprintSpec extends SparkSpec {
   //  - s123: the coarse pass is an equi BHJ on the bucket id (the prune)
   //    instead of s120's nested-loop cross — same two-stage skeleton.
   pin("s123_lshpq_topk", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
+  // r9 late additions:
+  //  - s131: s29's broadcast-cross skeleton + the salted pre-rank — both
+  //    window exchanges are fed by partial WindowGroupLimits, so neither
+  //    carries the corpus-sized score stream.
+  //  - d132: ONE corpus exchange (the per-source window); quality is a
+  //    map-side codegen'd projection.
+  //  - t133: only the presentation sort is visible — the rank window and
+  //    the terasort range sort both live behind the row-index machinery's
+  //    LogicalRDD boundary (t112's shape, see docs/PLANS.md).
+  //  - d134: d22's capped candidate skeleton ending in a 10-row hash-agg.
+  pin("s131_hard_negatives", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[3,3]")
+  pin("d132_source_cap", "shuffles=2 bcast=0 joins=[] scans=[3]")
+  pin("t133_interleave", "shuffles=1 bcast=0 joins=[] scans=[]")
+  pin("d134_jaccard_hist", "shuffles=11 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r7 token_counts form: tf is a per-row codegen'd map projection (zero
   // exchange — term frequency is per-document); the df agg and N are
   // broadcast; the only corpus-sized exchange is the top-k window's, fed
