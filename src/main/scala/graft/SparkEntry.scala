@@ -1788,6 +1788,32 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // EXACT-substring decontamination (the strict complement of d61's
+    // shingle overlap): corpus docs containing an eval phrase VERBATIM.
+    // Broadcast phrase set, one codegen'd contains scan; same eval-set
+    // convention as d61 (doc_id % 25)
+    "d135_substring_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.substringContamination(
+          d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", phraseLen = 6)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // water-filling reweight to a TARGET language mix (en .5 / zh .2 /
+    // es .15 / de .15; fr unlisted -> dropped): the binding stratum (zh)
+    // survives whole, everything else trims to match — the static
+    // mixture-spec step temperatureBalance's fixed sqrt cannot express
+    "d136_target_mix" -> ((s, dir) => {
+      graft.ops.Sampling.targetMix(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // data-quality gate: every constraint yields one (check, violations)
     // row — 0 proves the constraint HELD; all row checks ride ONE scan
     // (conditional aggregation), uniqueness one key agg, the FK one
@@ -3375,6 +3401,35 @@ object SparkEntry {
         |SELECT bin, bin / 10.0 AS bin_lo, (bin + 1) / 10.0 AS bin_hi,
         |  count(*) AS n_pairs
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // non-overlapping 6-token eval windows (same 1-based starts, stride 6,
+    // inclusive-slice semantics as the engine) -> verbatim contains join
+    "d135_substring_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ph AS (SELECT DISTINCT unnest([array_to_string(t[i:i+5], ' ') for i in range(1, len(t)-4, 6)]) AS p
+        |       FROM toks WHERE doc_id % 25 = 0 AND len(t) >= 6),
+        |hits AS (SELECT d.doc_id, count(*) AS n_hits
+        |         FROM documents d JOIN ph ON contains(d.text, ph.p)
+        |         WHERE d.doc_id % 25 <> 0 GROUP BY d.doc_id)
+        |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
+
+    // the water-filling solve replayed in SQL: T = min(n/p), per-stratum
+    // threshold floor(p*T/n * 2^20) as 5-hex — identical IEEE op order,
+    // so both engines compare against the same literal threshold
+    "d136_target_mix" ->
+      """WITH tgt AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+        |            WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15 END AS p
+        |  FROM documents),
+        |c AS (SELECT lang, p, count(*) AS n FROM tgt WHERE p IS NOT NULL GROUP BY lang, p),
+        |tv AS (SELECT min(n / p) AS t_total FROM c),
+        |th AS (SELECT lang,
+        |  CASE WHEN CAST(floor(p * t_total / n * 1048576) AS BIGINT) >= 1048576 THEN 'g'
+        |       ELSE printf('%05x', CAST(floor(p * t_total / n * 1048576) AS BIGINT)) END AS thresh
+        |  FROM c, tv)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < th.thresh
+        |ORDER BY d.doc_id""".stripMargin,
 
     // t63's quality CTE + a per-source top-k window; identical md5
     // tie-break on both sides

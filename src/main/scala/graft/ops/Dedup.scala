@@ -187,6 +187,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** EXACT-substring benchmark contamination — the strict complement of
+    * [[contamination]]'s shingle overlap: flag corpus documents that
+    * contain an eval phrase VERBATIM (the Lee-et-al/Dolma substring
+    * check; shingle overlap catches paraphrase-level leakage, substring
+    * match proves the benchmark text itself is present). Phrases are the
+    * non-overlapping `phraseLen`-token windows (stride = `phraseLen`) of
+    * each eval document, deduplicated.
+    *
+    * Scale shape: the distinct phrase set is eval-sized (benchmarks are
+    * 10³–10⁶ strings — KBs–MBs against a 100 TB corpus) and is
+    * `broadcast`; the corpus is scanned exactly ONCE with a codegen'd
+    * `contains` predicate per phrase; the only shuffle is the per-doc
+    * count of the (already tiny) hit stream. For eval sets too large for
+    * the nested-loop scan, compose: [[contamination]]'s shingle-overlap
+    * prefilter first, exact `contains` verification on the survivors —
+    * the same candidates-then-verify discipline as the LSH family.
+    *
+    * Returns (id, n_hits): distinct phrases contained, ≥ `minHits`. */
+  def substringContamination(corpus: DataFrame, evalSet: DataFrame,
+                             idCol: String, textCol: String,
+                             phraseLen: Int = 6, minHits: Long = 1L): DataFrame = {
+    require(phraseLen >= 1, "phraseLen must be >= 1")
+    val toks = split(col(textCol), " ")
+    // 1-based window starts {1, 1+len, ...} ≤ size-phraseLen+1; docs
+    // shorter than one window contribute nothing
+    val starts = sequence(lit(1), size(toks) - lit(phraseLen - 1), lit(phraseLen))
+    val phrases = evalSet
+      .filter(size(toks) >= phraseLen)
+      .select(explode(transform(starts,
+        i => concat_ws(" ", slice(toks, i, lit(phraseLen))))).as("__p"))
+      .distinct()
+    graft.core.Par.widen(corpus)
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .crossJoin(broadcast(phrases))
+      .filter(col("__t").contains(col("__p")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** MinHash signatures as `numHashes` columns `h0..h{k-1}`, one row per id:
     * explode the shingle set once and take seeded-hash minima in a single
     * flat hash-aggregate (map-side partials, one shuffle on id).

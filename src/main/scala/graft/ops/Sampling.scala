@@ -85,6 +85,51 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Water-filling reweight to a TARGET mixture: given target proportions
+    * `targets` (summing to 1), keep the LARGEST total T such that every
+    * stratum can supply its share — T = min_s n_s / p_s — and sample each
+    * stratum down to `f_s = p_s·T / n_s` (the binding stratum keeps ~all
+    * rows; everything else is trimmed to match). This is the static
+    * mixture-reweighting step (set the en/code/math proportions of a
+    * pretraining mix) that [[temperatureBalance]]'s fixed sqrt flattening
+    * cannot express: here the MIX is the spec, the data supplies the cap.
+    *
+    * Deterministic end to end: the solve is two tiny aggregates (stratum
+    * counts and a min — the counts relation is strata-sized), the keep
+    * decision is the same engine-portable md5-vs-hex-threshold rule as
+    * [[stratifiedHashFraction]], and every float op (n/p, p·T/n, ×2^20,
+    * floor) runs in the same IEEE order in the oracle, so both engines
+    * quantize to the SAME 5-hex threshold. Strata absent from `targets`
+    * are dropped (the unlisted-stratum contract).
+    *
+    * Scale shape: one stratum-count shuffle over the corpus, then a
+    * stateless broadcast-joined map-side filter — identical to
+    * [[temperatureBalance]]. */
+  def targetMix(df: DataFrame, stratumCol: String, idCol: String,
+                targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0.0 && p <= 1.0),
+      "targets must be positive fractions")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target proportions must sum to 1, got ${targets.values.sum}")
+    val tgt = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (sv, p)) =>
+        when(col(stratumCol) === sv, lit(p)).otherwise(acc)
+      }
+    val counts = df.withColumn("__tgt", tgt).filter(col("__tgt").isNotNull)
+      .groupBy(col(stratumCol), col("__tgt")).agg(count(lit(1)).as("__n"))
+    val tMax = counts.agg(min(col("__n").cast("double") / col("__tgt")).as("__T"))
+    val thresh = counts.crossJoin(broadcast(tMax))
+      .withColumn("__q",
+        floor(col("__tgt") * col("__T") / col("__n").cast("double") * lit(1048576))
+          .cast("long"))
+      .withColumn("__thresh", when(col("__q") >= (1 << 20), lit("g"))
+        .otherwise(format_string("%05x", col("__q"))))
+      .select(col(stratumCol), col("__thresh"))
+    df.join(broadcast(thresh), Seq(stratumCol))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 5) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Quality-percentile pruning: keep the top `frac` of each stratum by
     * `scoreCol` — the relative-threshold curation step (an absolute score
     * cutoff like p67's keeps different amounts per source as quality

@@ -142,6 +142,13 @@ class PlanFingerprintSpec extends SparkSpec {
   //    the terasort range sort both live behind the row-index machinery's
   //    LogicalRDD boundary (t112's shape, see docs/PLANS.md).
   //  - d134: d22's capped candidate skeleton ending in a 10-row hash-agg.
+  //  - d135: d61's broadcast-eval shape with a contains NL join — ONE
+  //    corpus scan, the only exchange is the tiny per-doc hit count's.
+  //  - d136: two strata-sized aggregates (the 1-row T side enters as a
+  //    broadcast NL cross) + a broadcast-joined map-side filter —
+  //    temperatureBalance's shape with the water-filling solve.
+  pin("d135_substring_contamination", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
+  pin("d136_target_mix", "shuffles=4 bcast=2 joins=[BroadcastHashJoin=1,BroadcastNestedLoopJoin=1] scans=[1,1,2]")
   pin("s131_hard_negatives", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[3,3]")
   pin("d132_source_cap", "shuffles=2 bcast=0 joins=[] scans=[3]")
   pin("t133_interleave", "shuffles=1 bcast=0 joins=[] scans=[]")

@@ -682,6 +682,54 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(total == pairs01)
   }
 
+  test("substringContamination: planted verbatim phrases found, paraphrases not") {
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // windows: [1..6], 2 tokens left over
+      (2L, "one two three four five"),                       // < 6 tokens: contributes nothing
+      (3L, "red orange yellow green blue indigo violet ultraviolet infrared xray gamma2 radio")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"),      // contains eval-1 window 1
+      (11L, "alpha beta gamma delta zeta epsilon nothing"),            // paraphrase (reordered): no hit
+      (12L, "x red orange yellow green blue indigo y violet ultraviolet infrared xray gamma2 radio z"), // both eval-3 windows
+      (13L, "one two three four five"),                                // eval-2 too short to emit phrases
+      (14L, "completely unrelated text with many tokens here")
+    ).toDF("doc_id", "text")
+    val hits = ops.Dedup.substringContamination(corpus, evalSet, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(10L -> 1L, 12L -> 2L), s"got $hits")
+    // empty eval set → empty result (no degenerate cross join)
+    assert(ops.Dedup.substringContamination(corpus, evalSet.limit(0),
+      "doc_id", "text").count() == 0L)
+  }
+
+  test("targetMix: binding stratum kept whole, mix lands on target, unlisted dropped") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val targets = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15)
+    val out = ops.Sampling.targetMix(d, "lang", "doc_id", targets).cache()
+    val before = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // unlisted strata are dropped entirely
+    assert(!after.contains("fr"))
+    // the binding stratum (min n/p) survives ~whole (floor quantization can
+    // shave the 1/2^20 tail of an exactly-1.0 fraction)
+    val binding = targets.keys.minBy(l => before(l) / targets(l))
+    assert(after(binding) >= before(binding) - 1,
+      s"binding $binding: ${after(binding)}/${before(binding)}")
+    // every kept stratum lands near its p·T share (md5 uniformity slack)
+    val tTotal = targets.keys.map(l => before(l) / targets(l)).min
+    targets.foreach { case (l, p) =>
+      val want = p * tTotal
+      assert(math.abs(after(l) - want) <= math.max(6.0, 0.35 * want),
+        s"$l kept ${after(l)}, target share $want")
+    }
+    // pure content function: identical kept set across physical layouts
+    val again = ops.Sampling.targetMix(d.repartition(13), "lang", "doc_id", targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    out.unpersist()
+  }
+
   test("topKByScore: absolute per-stratum cap, best-k by score, k>=n keeps all") {
     val d = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("a", 4L, 0.5),
