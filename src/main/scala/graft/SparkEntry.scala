@@ -1801,6 +1801,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // whitening/PCA-prep: upper-triangle covariance of the embedding
+    // distribution — d²-pair stream partially aggregated in-stage (the
+    // shuffle carries ≤ d(d+1)/2 rows per partition), expectations
+    // decimal-quantized + floor-rounded so both engines agree bit-for-bit
+    "s137_embedding_covariance" -> ((s, dir) => {
+      Similarity.covarianceUpper(t(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // water-filling reweight to a TARGET language mix (en .5 / zh .2 /
     // es .15 / de .15; fr unlisted -> dropped): the binding stratum (zh)
     // survives whole, everything else trims to match — the static
@@ -3401,6 +3410,25 @@ object SparkEntry {
         |SELECT bin, bin / 10.0 AS bin_lo, (bin + 1) / 10.0 AS bin_hi,
         |  count(*) AS n_pairs
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the same moment quantization (terms to DECIMAL(27,7), expectations
+    // floor-rounded) replayed over 1-based subscripts shifted to 0-based
+    "s137_embedding_covariance" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |mu AS (SELECT i, floor(CAST(sum(CAST(x AS DECIMAL(27,7))) AS DOUBLE)
+        |                      / count(*) * 1e6 + 0.5) / 1e6 AS mu
+        |       FROM u GROUP BY i),
+        |m2 AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |         sum(CAST(a.x * b.x AS DECIMAL(27,7))) AS s
+        |       FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |       GROUP BY a.i, b.i)
+        |SELECT m2.i, m2.j,
+        |  floor((floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 - ma.mu * mb.mu)
+        |        * 1e6 + 0.5) / 1e6 AS cov
+        |FROM m2 JOIN mu ma ON ma.i = m2.i JOIN mu mb ON mb.i = m2.j
+        |ORDER BY m2.i, m2.j""".stripMargin,
 
     // non-overlapping 6-token eval windows (same 1-based starts, stride 6,
     // inclusive-slice semantics as the engine) -> verbatim contains join

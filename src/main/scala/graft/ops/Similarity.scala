@@ -536,6 +536,51 @@ object Similarity {
           / lit(1e6)).as("centroid"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding distribution —
+    * the whitening/PCA-prep statistic (SemDeDup-style semantic dedup and
+    * IVF/PQ quantizers both work measurably better on whitened vectors;
+    * this is the one-pass-per-moment input to that transform).
+    * cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j], each expectation floor-rounded
+    * through the portable `floor(x·1e6+0.5)/1e6` form and every summed
+    * term quantized to DECIMAL(27,7) first (the [[bucketCentroids]]
+    * discipline) — order-independent reductions, so two runs, two
+    * partitionings, or two engines agree bit-for-bit.
+    *
+    * Scale shape: the d² pair stream is generated and PARTIALLY
+    * AGGREGATED inside one stage (Tungsten pipelines generate → hash-agg,
+    * so the d²-per-row inflation never materializes and the shuffle
+    * carries ≤ d(d+1)/2 rows per map partition); the n·d² multiply count
+    * is the statistic's inherent cost. Component means ride a second,
+    * d-group pass; both group counts are dimension-, not corpus-, sized.
+    * Vectors of the wrong width are excluded (the [[lshBucket]] guard
+    * convention). Returns (i, j, cov) for 0 ≤ i ≤ j < dim. */
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val v = graft.core.Par.widen(df)
+      .select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
+    val comp = v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("x").cast("double").cast("decimal(27,7)")).as("__s"))
+      .select(col("i").cast("long").as("i"),
+        r6(col("__s").cast("double") / col("__n")).as("mu"))
+    val pairs = v
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("__v")).as(Seq("j", "y")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("x").cast("double") * col("y").cast("double"))
+          .cast("decimal(27,7)")).as("__s"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        r6(col("__s").cast("double") / col("__n")).as("__exy"))
+    val mi = broadcast(comp.select(col("i"), col("mu").as("__mi")))
+    val mj = broadcast(comp.select(col("i").as("j"), col("mu").as("__mj")))
+    pairs.join(mi, "i").join(mj, "j")
+      .select(col("i"), col("j"),
+        r6(col("__exy") - col("__mi") * col("__mj")).as("cov"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and reranks exactly within them. The classic billion-scale layout: the

@@ -149,6 +149,13 @@ class PlanFingerprintSpec extends SparkSpec {
   //    temperatureBalance's shape with the water-filling solve.
   pin("d135_substring_contamination", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
   pin("d136_target_mix", "shuffles=4 bcast=2 joins=[BroadcastHashJoin=1,BroadcastNestedLoopJoin=1] scans=[1,1,2]")
+  //  - s137: the d²-pair generate feeds a partial hash-agg IN-STAGE (the
+  //    exchange carries ≤ d(d+1)/2 rows per map partition); means
+  //    broadcast back onto the dimension-sized moment relation. The
+  //    static plan prints the means subtree once per broadcast branch
+  //    (hence the 3rd scan + extra exchanges); AQE stage reuse
+  //    materializes it once at runtime.
+  pin("s137_embedding_covariance", "shuffles=7 bcast=2 joins=[BroadcastHashJoin=2] scans=[1,1,1]")
   pin("s131_hard_negatives", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[3,3]")
   pin("d132_source_cap", "shuffles=2 bcast=0 joins=[] scans=[3]")
   pin("t133_interleave", "shuffles=1 bcast=0 joins=[] scans=[]")

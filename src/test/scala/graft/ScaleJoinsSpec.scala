@@ -730,6 +730,33 @@ class ScaleJoinsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("covarianceUpper: driver-exact within rounding, PSD diagonal, width guard") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val dim = 64
+    val cov = ops.Similarity.covarianceUpper(e, "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == dim * (dim + 1) / 2)
+    assert(cov.keys.forall { case (i, j) => i >= 0 && i <= j && j < dim })
+    // diagonal entries are variances: non-negative up to the 1e-6 rounding
+    (0 until dim).foreach(i => assert(cov((i.toLong, i.toLong)) >= -1e-6))
+    // matches the plain-double driver covariance within rounding granularity
+    val vecs = e.select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val n = vecs.length.toDouble
+    val mu = (0 until dim).map(i => vecs.map(_(i)).sum / n)
+    for (((i, j), c) <- cov) {
+      val exy = vecs.map(v => v(i.toInt) * v(j.toInt)).sum / n
+      assert(math.abs(c - (exy - mu(i.toInt) * mu(j.toInt))) < 5e-6,
+        s"cov($i,$j)=$c vs driver ${exy - mu(i.toInt) * mu(j.toInt)}")
+    }
+    // wrong-width vectors are excluded, not mis-multiplied
+    val mixed = e.select(col("embedding"))
+      .union(Seq(Array(1.0f, 2.0f)).toDF("embedding"))
+    val cov2 = ops.Similarity.covarianceUpper(mixed, "embedding", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov2 == cov)
+  }
+
   test("topKByScore: absolute per-stratum cap, best-k by score, k>=n keeps all") {
     val d = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("a", 4L, 0.5),
