@@ -619,6 +619,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterSplit: cluster-atomic on random edge sets; partitions the id space") {
+    val idsGen = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 40L))).map(_.distinct)
+    val edgeGen = (ids: List[Long]) => Gen.listOf(
+      Gen.zip(Gen.oneOf(ids), Gen.oneOf(ids))).map(_.filter(p => p._1 != p._2))
+    forAll(idsGen.flatMap(ids => Gen.zip(Gen.const(ids), edgeGen(ids))), cases = 8) {
+      case (ids, edges) => whenever(edges.nonEmpty) {
+        val df = ids.toDF("id")
+        val cc = ops.Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+        val split = ops.Sampling.clusterSplit(df, "id", cc, "node", "component",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("id", "split").as[(Long, String)].collect().toMap
+        // a labeling of every id
+        assert(split.keySet == ids.toSet)
+        // cluster-atomic: both endpoints of EVERY edge share a split
+        edges.foreach { case (a, b) =>
+          assert(split(a) == split(b), s"edge ($a,$b) straddles ${split(a)}/${split(b)}")
+        }
+      }
+    }
+  }
+
+  test("targetMix: targets proportional to counts keep every row") {
+    val rowsGen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 200L), Gen.oneOf("a", "b", "c")))).map(_.distinctBy(_._1))
+    forAll(rowsGen, cases = 8) { rows =>
+      val present = rows.map(_._2).distinct
+      whenever(present.size == 3) {
+        val df = rows.toDF("id", "g")
+        val n = rows.size.toDouble
+        val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+        // proportions equal to the empirical mix → T = total, f_s = 1.0 for
+        // every stratum → water-filling must keep the corpus whole
+        val targets = counts.map { case (g, c) => g -> c / n }
+        val kept = ops.Sampling.targetMix(df, "g", "id", targets).count()
+        assert(kept == rows.size.toLong, s"kept $kept of ${rows.size}")
+      }
+    }
+  }
+
+  test("substring hits imply shingle-overlap hits (d135 ⊆ d61 at n ≤ phraseLen)") {
+    // a verbatim 6-token window shared with an eval doc forces shared
+    // 5-gram shingles, so every substringContamination doc must also be
+    // flagged by the (strictly looser) shingle-overlap contamination
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val corpus = d.filter(col("doc_id") % 25 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 25 === 0)
+    val sub = ops.Dedup.substringContamination(corpus, evalSet, "doc_id", "text",
+      phraseLen = 6).select("id").as[Long].collect().toSet
+    val sh = ops.Dedup.contamination(corpus, evalSet, "doc_id", "text", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(sub.subsetOf(sh), s"substring hits ${sub -- sh} missing from shingle overlap")
+  }
+
   test("applyChangelog ≡ driver replay for arbitrary I/U/D logs") {
     val baseGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 99)))).map(_.distinctBy(_._1))
