@@ -1801,6 +1801,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming per-key quota (ingestion rate cap): at most 5 events per
+    // user over the stream, first-by-(event-time, id) — a REAL
+    // AvailableNow run; one counter per key in state, no watermark (a
+    // lifetime cap never expires). Oracle = the batch window replay
+    "q140_stream_quota" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      import s.implicits._
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
+        glob = Some("events.parquet"))
+      val ev = Tables.normalizeEventTs(raw)
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+        .as[graft.streaming.Streams.QuotaEvt]
+      val kept = graft.streaming.Streams.quotaStream(ev, quota = 5)
+      val sq = kept.toDF().writeStream.format("memory")
+        .queryName("graft_q140_sink").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table("graft_q140_sink")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+        .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
+    }),
+
+    // per-doc n-gram novelty: fraction of a doc's distinct 5-gram
+    // shingles appearing in NO other doc — the boilerplate/diversity
+    // retention signal; one shingle-df exchange + one doc aggregate
+    "t139_novelty" -> ((s, dir) => {
+      Dedup.noveltyScore(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+          col("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // whitening/PCA-prep: upper-triangle covariance of the embedding
     // distribution — d²-pair stream partially aggregated in-stage (the
     // shuffle carries ≤ d(d+1)/2 rows per partition), expectations
@@ -3410,6 +3444,26 @@ object SparkEntry {
         |SELECT bin, bin / 10.0 AS bin_lo, (bin + 1) / 10.0 AS bin_hi,
         |  count(*) AS n_pairs
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the batch replay of the streaming lifetime cap: first 5 per user in
+    // (ts_ns, event_id) order
+    "q140_stream_quota" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+        |r AS (SELECT user_id, event_id, ts_ns,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn FROM e)
+        |SELECT user_id, event_id, ts_ns FROM r WHERE rn <= 5
+        |ORDER BY user_id, ts_ns, event_id""".stripMargin,
+
+    // same distinct-shingle convention as d22/d61 (n=5 windows over the
+    // space-split token stream), df via a count window, portable ratio
+    "t139_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])) AS s FROM toks),
+        |dfc AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+        |FROM dfc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the same moment quantization (terms to DECIMAL(27,7), expectations
     // floor-rounded) replayed over 1-based subscripts shifted to 0-based

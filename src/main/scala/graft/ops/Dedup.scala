@@ -53,6 +53,32 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
 
+  /** Per-document n-gram NOVELTY score: the fraction of a document's
+    * distinct n-gram shingles that appear in NO other document — the
+    * corpus-level diversity/boilerplate signal (a doc of df-1 shingles is
+    * genuinely novel text; a doc dominated by high-df shingles is
+    * template/boilerplate even if no single near-duplicate exists). The
+    * frequency-based complement of [[Dedup.jaccardPairs]]: pair ops find
+    * WHO duplicates whom, novelty quantifies HOW MUCH of each doc is
+    * corpus-unique — the retention score quality pruning mixes in.
+    *
+    * One (shingle) exchange for the global document frequency (the same
+    * distribution d22's df cap rides) + one (id) aggregate — nothing else
+    * touches the corpus. Ratio through the portable floor form. Returns
+    * (id, n_shingles, n_unique, novelty); docs too short for one shingle
+    * are absent (no shingles → no novelty claim). */
+  def noveltyScore(df0: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("shingle"))
+    shingleIndex(graft.core.Par.widen(df0), idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        floor(col("n_unique").cast("double") / col("n_shingles") * lit(1e6) + lit(0.5))
+          / lit(1e6))
+  }
+
   /** All ordered (a < b) pairs from a sorted id array, expanded in-expression
     * (no self-join): for a bucket of k ids this emits k(k-1)/2 structs. */
   private def orderedPairs(ids: Column): Column =

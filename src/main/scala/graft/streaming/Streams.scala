@@ -175,6 +175,42 @@ object Streams {
       }
   }
 
+  /** A typed event for [[quotaStream]] (ns-precision ordering key). */
+  case class QuotaEvt(user_id: Long, event_id: Long, ts_ns: Long)
+
+  /** Streaming per-key QUOTA — the ingestion rate cap: keep at most
+    * `quota` rows per key over the stream's lifetime, in (event-time, id)
+    * order; everything past the cap is dropped as it arrives. The
+    * streaming generalization of [[dedupStream]] (quota = 1 on the key)
+    * and the online twin of [[graft.ops.Sampling.topKByScore]]'s absolute
+    * cap (there the k BEST by score over a complete corpus; here the k
+    * FIRST in event order, the only choice an unbounded stream can make
+    * without buffering).
+    *
+    * State is ONE counter per key — O(|keys|), the dimension-table bound
+    * (not a function of stream length); no watermark is needed because a
+    * lifetime cap never expires. Within a micro-batch rows sort by
+    * (ts_ns, event_id) — deterministic and batch-replayable; ACROSS
+    * batches the kept set matches the batch window replay when the source
+    * delivers each key in order (the usual CDC/ingest contract). */
+  def quotaStream(events: Dataset[QuotaEvt], quota: Int): Dataset[QuotaEvt] = {
+    require(quota >= 1, s"quota=$quota must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, QuotaEvt](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val kept = List.newBuilder[QuotaEvt]
+          rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            if (n < quota) { n += 1; kept += e }
+          }
+          state.update(n)
+          kept.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication with bounded state: drops rows whose
     * `keys` were already seen, holding state only within the watermark
     * horizon (`dropDuplicatesWithinWatermark`) so state size tracks the

@@ -156,6 +156,10 @@ class PlanFingerprintSpec extends SparkSpec {
   //    (hence the 3rd scan + extra exchanges); AQE stage reuse
   //    materializes it once at runtime.
   pin("s137_embedding_covariance", "shuffles=7 bcast=2 joins=[BroadcastHashJoin=2] scans=[1,1,1]")
+  //  - t139: widen + the (shingle) window exchange for global df + the
+  //    (id) aggregate + presentation sort — the d22 df-cap distribution
+  //    with no join anywhere.
+  pin("t139_novelty", "shuffles=4 bcast=0 joins=[] scans=[2]")
   pin("s131_hard_negatives", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[3,3]")
   pin("d132_source_cap", "shuffles=2 bcast=0 joins=[] scans=[3]")
   pin("t133_interleave", "shuffles=1 bcast=0 joins=[] scans=[]")

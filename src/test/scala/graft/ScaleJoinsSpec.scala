@@ -757,6 +757,22 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(cov2 == cov)
   }
 
+  test("noveltyScore: planted df-1 fractions exact, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // "a b c d e" shared with doc 2, "b c d e f" unique
+      (2L, "a b c d e x"),            // one shared, one unique
+      (3L, "zz yy xx ww vv uu tt"),   // 3 shingles, all unique
+      (4L, "too short")               // < 5 tokens: no shingles, absent
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.noveltyScore(docs, "doc_id", "text", n = 5)
+      .select("id", "n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 3L, 3L, 1.0)))
+  }
+
   test("topKByScore: absolute per-stratum cap, best-k by score, k>=n keeps all") {
     val d = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.7), ("a", 4L, 0.5),

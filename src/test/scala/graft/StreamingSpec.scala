@@ -238,4 +238,52 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n")).as[Long].collect().head
     assert(viaOp == 1000L)
   }
+
+  test("quotaStream: counter survives batches, in-batch order, boundary exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.QuotaEvt
+    val in = MemoryStream[QuotaEvt]
+    val q = Streams.quotaStream(in.toDS(), quota = 3).toDF()
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives out of order: the operator keeps the 2 EARLIEST by
+      // (ts, id), not arrival order
+      in.addData(QuotaEvt(1, 12, 30), QuotaEvt(1, 10, 10), QuotaEvt(2, 20, 5))
+      q.processAllAvailable()
+      val after1 = spark.table("quota_out").as[QuotaEvt].collect().toSet
+      assert(after1 == Set(QuotaEvt(1, 12, 30), QuotaEvt(1, 10, 10), QuotaEvt(2, 20, 5)))
+      // batch 2: user 1 has used 2 of 3 — exactly ONE more survives (the
+      // earliest of the batch), the boundary row and beyond are dropped;
+      // user 2 keeps accumulating
+      in.addData(QuotaEvt(1, 13, 40), QuotaEvt(1, 14, 50), QuotaEvt(2, 21, 6))
+      q.processAllAvailable()
+      val after2 = spark.table("quota_out").as[QuotaEvt].collect().toSet
+      assert(after2 == after1 + QuotaEvt(1, 13, 40) + QuotaEvt(2, 21, 6))
+      // batch 3: user 1 exhausted — nothing passes
+      in.addData(QuotaEvt(1, 15, 60))
+      q.processAllAvailable()
+      assert(spark.table("quota_out").count() == 5)
+    } finally q.stop()
+  }
+
+  test("quotaStream ≡ batch window replay on the sf0.001 events") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.QuotaEvt
+    val ev = core.Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("event_id"), col("ts_ns")).as[QuotaEvt]
+      .collect().toSeq
+    val in = MemoryStream[QuotaEvt]
+    val q = Streams.quotaStream(in.toDS(), quota = 4).toDF()
+      .writeStream.format("memory").queryName("quota_replay")
+      .outputMode("append").start()
+    try {
+      in.addData(ev)
+      q.processAllAvailable()
+      val got = spark.table("quota_replay").as[QuotaEvt].collect().toSet
+      val want = ev.groupBy(_.user_id).values
+        .flatMap(_.sortBy(e => (e.ts_ns, e.event_id)).take(4)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
