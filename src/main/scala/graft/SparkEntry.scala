@@ -1801,6 +1801,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-video duplicate-FRAME detection: frame sampling → per-frame
+    // pHash → banded Hamming pairs → video-pair counts; catches shared
+    // clips whole-file hashing (m113) misses
+    "m141_frame_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.attachBinary(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.frameNearDup(media,
+          nFrames = 4, frameBytes = 64, maxDist = 2)
+        .orderBy(col("video_a"), col("video_b"))
+    }),
+
     // streaming per-key quota (ingestion rate cap): at most 5 events per
     // user over the stream, first-by-(event-time, id) — a REAL
     // AvailableNow run; one counter per key in state, no watermark (a
@@ -3444,6 +3455,20 @@ object SparkEntry {
         |SELECT bin, bin / 10.0 AS bin_lo, (bin + 1) / 10.0 AS bin_hi,
         |  count(*) AS n_pairs
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // m107's frame derivation + m113's pHash grid per FRAME (composite
+    // frame id = doc·4 + idx), Hamming ≤ 2 pairs, video-pair counts
+    "m141_frame_neardup" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS total FROM documents),
+        |fr0 AS (SELECT doc_id, unnest([{'i': i, 'f': substr(text, greatest(CAST(floor(CAST(total - 64 AS DOUBLE) * i / 3) AS INTEGER) + 1, 1), 64)} for i in [0,1,2,3]]) AS s FROM m),
+        |fr2 AS (SELECT doc_id * 4 + s.i AS fid, s.f AS frame FROM fr0 WHERE length(s.f) >= 64),
+        |smp AS (SELECT fid, [ascii(frame[63 * i // 59 + 1]) for i in range(0, 60)] AS s FROM fr2),
+        |h AS (SELECT fid, s, list_sum(s) AS tot FROM smp),
+        |fp AS (SELECT fid, CAST(list_sum([CASE WHEN s[i+1] * 60 > tot THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END for i in range(0, 60)]) AS BIGINT) AS ph FROM h),
+        |p AS (SELECT a.fid AS fa, b.fid AS fb FROM fp a JOIN fp b
+        |      ON a.fid < b.fid AND bit_count(xor(a.ph, b.ph)) <= 2)
+        |SELECT fa // 4 AS video_a, fb // 4 AS video_b, count(*) AS n_frame_pairs
+        |FROM p WHERE fa // 4 <> fb // 4 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the batch replay of the streaming lifetime cap: first 5 per user in
     // (ts_ns, event_id) order

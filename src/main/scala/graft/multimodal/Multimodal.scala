@@ -154,4 +154,34 @@ object Multimodal {
     df.select(col("media_id"), explode(frames).as("f"))
       .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
   }
+
+  /** Cross-video duplicate-FRAME detection: videos sharing near-identical
+    * frames, found at frame granularity — the multimodal dedup step that
+    * catches re-edits, clips, and intros that whole-file hashing
+    * ([[pHash60]] over the full payload, m113) misses because the
+    * surrounding bytes differ. Composes the proven stages: [[frameSample]]
+    * (n evenly-spaced frames per video) → per-frame [[pHash60]] → the
+    * banded-Hamming pair machinery ([[graft.ops.Dedup.simHashPairs]] —
+    * bucketed candidates, never all-pairs) → video-pair aggregation,
+    * excluding same-video matches.
+    *
+    * Frame identity is the composite id `media_id · nFrames + frame_idx`,
+    * so the pair stage needs no struct keys and the video is recovered by
+    * integer division. Requires `frameBytes ≥ 60` (the pHash grid width).
+    * Returns (video_a, video_b, n_frame_pairs), video_a < video_b. */
+  def frameNearDup(df: DataFrame, nFrames: Int = 4, frameBytes: Int = 64,
+                   maxDist: Int = 2): DataFrame = {
+    require(frameBytes >= PHashBits, s"frameBytes=$frameBytes must be >= $PHashBits")
+    val frames = frameSample(df, nFrames, frameBytes)
+      .select((col("media_id") * nFrames + col("frame_idx")).as("media_id"),
+        col("frame").as("media"))
+    val sigs = pHash60(frames, cropBytes = frameBytes)
+      .select(col("id"), col("phash").as("simhash"))
+    graft.ops.Dedup.simHashPairs(sigs, maxDist = maxDist)
+      .select(expr(s"id_a div $nFrames").as("video_a"),
+        expr(s"id_b div $nFrames").as("video_b"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"))
+  }
 }

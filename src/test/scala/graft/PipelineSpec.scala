@@ -1332,4 +1332,22 @@ class PipelineSpec extends SparkSpec {
     // identical snapshots: empty diff, all-unchanged summary
     assert(ops.Snapshot.diff(a, a, "doc_id", md5(col("text"))).count() == 0L)
   }
+
+  test("frameNearDup: identical videos match on every frame, same-video pairs excluded") {
+    val rng = new scala.util.Random(7)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val shared = randText(300)
+    val rows = Seq(
+      (1L, shared),                  // video 1 and 2 identical → all 4 frames pair up
+      (2L, shared),
+      (3L, randText(300)),           // unrelated: no cross matches
+      (4L, "z" * 300)                // uniform: its own 4 frames collide — but
+                                     // SAME-video pairs must be excluded
+    ).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.attachBinary(rows, "doc_id", "text")
+    val got = graft.multimodal.Multimodal.frameNearDup(media,
+        nFrames = 4, frameBytes = 64, maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 4L)), s"got $got")
+  }
 }
