@@ -1801,6 +1801,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // recall@k evaluation: s30's LSH config measured against s29's exact
+    // top-k — the tuning report an ANN deployment runs before fixing
+    // planes/tables; queries with an empty approximate result still
+    // appear with n_approx = 0
+    "s142_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        k = 10, planes = 6, dim = 64, tables = 2)
+      Similarity.recallAtK(approx, exact).orderBy(col("query_id"))
+    }),
+
     // cross-video duplicate-FRAME detection: frame sampling → per-frame
     // pHash → banded Hamming pairs → video-pair counts; catches shared
     // clips whole-file hashing (m113) misses
@@ -3456,6 +3469,8 @@ object SparkEntry {
         |  count(*) AS n_pairs
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
+    "s142_ann_recall" -> annRecallOracle(planes = 6, tables = 2, dim = 64, k = 10),
+
     // m107's frame derivation + m113's pHash grid per FRAME (composite
     // frame id = doc·4 + idx), Hamming ≤ 2 pairs, video-pair counts
     "m141_frame_neardup" ->
@@ -3901,6 +3916,53 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
        |FROM ranked WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** s142 oracle: the s30 LSH chain and the s29 exact chain joined into a
+    * per-query recall report — exact side LEFT-joined to the approximate
+    * hits so an empty-bucket query still reports with n_approx = 0. */
+  private def annRecallOracle(planes: Int, tables: Int, dim: Int, k: Int): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    def bucketExpr(tbl: Int): String = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(tbl * planes + p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map(tb =>
+      s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM b q JOIN b c ON q.b$tb = c.b$tb " +
+        s"WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id")
+      .mkString(" UNION ")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucketCols FROM v),
+       |cand AS ($cand),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_sum([qv.e[i]*cv.e[i] for i in range(1, len(qv.e)+1)]) /
+       |  (sqrt(list_sum([qv.e[i]*qv.e[i] for i in range(1, len(qv.e)+1)])) *
+       |   sqrt(list_sum([cv.e[i]*cv.e[i] for i in range(1, len(cv.e)+1)]))) AS cosine
+       |  FROM cand JOIN v qv ON qv.vec_id = query_id JOIN v cv ON cv.vec_id = neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored),
+       |approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $k),
+       |ex_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_sum([q.e[i]*c.e[i] for i in range(1, len(q.e)+1)]) /
+       |  (sqrt(list_sum([q.e[i]*q.e[i] for i in range(1, len(q.e)+1)])) *
+       |   sqrt(list_sum([c.e[i]*c.e[i] for i in range(1, len(c.e)+1)]))) AS cosine
+       |  FROM v q, v c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |ex_ranked AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM ex_scored),
+       |exact AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rn <= $k),
+       |hits AS (SELECT e.query_id, count(*) AS n_exact,
+       |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id),
+       |ac AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)
+       |SELECT hits.query_id, coalesce(ac.n_approx, 0) AS n_approx, hits.n_exact,
+       |  CAST(hits.n_overlap AS BIGINT) AS n_overlap,
+       |  floor(CAST(hits.n_overlap AS DOUBLE) / hits.n_exact * 1e6 + 0.5) / 1e6 AS recall
+       |FROM hits LEFT JOIN ac ON ac.query_id = hits.query_id
+       |ORDER BY hits.query_id""".stripMargin
   }
 
   /** OR-amplified LSH near-dup oracle: table `t` buckets with hyperplane

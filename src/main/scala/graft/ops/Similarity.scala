@@ -581,6 +581,34 @@ object Similarity {
         r6(col("__exy") - col("__mi") * col("__mj")).as("cov"))
   }
 
+  /** Recall@k evaluation of an approximate ANN result against the exact
+    * top-k — the tuning harness every ANN deployment runs before picking
+    * planes/tables/nprobe (recall is THE accuracy axis those knobs trade
+    * against cost; shipping a bucket config without measuring it is
+    * guessing). Per query: |approx ∩ exact| / |exact|, with the ratio
+    * through the portable floor form. Queries whose approximate result is
+    * empty (every probe missed) still appear, with n_approx = 0 — the
+    * failure mode the report exists to expose.
+    *
+    * Both inputs are (query_id, neighbor_id)-shaped relations — q·k rows;
+    * the evaluation costs two tiny aggregates, the work is in producing
+    * the inputs. Returns (query_id, n_approx, n_exact, n_overlap, recall). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+    val ac = a.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+    hits.join(ac, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        col("n_exact"), col("n_overlap"),
+        (floor(col("n_overlap").cast("double") / col("n_exact") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("recall"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and reranks exactly within them. The classic billion-scale layout: the

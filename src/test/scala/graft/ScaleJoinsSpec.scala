@@ -757,6 +757,26 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(cov2 == cov)
   }
 
+  test("recallAtK: hand-built overlaps exact, empty-approx query reported as 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "neighbor_id")
+    val got = ops.Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // query 1: 2 of 3 exact found; query 2: 0 of 2; query 3: approx empty
+    assert(got(1L) == ((1L, 3L, 3L, 2L, 0.666667)))
+    assert(got(2L) == ((2L, 1L, 2L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 0L, 1L, 0L, 0.0)))
+    // LSH probing every hyperplane sign must reach recall 1.0 vs itself
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 4)
+    val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    val self = ops.Similarity.recallAtK(brute, brute)
+      .select("recall").as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ == 1.0))
+  }
+
   test("noveltyScore: planted df-1 fractions exact, short docs absent") {
     val docs = Seq(
       (1L, "a b c d e f"),            // "a b c d e" shared with doc 2, "b c d e f" unique
