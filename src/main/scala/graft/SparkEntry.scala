@@ -1788,13 +1788,15 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
-    // EXACT-substring decontamination (the strict complement of d61's
-    // shingle overlap): corpus docs containing an eval phrase VERBATIM.
-    // Broadcast phrase set, one codegen'd contains scan; same eval-set
+    // verbatim-phrase decontamination (the high-precision complement of
+    // d61's shingle overlap): corpus docs containing a FULL eval phrase
+    // token-aligned — a pure hash equi-join of the corpus n-gram stream
+    // against the eval phrase set (a contains-scan formulation measured
+    // 31x superlinear at 10x; the equi-join is linear). Same eval-set
     // convention as d61 (doc_id % 25)
-    "d135_substring_contamination" -> ((s, dir) => {
+    "d135_phrase_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.substringContamination(
+      Dedup.phraseContamination(
           d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0),
           "doc_id", "text", phraseLen = 6)
         .select(col("id").as("doc_id"), col("n_hits"))
@@ -3524,15 +3526,17 @@ object SparkEntry {
         |FROM m2 JOIN mu ma ON ma.i = m2.i JOIN mu mb ON mb.i = m2.j
         |ORDER BY m2.i, m2.j""".stripMargin,
 
-    // non-overlapping 6-token eval windows (same 1-based starts, stride 6,
-    // inclusive-slice semantics as the engine) -> verbatim contains join
-    "d135_substring_contamination" ->
+    // probe side: non-overlapping 6-token eval windows (stride 6);
+    // corpus side: stride-1 6-grams distinct per doc; token-aligned
+    // verbatim hit = equality
+    "d135_phrase_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ph AS (SELECT DISTINCT unnest([array_to_string(t[i:i+5], ' ') for i in range(1, len(t)-4, 6)]) AS p
         |       FROM toks WHERE doc_id % 25 = 0 AND len(t) >= 6),
-        |hits AS (SELECT d.doc_id, count(*) AS n_hits
-        |         FROM documents d JOIN ph ON contains(d.text, ph.p)
-        |         WHERE d.doc_id % 25 <> 0 GROUP BY d.doc_id)
+        |cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+5], ' ') for i in range(1, len(t)-4)])) AS p
+        |       FROM toks WHERE doc_id % 25 <> 0 AND len(t) >= 6),
+        |hits AS (SELECT cg.doc_id, count(*) AS n_hits
+        |         FROM cg JOIN ph USING (p) GROUP BY cg.doc_id)
         |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
 
     // the water-filling solve replayed in SQL: T = min(n/p), per-stratum

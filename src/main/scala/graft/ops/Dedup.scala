@@ -213,41 +213,48 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** EXACT-substring benchmark contamination — the strict complement of
+  /** VERBATIM-phrase benchmark contamination — the strict complement of
     * [[contamination]]'s shingle overlap: flag corpus documents that
-    * contain an eval phrase VERBATIM (the Lee-et-al/Dolma substring
-    * check; shingle overlap catches paraphrase-level leakage, substring
-    * match proves the benchmark text itself is present). Phrases are the
-    * non-overlapping `phraseLen`-token windows (stride = `phraseLen`) of
-    * each eval document, deduplicated.
+    * contain a full eval PHRASE verbatim at a token boundary (the
+    * Lee-et-al/Dolma n-gram-sequence check: published decontamination
+    * pipelines match token sequences, not raw bytes). Probe phrases are
+    * the non-overlapping `phraseLen`-token windows (stride = `phraseLen`)
+    * of each eval document, deduplicated; a corpus doc hits when ANY of
+    * its stride-1 `phraseLen`-grams equals a probe phrase — i.e. the
+    * phrase appears in full, token-aligned. Where [[contamination]]
+    * counts any shared shingle (the paraphrase-level overlap signal),
+    * this demands a whole designated phrase verbatim — the
+    * high-precision tier of a decontamination stack.
     *
-    * Scale shape: the distinct phrase set is eval-sized (benchmarks are
-    * 10³–10⁶ strings — KBs–MBs against a 100 TB corpus) and is
-    * `broadcast`; the corpus is scanned exactly ONCE with a codegen'd
-    * `contains` predicate per phrase; the only shuffle is the per-doc
-    * count of the (already tiny) hit stream. For eval sets too large for
-    * the nested-loop scan, compose: [[contamination]]'s shingle-overlap
-    * prefilter first, exact `contains` verification on the survivors —
-    * the same candidates-then-verify discipline as the LSH family.
+    * Scale shape: a pure HASH EQUI-JOIN of the corpus n-gram stream
+    * against the eval-sized distinct phrase set — one corpus scan, one
+    * shuffle on the phrase key (AQE splits a hot boilerplate phrase), and
+    * the per-doc count aggregate over the (tiny) hit stream. An earlier
+    * broadcast-NL `contains` formulation measured 31× superlinear at 10×
+    * data (phrases × corpus); the equi-join is linear in corpus + probe
+    * volume and never enumerates the cross product.
     *
-    * Returns (id, n_hits): distinct phrases contained, ≥ `minHits`. */
-  def substringContamination(corpus: DataFrame, evalSet: DataFrame,
-                             idCol: String, textCol: String,
-                             phraseLen: Int = 6, minHits: Long = 1L): DataFrame = {
+    * Returns (id, n_hits): DISTINCT probe phrases contained, ≥ `minHits`. */
+  def phraseContamination(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          phraseLen: Int = 6, minHits: Long = 1L): DataFrame = {
     require(phraseLen >= 1, "phraseLen must be >= 1")
     val toks = split(col(textCol), " ")
-    // 1-based window starts {1, 1+len, ...} ≤ size-phraseLen+1; docs
-    // shorter than one window contribute nothing
+    // probe side: 1-based window starts {1, 1+len, ...} ≤ size-len+1;
+    // docs shorter than one window contribute nothing
     val starts = sequence(lit(1), size(toks) - lit(phraseLen - 1), lit(phraseLen))
     val phrases = evalSet
       .filter(size(toks) >= phraseLen)
       .select(explode(transform(starts,
         i => concat_ws(" ", slice(toks, i, lit(phraseLen))))).as("__p"))
       .distinct()
+    // corpus side: ALL stride-1 n-grams (token-aligned occurrence test);
+    // distinct per doc — n_hits counts distinct phrases, not occurrences
     graft.core.Par.widen(corpus)
-      .select(col(idCol).as("id"), col(textCol).as("__t"))
-      .crossJoin(broadcast(phrases))
-      .filter(col("__t").contains(col("__p")))
+      .filter(size(toks) >= phraseLen)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), phraseLen))).as("__p"))
+      .join(phrases, "__p")
       .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }

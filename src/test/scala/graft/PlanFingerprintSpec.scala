@@ -142,12 +142,13 @@ class PlanFingerprintSpec extends SparkSpec {
   //    the terasort range sort both live behind the row-index machinery's
   //    LogicalRDD boundary (t112's shape, see docs/PLANS.md).
   //  - d134: d22's capped candidate skeleton ending in a 10-row hash-agg.
-  //  - d135: d61's broadcast-eval shape with a contains NL join — ONE
-  //    corpus scan, the only exchange is the tiny per-doc hit count's.
+  //  - d135: a hash equi-join of the corpus n-gram stream against the
+  //    eval phrase set (the contains-NL form was 31x superlinear at 10x);
+  //    probe side broadcasts at this scale, shuffle-join at corpus scale.
   //  - d136: two strata-sized aggregates (the 1-row T side enters as a
   //    broadcast NL cross) + a broadcast-joined map-side filter —
   //    temperatureBalance's shape with the water-filling solve.
-  pin("d135_substring_contamination", "shuffles=4 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
+  pin("d135_phrase_contamination", "shuffles=4 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   pin("d136_target_mix", "shuffles=4 bcast=2 joins=[BroadcastHashJoin=1,BroadcastNestedLoopJoin=1] scans=[1,1,2]")
   //  - s137: the d²-pair generate feeds a partial hash-agg IN-STAGE (the
   //    exchange carries ≤ d(d+1)/2 rows per map partition); means

@@ -659,18 +659,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("substring hits imply shingle-overlap hits (d135 ⊆ d61 at n ≤ phraseLen)") {
-    // a verbatim 6-token window shared with an eval doc forces shared
-    // 5-gram shingles, so every substringContamination doc must also be
-    // flagged by the (strictly looser) shingle-overlap contamination
+  test("phrase hits imply shingle-overlap hits (d135 ⊆ d61 at n ≤ phraseLen)") {
+    // a verbatim token-aligned 6-token window shared with an eval doc
+    // forces shared 5-gram shingles, so every phraseContamination doc must
+    // also be flagged by the (strictly looser) shingle-overlap contamination
     val d = core.Tables.documents(spark, sf("sf0.001"))
     val corpus = d.filter(col("doc_id") % 25 =!= 0)
     val evalSet = d.filter(col("doc_id") % 25 === 0)
-    val sub = ops.Dedup.substringContamination(corpus, evalSet, "doc_id", "text",
+    val sub = ops.Dedup.phraseContamination(corpus, evalSet, "doc_id", "text",
       phraseLen = 6).select("id").as[Long].collect().toSet
     val sh = ops.Dedup.contamination(corpus, evalSet, "doc_id", "text", n = 5)
       .select("id").as[Long].collect().toSet
-    assert(sub.subsetOf(sh), s"substring hits ${sub -- sh} missing from shingle overlap")
+    assert(sub.subsetOf(sh), s"phrase hits ${sub -- sh} missing from shingle overlap")
   }
 
   test("applyChangelog ≡ driver replay for arbitrary I/U/D logs") {

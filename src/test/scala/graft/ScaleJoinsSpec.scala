@@ -682,24 +682,25 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(total == pairs01)
   }
 
-  test("substringContamination: planted verbatim phrases found, paraphrases not") {
+  test("phraseContamination: planted verbatim phrases found, paraphrases and mid-token not") {
     val evalSet = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // windows: [1..6], 2 tokens left over
       (2L, "one two three four five"),                       // < 6 tokens: contributes nothing
       (3L, "red orange yellow green blue indigo violet ultraviolet infrared xray gamma2 radio")
     ).toDF("doc_id", "text")
     val corpus = Seq(
-      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"),      // contains eval-1 window 1
+      (10L, "prefix alpha beta gamma delta epsilon zeta suffix"),      // eval-1 window 1, token-aligned
       (11L, "alpha beta gamma delta zeta epsilon nothing"),            // paraphrase (reordered): no hit
       (12L, "x red orange yellow green blue indigo y violet ultraviolet infrared xray gamma2 radio z"), // both eval-3 windows
       (13L, "one two three four five"),                                // eval-2 too short to emit phrases
-      (14L, "completely unrelated text with many tokens here")
+      (14L, "completely unrelated text with many tokens here"),
+      (15L, "xalpha beta gamma delta epsilon zeta")                    // raw substring but NOT token-aligned: no hit
     ).toDF("doc_id", "text")
-    val hits = ops.Dedup.substringContamination(corpus, evalSet, "doc_id", "text")
+    val hits = ops.Dedup.phraseContamination(corpus, evalSet, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(hits == Map(10L -> 1L, 12L -> 2L), s"got $hits")
-    // empty eval set → empty result (no degenerate cross join)
-    assert(ops.Dedup.substringContamination(corpus, evalSet.limit(0),
+    // empty eval set → empty result
+    assert(ops.Dedup.phraseContamination(corpus, evalSet.limit(0),
       "doc_id", "text").count() == 0L)
   }
 
