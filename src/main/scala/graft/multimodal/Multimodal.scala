@@ -122,8 +122,28 @@ object Multimodal {
     * payload stream — ZERO exchange at any corpus size.
     *
     * Payloads shorter than `cropBytes` are dropped (a real pHash can't
-    * grid a sub-minimum image either). Returns (id, phash). */
+    * grid a sub-minimum image either). Returns (id, phash).
+    *
+    * Implementation is the codegen'd [[graft.functions.PHashExpression]]
+    * tight loop: the original 60-term unrolled Column tree put the
+    * generated source in the Janino-dominated size class (the PqDistTable
+    * lesson), re-paid per fresh plan and per join side — m141 evaluates a
+    * pHash per FRAME on both sides of its pair join and dropped 6.4 s →
+    * ~1 s at sf0.1 with the expression. [[pHash60Unrolled]] keeps the
+    * Column form as the documented equivalence partner (spec-pinned
+    * bit-for-bit equal; it IS the oracle SQL's shape). */
   def pHash60(df: DataFrame, cropBytes: Int = 120): DataFrame = {
+    require(cropBytes >= PHashBits, s"cropBytes=$cropBytes must be >= $PHashBits")
+    df.select(col("media_id").as("id"),
+        graft.functions.PHashExpression.pHash60Native(df.sparkSession,
+          col("media").cast("string"), cropBytes).as("phash"))
+      .filter(col("phash").isNotNull)
+  }
+
+  /** The unrolled Column formulation of [[pHash60]] — kept as the
+    * documented equivalence partner of the codegen'd expression (and the
+    * shape the SQL oracle replays); PipelineSpec pins the two equal. */
+  private[graft] def pHash60Unrolled(df: DataFrame, cropBytes: Int = 120): DataFrame = {
     val n = PHashBits
     require(cropBytes >= n, s"cropBytes=$cropBytes must be >= $n")
     val base = df

@@ -1276,6 +1276,19 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0L)))
   }
 
+  test("pHash60 expression ≡ unrolled Column form on the real corpus") {
+    val media = graft.multimodal.Multimodal.attachBinary(
+      core.Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+    for (crop <- Seq(64, 120)) {
+      val fast = graft.multimodal.Multimodal.pHash60(media, crop)
+        .as[(Long, Long)].collect().toMap
+      val slow = graft.multimodal.Multimodal.pHash60Unrolled(media, crop)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == slow, s"crop=$crop: expression and unrolled form diverge")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "unrelated")
