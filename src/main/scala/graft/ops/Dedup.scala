@@ -724,9 +724,16 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist: 4-band simhash LSH guarantees recall only for maxDist <= 3")
     def sig(fp: Column, j: Int): Column = shiftright(fp, j * 15).bitwiseAND(0x7FFFL)
+    // The explicit (band, bsig) repartition below the per-side renames is
+    // the d23 exchange-reuse trick: it is the very distribution the
+    // self-join needs, its two statically-planned copies are AQE-reused
+    // into ONE runtime stage, and everything UPSTREAM of it (the caller's
+    // fingerprint pipeline — for m141 a whole frame+pHash derivation)
+    // therefore executes once instead of once per join side.
     val banded = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b => sig(col("simhash"), b)): _*))
         .as(Seq("band", "bsig")))
+      .repartition(col("band"), col("bsig"))
     val a = banded.select(col("id").as("id_a"), col("simhash").as("fp_a"),
       col("band"), col("bsig"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("fp_b"),

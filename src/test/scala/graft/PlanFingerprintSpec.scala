@@ -93,11 +93,14 @@ class PlanFingerprintSpec extends SparkSpec {
   pin("d23_minhash_lsh",
     "shuffles=7 bcast=3 joins=[BroadcastHashJoin=3] scans=[2,2,2,2]")
   // r7: the fingerprint is the codegen'd sim_hash60 projection (ZERO
-  // exchange — the 60-sum hash-agg shuffle is gone); the (band, bsig)
-  // bucket equi-join broadcasts at this scale; at corpus scale it is a
-  // two-exchange shuffle join of 32-byte rows
+  // exchange — the 60-sum hash-agg shuffle is gone); the bucket equi-join
+  // broadcasts at this scale. r9: the explicit (band, bsig) repartition
+  // below the per-side renames (the d23 exchange-reuse trick) adds 2
+  // static exchanges whose copies AQE fuses into ONE runtime stage — the
+  // caller's whole fingerprint pipeline now executes once, not per side
+  // (m141's frame+pHash derivation: 3.9 s -> 1.8 s)
   pin("d24_simhash_pairs",
-    "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+    "shuffles=5 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   // broadcast queries × streamed corpus — the NL join is the intended shape
   pin("s29_ann_brute",
     "shuffles=3 bcast=1 joins=[BroadcastNestedLoopJoin=1] scans=[2,2]")
@@ -122,7 +125,7 @@ class PlanFingerprintSpec extends SparkSpec {
   //  - q121: changelog-only window; the snapshot side joins broadcast.
   pin("d111_segment_dedup", "shuffles=4 bcast=0 joins=[] scans=[2]")
   pin("t112_token_budget", "shuffles=1 bcast=0 joins=[] scans=[]")
-  pin("m113_phash_neardup", "shuffles=1 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
+  pin("m113_phash_neardup", "shuffles=3 bcast=1 joins=[BroadcastHashJoin=1] scans=[2,2]")
   pin("p114_snapshot_diff", "shuffles=3 bcast=0 joins=[SortMergeJoin=1] scans=[3,3]")
   pin("s115_rerank_exact", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=2,BroadcastNestedLoopJoin=1] scans=[2,2,2,2]")
   pin("s120_pq_topk", "shuffles=5 bcast=3 joins=[BroadcastHashJoin=2,BroadcastNestedLoopJoin=1] scans=[2,2,2,2]")
