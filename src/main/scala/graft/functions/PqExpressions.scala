@@ -45,6 +45,12 @@ case class PqDistTable(child: Expression, codebook: Seq[Double], m: Int, kc: Int
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // guard the geometry explicitly: a short/long vector would otherwise
+    // surface as an opaque ArrayIndexOutOfBoundsException from deep inside
+    // the (generated) triple loop, with no hint which column was wrong
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_dist_table: vector length ${v.numElements()} != m*subDim = ${m * subDim}")
     val out = new Array[Double](m * kc)
     var s = 0
     while (s < m) {
@@ -74,6 +80,11 @@ case class PqDistTable(child: Expression, codebook: Seq[Double], m: Int, kc: Int
       val d = ctx.freshName("d"); val x = ctx.freshName("x")
       val base = ctx.freshName("base")
       s"""
+         |if ($v.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_dist_table: vector length " + $v.numElements() +
+         |    " != m*subDim = ${m * subDim}");
+         |}
          |double[] $out = new double[${m * kc}];
          |for (int $s = 0; $s < $m; $s++) {
          |  for (int $c = 0; $c < $kc; $c++) {

@@ -730,6 +730,13 @@ object Dedup {
     // into ONE runtime stage, and everything UPSTREAM of it (the caller's
     // fingerprint pipeline — for m141 a whole frame+pHash derivation)
     // therefore executes once instead of once per join side.
+    // TRADE-OFF: a user-specified repartition is REPARTITION_BY_COL, which
+    // AQE's OptimizeSkewedJoin will NOT skew-split (it only splits
+    // ENSURE_REQUIREMENTS exchanges) — so a pathologically hot (band, bsig)
+    // bucket stays one task here, where the equi-join's natural exchange
+    // would have been split. The jaccardPairs path caps bucket width
+    // upstream (maxShingleDf) instead; simhash buckets are 15-bit
+    // signatures whose width is bounded by corpus duplication itself.
     val banded = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b => sig(col("simhash"), b)): _*))
         .as(Seq("band", "bsig")))

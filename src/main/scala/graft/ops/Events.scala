@@ -136,22 +136,6 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_ffill"))
   }
 
-  /** Top event-type PATHS: the most frequent length-`n` consecutive
-    * event-type sequences across users (the "what do users actually do"
-    * path-analysis query). A path is the event types of `n` consecutive
-    * events of ONE user in (timestamp, event-id) order — the id tie-break
-    * makes same-timestamp runs deterministic and engine-portable.
-    *
-    * Scale shape: ONE user-keyed window exchange builds the lead chain
-    * (each row carries its next n−1 types — no per-user collect, no
-    * sequence materialization), then a map-side-combined hash aggregate
-    * on the path string (|distinct paths| ≤ |event types|^n rows — tiny),
-    * and the top-N is TakeOrdered (per-partition heaps). Windows crossing
-    * a user's end (NULL leads) are excluded, matching the per-user
-    * sequence semantics.
-    *
-    * Output: (path, n_occurrences, rank), `topN` rows,
-    * ties (n_occurrences) broken lexicographically by path. */
   /** Type-2 slowly-changing-dimension history from an event log: per key,
     * collapse consecutive runs of the same tracked value into validity
     * intervals [valid_from, valid_to) — the "build the dimension table
@@ -192,6 +176,22 @@ object Events {
         col("n_events"), col("is_current"))
   }
 
+  /** Top event-type PATHS: the most frequent length-`n` consecutive
+    * event-type sequences across users (the "what do users actually do"
+    * path-analysis query). A path is the event types of `n` consecutive
+    * events of ONE user in (timestamp, event-id) order — the id tie-break
+    * makes same-timestamp runs deterministic and engine-portable.
+    *
+    * Scale shape: ONE user-keyed window exchange builds the lead chain
+    * (each row carries its next n−1 types — no per-user collect, no
+    * sequence materialization), then a map-side-combined hash aggregate
+    * on the path string (|distinct paths| ≤ |event types|^n rows — tiny),
+    * and the top-N is TakeOrdered (per-partition heaps). Windows crossing
+    * a user's end (NULL leads) are excluded, matching the per-user
+    * sequence semantics.
+    *
+    * Output: (path, n_occurrences, rank), `topN` rows,
+    * ties (n_occurrences) broken lexicographically by path. */
   def topPaths(events: DataFrame, n: Int, topN: Int,
                userCol: String = "user_id", typeCol: String = "event_type",
                tsCol: String = "ts_ns", idCol: String = "event_id"): DataFrame = {

@@ -23,13 +23,20 @@ object Quality {
     * a pass. */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
-    val aggs = checks.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    // positional internal aliases, typed Columns throughout: check NAMES
+    // are data (lit), never spliced into a parsed SQL string — a quote or
+    // backtick in a user-supplied name cannot break (or inject into) the
+    // plan. The explode of an array literal emits rows in array order,
+    // exactly stack's row-major emission.
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__c$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
-    one.select(expr(
-      s"stack(${checks.size}, $stackArgs) as (check, n_violations)"))
+    val kvs = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col(s"__c$i").as("n_violations"))
+    }
+    one.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.check").as("check"), col("kv.n_violations").as("n_violations"))
   }
 
   /** Key-uniqueness check: n_violations = rows in EXCESS of one per key

@@ -371,6 +371,11 @@ object Sampling {
     val in = df.cache()
     val ordered = in.orderBy(col(scoreCol).desc, col(idCol).asc)
     val (cum, _) = Relational.withRunningTotalCounted(ordered, nTokensCol, cumCol)
+    // the running-total helper has already RUN the sort's map stage (its
+    // per-partition-sums job executes eagerly), so the final scan below
+    // reads the sort's shuffle files — the cache has served its purpose
+    // and holding it for the session's lifetime would leak executor memory
+    in.unpersist(blocking = false)
     cum.filter(col(cumCol) <= budgetTokens)
   }
 

@@ -183,5 +183,10 @@ class RelationalSpec extends SparkSpec {
         extra = Seq(Quality.uniqueCheck(clean, Seq("k"))))
       .as[(String, Long)].collect().toMap
     assert(rep == Map("v_pos" -> 0L, "unique_key" -> 0L))
+    // hostile check names are DATA (lit), never spliced into a SQL parse
+    val hostile = "it's `weird`, название"
+    val hc = Quality.rowChecks(t, Seq(hostile -> (col("v") > 0)))
+      .as[(String, Long)].collect().toSeq
+    assert(hc == Seq((hostile, 2L)))
   }
 }

@@ -812,4 +812,30 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(k3 == Set(1L, 3L, tieWinner))
     assert(ops.Sampling.topKByScore(d, "g", "id", "score", 10).count() == d.count())
   }
+
+  test("PqDistTable: wrong-length vector fails with an explicit geometry error") {
+    val cb = ops.Similarity.pqCodebook(8, 16, 8) // m=8, kc=16, subDim=8 -> dim 64
+    val c = graft.functions.PqExpressions.pqDistTable(spark, col("embedding"), cb)
+    def rootMsgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ rootMsgs(t.getCause)
+    // codegen path (DataFrame execution)
+    val bad = Seq((1L, Array.fill(63)(0.1f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Throwable] { bad.select(c).collect() }
+    assert(rootMsgs(e1).exists(_.contains("pq_dist_table: vector length 63")),
+      s"unexpected error chain: ${rootMsgs(e1)}")
+    // interpreted path (direct nullSafeEval)
+    val expr = graft.functions.PqDistTable(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.fill(63)(0.1f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      cb.flatten.flatten.toSeq, 8, 16)
+    val e2 = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.fill(63)(0.1f)))
+    }
+    assert(e2.getMessage.contains("vector length 63"))
+    // and the correct length still evaluates
+    val ok = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    assert(ok.select(c).collect().head.getSeq[Double](0).length == 8 * 16)
+  }
 }
