@@ -14,6 +14,16 @@ object Graph {
 
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** One round's per-neighbor contribution stream: `sym(n,m)` joined with
+    * the node-sized `prIn(n,__c)`. Extracted so GraphSpec can pin both
+    * join strategies' physical shapes (BroadcastHashJoin vs
+    * ShuffledHashJoin) without running a whole iteration. */
+  private[graft] def contribution(sym: DataFrame, prIn: DataFrame,
+                                useBroadcast: Boolean): DataFrame =
+    (if (useBroadcast) sym.join(broadcast(prIn), "n")
+     else sym.join(prIn.hint("shuffle_hash"), "n"))
+      .select(col("m").as("node"), col("__c"))
+
   /** PageRank over an UNDIRECTED edge list, fixed iteration count —
     * engineered for exact cross-engine reproducibility, which no floating
     * PageRank normally has:
@@ -41,30 +51,61 @@ object Graph {
     * what matters, and on near-dup graphs — tight, dense clusters — the
     * within-cluster order stabilizes within about the cluster diameter
     * (the d73 convergence argument); 5 rounds ranks them, 10+ is for
-    * rank VALUES on long-diameter graphs. Returns (node, pr). */
+    * rank VALUES on long-diameter graphs. Returns (node, pr).
+    *
+    * `broadcastMaxNodes` gates the per-round join strategy. At or below
+    * it, the node-sized rank relation is BROADCAST each round and the
+    * edge cache (partitioned on the contribution key `m`) never moves —
+    * the fast path for graphs whose node set fits comfortably on the
+    * driver and every executor (4M × ~16 B/row ≈ 64 MB serialized, but
+    * re-sent to every executor every round — the real cost at cluster
+    * scale is rounds × executors × size). ABOVE it — a 100 TB corpus's
+    * near-dup graph can reach 10^8-10^9 nodes, where a per-round
+    * node-sized broadcast is a driver OOM — the edge cache is instead
+    * partitioned on the JOIN key `n` and each round shuffle-hash-joins
+    * the rank relation against it: only the node-sized rank rows and the
+    * node-sized partial contribution sums cross the network per round;
+    * the edge list never re-shuffles after the one-time build. Both
+    * paths are bit-identical (the DECIMAL(27,7) contribution sums are
+    * order-independent, so partitioning cannot leak into any kept bit —
+    * pinned by GraphSpec). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
+               teleport: Double = 0.15,
+               broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // teleport is an EXPLICIT constant, never computed as 1 − damping:
     // 1.0 - 0.85 = 0.15000000000000002 in IEEE double, a different number
     // than the literal 0.15 the SQL oracle would write — the kind of
     // last-ulp divergence the whole design exists to exclude
-    // The cache is partitioned on the CONTRIBUTION-SUM key `m`, not the
-    // join key `n`: the rank side is broadcast every round, so the join
-    // imposes no distribution on the edge list — but the per-round
-    // groupBy(m) does. Partitioning the cache on m lets every round's
-    // HashAggregate reuse the cached distribution (alias-aware output
-    // partitioning carries m→node through the project), so after the
-    // one-time build NO round shuffles the edge list at all.
-    val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+    // In broadcast mode the cache is partitioned on the CONTRIBUTION-SUM
+    // key `m`, not the join key `n`: the broadcast join imposes no
+    // distribution on the edge list, but the per-round groupBy(m) does.
+    // Partitioning the cache on m lets every round's HashAggregate reuse
+    // the cached distribution (alias-aware output partitioning carries
+    // m→node through the project), so after the one-time build NO round
+    // shuffles the edge list at all. The mode decision needs the node
+    // count, so the m-partitioned cache is built first either way (the
+    // caller's edge pipeline must run exactly ONCE); the shuffle-mode
+    // re-layout below reads from this cache, not from the pipeline.
+    val symM = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
       .repartition(col("m")).cache()
     // Degrees are node-sized and read every round — cache them too, or
     // each round re-runs the edge-sized degree aggregation.
-    val nodes = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val nodes = symM.groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .select(col("n").as("node"), col("deg")).cache()
     val nN = nodes.count() // node-sized aggregate, one driver scalar; materializes the cache
+    val useBroadcast = nN <= broadcastMaxNodes
+    val sym = if (useBroadcast) symM else {
+      // one extra edge shuffle at BUILD time (m-layout → n-layout), paid
+      // once so that no round pays it: the per-round join is then
+      // co-located on the cached n-partitioning
+      val s = symM.repartition(col("n")).cache()
+      s.count()
+      symM.unpersist(blocking = false)
+      s
+    }
     val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
@@ -75,17 +116,20 @@ object Graph {
     var pr = truncate(nodes.select(col("node"), col("deg"),
       r6(lit(1.0) / lit(nN.toDouble)).as("pr")))
     for (_ <- 1 to iters) {
-      // explicit broadcast: the truncated rank relation is a LogicalRDD
-      // with no stats, so the planner would otherwise shuffle-join
-      // against the (much larger) edge cache every round. The rank side
-      // is NODE-sized — the same candidate-sized-broadcast contract
-      // dedupByClusters runs on — and broadcasting it keeps the edge
-      // list where its cache already lives. (At sf0.1 the d128 cost is
-      // dominated by building the 271k-pair graph plus ~1 s/round of
+      // Fast path — explicit broadcast: the truncated rank relation is a
+      // LogicalRDD with no stats, so the planner would otherwise
+      // shuffle-join against the (much larger) edge cache every round.
+      // The rank side is NODE-sized — the same candidate-sized-broadcast
+      // contract dedupByClusters runs on — and broadcasting it keeps the
+      // edge list where its cache already lives. (At sf0.1 the d128 cost
+      // is dominated by building the 271k-pair graph plus ~1 s/round of
       // join+agg — the iterative floor of the CC family.)
-      val contrib = sym.join(broadcast(
-        pr.select(col("node").as("n"), r6(col("pr") / col("deg")).as("__c"))), "n")
-        .select(col("m").as("node"), col("__c"))
+      // Scale path — shuffle_hash hint: build the per-partition hash map
+      // from the node-sized rank side, never sort (SMJ would re-sort the
+      // edge cache every round); the edge side stays where the
+      // n-partitioned cache put it.
+      val prIn = pr.select(col("node").as("n"), r6(col("pr") / col("deg")).as("__c"))
+      val contrib = contribution(sym, prIn, useBroadcast)
       val sums = contrib.groupBy(col("node"))
         .agg(sum(col("__c").cast("decimal(27,7)")).as("__s"))
       pr = truncate(nodes.join(sums, Seq("node"), "left")

@@ -1333,6 +1333,29 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ${got.values.sum}")
   }
 
+  test("pageRank: broadcast and shuffle-join paths are bit-identical; plan shapes pinned") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 7L), (7L, 1L))
+    // default threshold → broadcast path; threshold 0 → shuffle_hash path.
+    // The DECIMAL(27,7) contribution sums are order-independent, so the
+    // partitioning difference must not leak into ANY kept bit.
+    val viaBroadcast = ops.Graph.pageRank(edges.toDF("a", "b"), "a", "b", iters = 7)
+      .as[(Long, Double)].collect().toMap
+    val viaShuffle = ops.Graph.pageRank(edges.toDF("a", "b"), "a", "b", iters = 7,
+        broadcastMaxNodes = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(viaBroadcast == viaShuffle)
+    // plan pins for one round's join, per mode
+    val sym = edges.toDF("n", "m")
+    val prIn = Seq((1L, 0.1)).toDF("n", "__c")
+    val bPlan = ops.Graph.contribution(sym, prIn, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"broadcast path plan:\n$bPlan")
+    val sPlan = ops.Graph.contribution(sym, prIn, useBroadcast = false)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastHashJoin") && sPlan.contains("ShuffledHashJoin"),
+      s"shuffle path plan:\n$sPlan")
+  }
+
   test("Snapshot.diff + diffSummary: classification, unchanged omitted, counts") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val b = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
