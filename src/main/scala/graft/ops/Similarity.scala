@@ -356,6 +356,78 @@ object Similarity {
       ((h % 1024L) - 512L).toDouble / 1024.0
     }
 
+  /** TRAINED product-quantization codebook: per-subspace k-means (Lloyd)
+    * over a deterministic `trainCap`-row sample — the real-deployment
+    * substitute [[pqCodebook]]'s scaladoc promises, with the [[ivfTopK]]
+    * training contract: the sample is the first `trainCap` rows in
+    * md5(id) order (a content-derived pseudo-random order, one
+    * TakeOrderedAndProject pass), so training cost is CONSTANT in corpus
+    * size and the result is reproducible run-to-run with no RNG state.
+    * The m·k·subDim fit itself runs driver-local over the already-
+    * collected sample — a distributed KMeans per subspace would pay `m`
+    * job schedules to fit a few thousand rows. Initial centroids are the
+    * first `k` distinct subvectors in sample order; assignment is
+    * squared-L2 with lowest-index tie-break; an emptied cluster keeps its
+    * previous centroid. Returns the Array[m][k][subDim] shape
+    * [[pqEncode]]/[[pqTopK]]/[[lshPqTopK]] consume unchanged.
+    *
+    * Trained artifacts are rows-only territory (no SQL oracle replays
+    * k-means — the s36 IVF precedent), so the query carrying this
+    * codebook is BENCH-ONLY (x120) and SimilaritySpec bounds it against
+    * exact brute force instead: at full expand the re-rank is exact
+    * (identical to [[bruteForceTopK]]); at expand=4 a recall floor. */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int, subDim: Int, iters: Int = 5,
+                        trainCap: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 1 && subDim >= 1 && iters >= 1 && trainCap >= k,
+      s"m=$m k=$k subDim=$subDim iters=$iters trainCap=$trainCap invalid")
+    val dim = m * subDim
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .filter(size(col("__v")) === dim)
+      .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
+      .limit(trainCap)
+      .select(col("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"only ${sample.length} training vectors of dim $dim (need >= $k)")
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // first k DISTINCT subvectors in sample order seed the centroids;
+      // if the subspace has fewer distinct values, pad by repeating the
+      // first (those clusters empty out and keep their seed — harmless)
+      val seen = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+      sub.iterator.takeWhile(_ => seen.size < k).foreach(v => seen += v.toSeq)
+      var cents: Array[Array[Double]] =
+        Array.tabulate(k)(i => if (i < seen.size) seen.toIndexedSeq(i).toArray
+                               else seen.head.toArray)
+      def nearest(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < subDim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < = lowest-index ties
+          c += 1
+        }
+        best
+      }
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k, subDim)(0.0)
+        val counts = Array.fill(k)(0L)
+        sub.foreach { v =>
+          val c = nearest(v); counts(c) += 1
+          var j = 0; while (j < subDim) { sums(c)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(subDim)(j => sums(c)(j) / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
   /** Product-quantization encoding: each vector becomes `m` small codes
     * (nearest centroid per subspace, squared-L2, ties → lowest code) —
     * the 4-bit-per-subspace compression under PQ-based ANN (a 64-dim

@@ -483,6 +483,48 @@ class ScaleJoinsSpec extends SparkSpec {
       brute.get(key).foreach(b => assert(b == c, s"score mismatch at $key")) }
   }
 
+  test("pqCodebookTrained: deterministic, full expand ≡ brute force, tight-expand recall floor") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 5)
+    val fit = () => ops.Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+      m = 8, k = 16, subDim = 8, trainCap = 512)
+    val cb = fit()
+    // no RNG state anywhere: refitting reproduces the codebook bit-for-bit
+    assert(cb.flatten.flatten.toSeq == fit().flatten.flatten.toSeq)
+    assert(cb.length == 8 && cb.forall(s => s.length == 16 && s.forall(_.length == 8)))
+    val brute = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // full-corpus expand: the exact re-rank IS brute force regardless of
+    // codebook quality — same invariant the md5-grid pqTopK test pins
+    val n = e.count().toInt
+    val full = ops.Similarity.pqTopK(e, q, "vec_id", "embedding", 10,
+        cb, expand = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute, "full-expand trained-PQ must reproduce brute-force top-k")
+    // tight expand (the x120 knobs): k rows per query, agreed rows carry
+    // identical scores. Absolute recall through a 4x buffer is bounded by
+    // the ADC approximation itself (squared-L2 over 8x-compressed codes
+    // ranking a COSINE objective on unnormalized vectors) — the md5 grid
+    // measures 22/50 here, training lifts it to 26/50, expand=8 to 39/50
+    // — so the pins are (a) training is never WORSE than the untrained
+    // grid at identical knobs and (b) a 50% absolute floor; both exact
+    // every run (deterministic sample + Lloyd, no RNG state)
+    def recallAt(codebook: Array[Array[Array[Double]]]) = {
+      val got = ops.Similarity.pqTopK(e, q, "vec_id", "embedding", 10,
+          codebook, expand = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      assert(got.groupBy(_._1._1).forall(_._2.length == 10), "k rows per query")
+      val tm = got.toMap
+      val overlap = tm.keySet.intersect(brute.keySet)
+      overlap.foreach(k => assert(tm(k) == brute(k)))
+      overlap.size
+    }
+    val trained = recallAt(cb)
+    val grid = recallAt(ops.Similarity.pqCodebook(8, 16, 8))
+    assert(trained >= grid, s"trained $trained < grid $grid")
+    assert(trained * 2 >= brute.size, s"recall floor: $trained/${brute.size}")
+  }
+
   test("q125: MIN/MAX/COUNT answered from parquet footer statistics (PushedAggregation)") {
     val s = spark.newSession()
     // aggregate pushdown exists only in the V2 parquet reader; the scoped
