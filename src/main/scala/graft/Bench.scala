@@ -15,10 +15,32 @@ package graft
   *  - on deadline, everything reached has a warm min (reps 2+ of a query
   *    are only skipped when the deadline hits between its reps — flagged
   *    per-query as "warm":false).
+  *
+  * Round 11 additions:
+  *  - GRAPH-FAMILY PREFIX SHARING: Bench sets -Dgraft.bench.sharePrefix=1
+  *    so d128/d130 reuse one simhash pair build and d73/d95 one jaccard
+  *    pair build (SparkEntry.sharedPrefix) — the r10 deadline was consumed
+  *    by exactly this family rebuilding identical prefixes. The artifact's
+  *    "share_prefix" flag marks the mode; correctness runs never share.
+  *  - VARIANCE GUARD: after the schedule, any query whose min exceeds
+  *    ~3.5× its prior committed min (the ordering source) is requeued for
+  *    one extra rep-set — r10 published d22 at 18.35 s (14.7× builder)
+  *    because all three reps landed in one host-contention storm and
+  *    nothing re-checked. Requeued names + trigger ratios land in the
+  *    artifact ("requeued"), so a number that STAYS high after the re-run
+  *    is a regression, not noise.
+  *  - PER-REP GC/JIT DELTAS: each rep records how much JVM GC and JIT
+  *    time it absorbed ("gc_ms"/"jit_ms" arrays per query) — a storm or
+  *    compile spike is visible in the artifact instead of being
+  *    indistinguishable from a plan regression.
+  *
   * The stdout line is a COMPACT summary (total, counts, slowest-10) —
   * the full 141-query line exceeded the driver's ~2.2 KB stdout-tail
   * capture in r8 AND r9 (`parsed: null`); per-query detail lives in the
-  * committed artifact.
+  * committed artifact. The stdout "value" is null whenever any query
+  * FAILED (a failure-tainted sum is not comparable round-over-round);
+  * on a deadline truncation value is the partial sum and the consumer
+  * must gate on "deadline_hit"/"n_queries" before comparing totals.
   */
 object Bench {
   private def jitMs: Long = {
@@ -31,10 +53,25 @@ object Bench {
       .map(_.getCollectionTime.max(0L)).sum
   }
 
+  /** JSON string literal: escapes backslash, quote and all control chars —
+    * env-derived paths (sfDir, artifact, order source) are interpolated
+    * into the artifact and the stdout line, and a quote or backslash in
+    * one would otherwise emit invalid JSON. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Per-query warm mins from the newest committed round artifact
     * (bench/BENCH_local_r{N}.json, highest N; override with
-    * SPARK_GRAFT_BENCH_ORDER). Used ONLY to order cheapest-first —
-    * a parse failure degrades to name order, never to an error. */
+    * SPARK_GRAFT_BENCH_ORDER). Used to order cheapest-first and as the
+    * variance-guard reference — a parse failure degrades to name order
+    * and no guard, never to an error. */
   private def priorMins(): (String, Map[String, Double]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_ORDER").map(Paths.get(_))
@@ -44,10 +81,12 @@ object Bench {
       else {
         import scala.jdk.CollectionConverters._
         val re = "BENCH_local_r(\\d+)\\.json".r
-        Files.list(dir).iterator().asScala
-          .flatMap { p => p.getFileName.toString match {
-            case re(n) => Some((n.toInt, p)); case _ => None } }
-          .toSeq.sortBy(-_._1).headOption.map(_._2)
+        scala.util.Using.resource(Files.list(dir)) { stream =>
+          stream.iterator().asScala
+            .flatMap { p => p.getFileName.toString match {
+              case re(n) => Some((n.toInt, p)); case _ => None } }
+            .toSeq
+        }.sortBy(-_._1).headOption.map(_._2)
       }
     }
     chosen match {
@@ -72,6 +111,14 @@ object Bench {
     // overshoot = one in-flight rep; the running artifact already holds
     // every completed query either way.
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "420").toDouble
+    // variance guard: requeue any measured query whose min landed above
+    // ratio × its prior committed min AND at least 0.3 s above it (sub-
+    // second queries bounce around 2-3× on this host as pure noise)
+    val guardRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_RATIO", "3.5").toDouble
+    // graph-family prefix sharing (see SparkEntry.sharedPrefix); opt out
+    // with SPARK_GRAFT_SHARE_PREFIX=0 to measure full per-query lineage
+    val sharePrefix = sys.env.getOrElse("SPARK_GRAFT_SHARE_PREFIX", "1") == "1"
+    if (sharePrefix) System.setProperty("graft.bench.sharePrefix", "1")
     // the library's own session factory (incl. the scale-aware AQE knobs):
     // the bench must measure the configuration users actually run
     val spark = core.Engine.session(s"local[$cpus]", cpus.toInt)
@@ -88,10 +135,18 @@ object Bench {
     val (orderSource, prior) = priorMins()
     // cheapest-first; queries with no committed min (new this round) slot
     // at a mid-cost 0.5 s estimate rather than the front (they may be
-    // expensive) or the back (they would never get driver numbers)
-    val queryList = pool.toSeq
+    // expensive) or the back (they would never get driver numbers).
+    // Cheapest-first + a binding deadline systematically starves the
+    // expensive tail of fresh numbers; SPARK_GRAFT_BENCH_TAIL_FIRST=k
+    // rotates the k priciest to the FRONT for a periodic tail-focused
+    // sweep (off by default — the driver run should maximize coverage).
+    val tailFirst = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_FIRST", "0").toInt
+    val cheapFirst = pool.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (prior.getOrElse(name, 0.5), name) }
+    val queryList =
+      if (tailFirst <= 0) cheapFirst
+      else cheapFirst.takeRight(tailFirst).reverse ++ cheapFirst.dropRight(tailFirst)
     // a throwing query must surface as a FAILURE, not masquerade as a fast
     // timing — its failed rep is recorded as null (excluded from min/total)
     // and the process exits non-zero
@@ -100,15 +155,18 @@ object Bench {
     val (jit0, gc0) = (jitMs, gcMs)
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     var deadlineHit = false
-    // per query: (rep timings in run order; None = that rep failed)
-    val results = scala.collection.mutable.LinkedHashMap[String, Vector[Option[Double]]]()
+    // per query, in run order: (seconds or None=failed, gc delta ms, jit delta ms)
+    case class Rep(secs: Option[Double], gc: Long, jit: Long)
+    val results = scala.collection.mutable.LinkedHashMap[String, Vector[Rep]]()
+    // requeued queries → the min/prior ratio that triggered the guard
+    val requeued = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def minOf(ts: Vector[Option[Double]]): Option[Double] = {
-      val ok = ts.flatten; if (ok.isEmpty) None else Some(ok.min)
+    def minOf(ts: Vector[Rep]): Option[Double] = {
+      val ok = ts.flatMap(_.secs); if (ok.isEmpty) None else Some(ok.min)
     }
-    def isWarm(ts: Vector[Option[Double]]): Boolean = ts.flatten.size >= 2
+    def isWarm(ts: Vector[Rep]): Boolean = ts.flatMap(_.secs).size >= 2
     def writeArtifact(done: Boolean): Unit = {
       val mins = results.toSeq.flatMap { case (n, ts) => minOf(ts).map(n -> _) }
       val nWarm = results.count { case (_, ts) => isWarm(ts) }
@@ -118,51 +176,83 @@ object Bench {
       // let n_queries say how many mins the total aggregates
       val totalJson = if (failed.isEmpty) fmt(total) else "null"
       val detail = results.toSeq.sortBy(_._1).map { case (n, ts) =>
-        val per = ts.map(_.map(fmt).getOrElse("null")).mkString("[", ",", "]")
-        s""""$n":{"passes":$per,"min":${minOf(ts).map(fmt).getOrElse("null")},"warm":${isWarm(ts)}}"""
+        val per = ts.map(_.secs.map(fmt).getOrElse("null")).mkString("[", ",", "]")
+        val gcs = ts.map(_.gc.toString).mkString("[", ",", "]")
+        val jits = ts.map(_.jit.toString).mkString("[", ",", "]")
+        s""""$n":{"passes":$per,"min":${minOf(ts).map(fmt).getOrElse("null")},"warm":${isWarm(ts)},"gc_ms":$gcs,"jit_ms":$jits}"""
       }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skipped = queryList.map(_._1).filterNot(results.contains)
       val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val requeuedJson = requeued.map { case (n, r) => s""""$n":${fmt(r)}""" }
+        .mkString("{", ",", "}")
       val art =
-        s"""{"sf":"$sfDir","cpus":$cpus,"scheduling":"query-major","order_source":"$orderSource","reps":$reps,"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
+    }
+    /** One rep-set (up to `reps` reps, deadline-gated between reps) of a
+      * query, appended to any reps it already has. Sets deadlineHit when
+      * the gate trips mid-set. */
+    def runReps(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      var ts = results.getOrElse(name, Vector.empty[Rep])
+      var rep = 0
+      var stop = false
+      while (rep < reps && !stop) {
+        rep += 1
+        if (rep > 1 && elapsed > deadlineS) {
+          // keep what we have rather than discard the query; the
+          // per-query "warm" flag records the downgrade
+          deadlineHit = true; stop = true
+        } else {
+          val (g0, j0) = (gcMs, jitMs)
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+              false
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          ts :+= Rep(if (ok) Some(secs) else None, gcMs - g0, jitMs - j0)
+          spark.catalog.clearCache() // drop operator-internal persists between reps
+          if (!ok) stop = true // don't re-run a throwing query twice more
+        }
+      }
+      results(name) = ts
+      System.err.println(f"[bench] $name ${ts.map(_.secs.map(fmt).getOrElse("FAIL")).mkString("/")} s min=${minOf(ts).map(fmt).getOrElse("-")}")
+      writeArtifact(done = false)
     }
     val it = queryList.iterator
     while (it.hasNext && !deadlineHit) {
       val (name, fn) = it.next()
       if (elapsed > deadlineS) {
         deadlineHit = true
-        System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured (all warm)")
-      } else {
-        var ts = Vector.empty[Option[Double]]
-        var rep = 0
-        var stop = false
-        while (rep < reps && !stop) {
-          rep += 1
-          if (rep > 1 && elapsed > deadlineS) {
-            // keep rep-1's (cold) min rather than discard the query; the
-            // per-query "warm" flag records the downgrade
-            deadlineHit = true; stop = true
-          } else {
-            val t0 = System.nanoTime()
-            val ok = try { fn(spark, sfDir).count(); true } catch {
-              case e: Throwable =>
-                failed += name
-                System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-                false
-            }
-            val secs = (System.nanoTime() - t0) / 1e9
-            ts :+= (if (ok) Some(secs) else None)
-            spark.catalog.clearCache() // drop operator-internal persists between reps
-            if (!ok) stop = true // don't re-run a throwing query twice more
-          }
+        val nWarm = results.count { case (_, ts) => isWarm(ts) }
+        System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
+      } else runReps(name, fn)
+    }
+    // variance guard: a min far above the prior committed min usually means
+    // every rep landed in one host-contention storm (r10's d22: 18.35 s
+    // published vs a 1.25 s prior — storm visible in adjacent queries'
+    // reps). One extra rep-set at the END of the schedule gives the query a
+    // different time window; a min that SURVIVES the re-run is a real
+    // regression and stays high with its trigger ratio on record.
+    if (!deadlineHit) {
+      val byName = pool.toMap
+      val suspects = results.toSeq.flatMap { case (n, ts) =>
+        for {
+          m <- minOf(ts); p <- prior.get(n)
+          if !failed.contains(n) && m > p * guardRatio && m - p > 0.3
+        } yield (n, m / p)
+      }
+      suspects.foreach { case (n, ratio) =>
+        if (elapsed <= deadlineS) {
+          requeued(n) = ratio
+          System.err.println(f"[bench] variance guard: requeue $n (min ${ratio}%.1fx prior)")
+          byName.get(n).foreach(runReps(n, _))
         }
-        results(name) = ts
-        System.err.println(f"[bench] $name ${ts.map(_.map(fmt).getOrElse("FAIL")).mkString("/")} s min=${minOf(ts).map(fmt).getOrElse("-")}")
-        writeArtifact(done = false)
       }
     }
     writeArtifact(done = !deadlineHit)
@@ -174,7 +264,12 @@ object Bench {
     val slow = mins.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_warm":$nWarm,"deadline_hit":$deadlineHit,"failed":$failedJson,"artifact":"$artifact","queries":$slow,"sf":"$sfDir"}""")
+    // value mirrors the artifact's total_min: null when any query failed
+    // (the sum silently drops the failed query's cost and is NOT
+    // comparable); on deadline truncation value is the partial sum —
+    // consumers must gate on deadline_hit / n_queries before comparing.
+    val valueJson = if (failed.isEmpty) fmt(total) else "null"
+    println(s"""{"metric":"total","value":$valueJson,"unit":"sec","n_queries":${mins.size},"n_warm":$nWarm,"deadline_hit":$deadlineHit,"failed":$failedJson,"artifact":${jstr(artifact)},"queries":$slow,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
