@@ -111,6 +111,14 @@ object Bench {
     // overshoot = one in-flight rep; the running artifact already holds
     // every completed query either way.
     val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "420").toDouble
+    // adaptive reps: a query whose prior committed min is already ≥ this
+    // cutoff runs ONE fewer rep (never below 2 — two successful reps keep
+    // the min warm). The warm min of a multi-second query is stable enough
+    // that a third rep buys ~nothing, and the skipped reps are exactly what
+    // let the full 141-query surface fit the 420 s deadline (the r11 dry
+    // run finished 140/141 at 423 s — the fat tail's third reps were the
+    // overrun). Set to a huge value to disable.
+    val fatCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAT_CUTOFF_S", "1.2").toDouble
     // variance guard: requeue any measured query whose min landed above
     // ratio × its prior committed min AND at least 0.3 s above it (sub-
     // second queries bounce around 2-3× on this host as pure noise)
@@ -187,7 +195,7 @@ object Bench {
       val requeuedJson = requeued.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -195,11 +203,12 @@ object Bench {
     /** One rep-set (up to `reps` reps, deadline-gated between reps) of a
       * query, appended to any reps it already has. Sets deadlineHit when
       * the gate trips mid-set. */
-    def runReps(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def runReps(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                nReps: Int = reps): Unit = {
       var ts = results.getOrElse(name, Vector.empty[Rep])
       var rep = 0
       var stop = false
-      while (rep < reps && !stop) {
+      while (rep < nReps && !stop) {
         rep += 1
         if (rep > 1 && elapsed > deadlineS) {
           // keep what we have rather than discard the query; the
@@ -231,7 +240,10 @@ object Bench {
         deadlineHit = true
         val nWarm = results.count { case (_, ts) => isWarm(ts) }
         System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
-      } else runReps(name, fn)
+      } else {
+        val fat = prior.get(name).exists(_ >= fatCutoff)
+        runReps(name, fn, if (fat) (reps - 1).max(2) else reps)
+      }
     }
     // variance guard: a min far above the prior committed min usually means
     // every rep landed in one host-contention storm (r10's d22: 18.35 s
