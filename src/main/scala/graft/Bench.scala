@@ -28,7 +28,14 @@ package graft
   *    because all three reps landed in one host-contention storm and
   *    nothing re-checked. Requeued names + trigger ratios land in the
   *    artifact ("requeued"), so a number that STAYS high after the re-run
-  *    is a regression, not noise.
+  *    is a regression, not noise. A suspect the deadline leaves no budget
+  *    to re-run is flagged in "guard_skipped" (its min is storm-suspect);
+  *    "complete" reflects the SCHEDULE only — a deadline trip inside the
+  *    guard phase cannot retroactively mark a fully measured run
+  *    incomplete. Priors from a different scale factor (the artifact's
+  *    "sf" differs from this run's) order the schedule but are excluded
+  *    from the guard and the fat-rep cutoff — absolute cross-scale
+  *    comparisons would spuriously requeue every honestly-scaling query.
   *  - PER-REP GC/JIT DELTAS: each rep records how much JVM GC and JIT
   *    time it absorbed ("gc_ms"/"jit_ms" arrays per query) — a storm or
   *    compile spike is visible in the artifact instead of being
@@ -71,8 +78,13 @@ object Bench {
     * (bench/BENCH_local_r{N}.json, highest N; override with
     * SPARK_GRAFT_BENCH_ORDER). Used to order cheapest-first and as the
     * variance-guard reference — a parse failure degrades to name order
-    * and no guard, never to an error. */
-  private def priorMins(): (String, Map[String, Double]) = {
+    * and no guard, never to an error. Also returns the prior artifact's
+    * own "sf" string: a prior from a DIFFERENT scale still orders the
+    * schedule usefully (relative costs are stable across scale), but its
+    * absolute mins must not feed the variance guard or the fat-rep
+    * cutoff — a 10× run judged against sf0.1 priors would spuriously
+    * requeue every query whose honest scale ratio exceeds guardRatio. */
+  private def priorMins(): (String, String, Map[String, Double]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_ORDER").map(Paths.get(_))
     val chosen = explicit.orElse {
@@ -93,8 +105,11 @@ object Bench {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
         val q = "\"([A-Za-z0-9_]+)\":\\{\"passes\":\\[[^\\]]*\\],\"min\":([0-9.]+)".r
-        (p.toString, q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
-      case _ => ("none", Map.empty)
+        val sfRe = "\"sf\":\"([^\"]*)\"".r
+        val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        (p.toString, priorSf,
+          q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      case _ => ("none", "", Map.empty)
     }
   }
 
@@ -140,7 +155,13 @@ object Bench {
     val pool =
       if (only.isDefined) SparkEntry.queries ++ SparkEntry.benchOnlyQueries
       else SparkEntry.queries
-    val (orderSource, prior) = priorMins()
+    val (orderSource, priorSf, prior) = priorMins()
+    // a prior from another scale orders the schedule (relative costs are
+    // stable) but must not judge absolute times: guard + fat cutoff off
+    val priorComparable = prior.nonEmpty && (priorSf.isEmpty || priorSf == sfDir)
+    val judgePrior = if (priorComparable) prior else Map.empty[String, Double]
+    if (prior.nonEmpty && !priorComparable)
+      System.err.println(s"[bench] prior $orderSource is sf=$priorSf, run is sf=$sfDir — ordering only (variance guard + fat cutoff disabled)")
     // cheapest-first; queries with no committed min (new this round) slot
     // at a mid-cost 0.5 s estimate rather than the front (they may be
     // expensive) or the back (they would never get driver numbers).
@@ -168,6 +189,16 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Vector[Rep]]()
     // requeued queries → the min/prior ratio that triggered the guard
     val requeued = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // guard suspects the deadline prevented from re-running → trigger ratio
+    // (their published min is storm-suspect: no second time window checked it)
+    val guardSkipped = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rep policy: fat queries (prior min ≥ cutoff, same-scale prior only)
+    // run one fewer rep — but never MORE than the configured count (at
+    // reps=1 a naive floor-of-2 would double the expensive tail instead
+    // of thinning it) and never below the 2 that keep a min warm
+    def repsFor(name: String): Int =
+      if (judgePrior.get(name).exists(_ >= fatCutoff)) (reps - 1).max(2).min(reps)
+      else reps
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -194,8 +225,10 @@ object Bench {
       val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val requeuedJson = requeued.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
+      val guardSkippedJson = guardSkipped.map { case (n, r) => s""""$n":${fmt(r)}""" }
+        .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -241,21 +274,28 @@ object Bench {
         val nWarm = results.count { case (_, ts) => isWarm(ts) }
         System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
       } else {
-        val fat = prior.get(name).exists(_ >= fatCutoff)
-        runReps(name, fn, if (fat) (reps - 1).max(2) else reps)
+        runReps(name, fn, repsFor(name))
       }
     }
+    // The schedule's completeness is decided HERE: a deadline trip inside
+    // the variance-guard phase below must not retroactively mark a fully
+    // measured schedule incomplete (every query already has its warm min;
+    // only the guard's second look was cut short — recorded separately).
+    val scheduleDone = !deadlineHit
     // variance guard: a min far above the prior committed min usually means
     // every rep landed in one host-contention storm (r10's d22: 18.35 s
     // published vs a 1.25 s prior — storm visible in adjacent queries'
     // reps). One extra rep-set at the END of the schedule gives the query a
     // different time window; a min that SURVIVES the re-run is a real
-    // regression and stays high with its trigger ratio on record.
-    if (!deadlineHit) {
+    // regression and stays high with its trigger ratio on record. A suspect
+    // the deadline prevents from re-running lands in guard_skipped — its
+    // published min is storm-suspect and a consumer must not read it as a
+    // clean regression.
+    if (scheduleDone) {
       val byName = pool.toMap
       val suspects = results.toSeq.flatMap { case (n, ts) =>
         for {
-          m <- minOf(ts); p <- prior.get(n)
+          m <- minOf(ts); p <- judgePrior.get(n)
           if !failed.contains(n) && m > p * guardRatio && m - p > 0.3
         } yield (n, m / p)
       }
@@ -263,11 +303,14 @@ object Bench {
         if (elapsed <= deadlineS) {
           requeued(n) = ratio
           System.err.println(f"[bench] variance guard: requeue $n (min ${ratio}%.1fx prior)")
-          byName.get(n).foreach(runReps(n, _))
+          byName.get(n).foreach(runReps(n, _, repsFor(n)))
+        } else {
+          guardSkipped(n) = ratio
+          System.err.println(f"[bench] variance guard: NO BUDGET to requeue $n (min ${ratio}%.1fx prior) — flagged guard_skipped")
         }
       }
     }
-    writeArtifact(done = !deadlineHit)
+    writeArtifact(done = scheduleDone)
     val mins = results.toSeq.flatMap { case (n, ts) => minOf(ts).map(n -> _) }
     val total = mins.map(_._2).sum
     val nWarm = results.count { case (_, ts) => isWarm(ts) }

@@ -17,11 +17,9 @@ object M113Probe {
       val sigs = graft.multimodal.Multimodal.pHash60(media)
         .select(col("id"), col("phash").as("simhash")).cache()
       val n = sigs.count()
-      def sig(fp: org.apache.spark.sql.Column, j: Int) =
-        shiftright(fp, j * 15).bitwiseAND(0x7FFFL)
-      val banded = sigs.select(col("id"), col("simhash"),
-        posexplode(array((0 until 4).map(b => sig(col("simhash"), b)): _*))
-          .as(Seq("band", "bsig")))
+      // the production banding itself (private[graft]): the probe's bucket
+      // occupancy is BY CONSTRUCTION the candidate set simHashPairs joins
+      val banded = ops.Dedup.simHashBanded(sigs)
       val buckets = banded.groupBy("band", "bsig").agg(count(lit(1)).as("k"))
         .cache()
       val cand = buckets.agg(sum((col("k") * (col("k") - 1) / 2).cast("long")))

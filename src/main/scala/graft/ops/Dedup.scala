@@ -717,13 +717,26 @@ object Dedup {
     * shift/compares on the fingerprints already in the row) — so the output
     * needs no distinct and the 4×-duplicated pair stream never exists, let
     * alone shuffles. */
+  /** Banded-Hamming geometry of the 60-bit fingerprint family: 4 bands of
+    * 15 bits. Shared (private[graft]) with the M113Probe adjudication tool
+    * so a geometry change here cannot silently desynchronize the probe's
+    * bucket-occupancy numbers from the production candidate set. */
+  private[graft] val simHashBands: Int = 4
+  private[graft] def simHashBandSig(fp: Column, j: Int): Column =
+    shiftright(fp, j * 15).bitwiseAND(0x7FFFL)
+  /** (id, simhash) → exploded (id, simhash, band, bsig) banding rows. */
+  private[graft] def simHashBanded(sims: DataFrame): DataFrame =
+    sims.select(col("id"), col("simhash"),
+      posexplode(array((0 until simHashBands).map(b =>
+        simHashBandSig(col("simhash"), b)): _*)).as(Seq("band", "bsig")))
+
   def simHashPairs(sims: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4 bands guarantee recall only through distance 3 (pigeonhole: 4
     // differing bits can avoid sharing any band) — a larger maxDist would
     // silently drop qualifying pairs, so refuse it
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist: 4-band simhash LSH guarantees recall only for maxDist <= 3")
-    def sig(fp: Column, j: Int): Column = shiftright(fp, j * 15).bitwiseAND(0x7FFFL)
+    def sig(fp: Column, j: Int): Column = simHashBandSig(fp, j)
     // The explicit (band, bsig) repartition below the per-side renames is
     // the d23 exchange-reuse trick: it is the very distribution the
     // self-join needs, its two statically-planned copies are AQE-reused
@@ -737,16 +750,14 @@ object Dedup {
     // would have been split. The jaccardPairs path caps bucket width
     // upstream (maxShingleDf) instead; simhash buckets are 15-bit
     // signatures whose width is bounded by corpus duplication itself.
-    val banded = sims.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b => sig(col("simhash"), b)): _*))
-        .as(Seq("band", "bsig")))
+    val banded = simHashBanded(sims)
       .repartition(col("band"), col("bsig"))
     val a = banded.select(col("id").as("id_a"), col("simhash").as("fp_a"),
       col("band"), col("bsig"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("fp_b"),
       col("band"), col("bsig"))
     // first-collision band: every band BELOW this bucket's must differ
-    val first = (0 until 3).map { j =>
+    val first = (0 until simHashBands - 1).map { j =>
       lit(j) >= col("band") || sig(col("fp_a"), j) =!= sig(col("fp_b"), j)
     }.reduce(_ && _)
     a.join(b, Seq("band", "bsig"))

@@ -368,14 +368,20 @@ object Sampling {
     // RDD jobs by Spark's exchange reuse, so no pass pays it again. The
     // cached relation is ~3 narrow columns — tens of GB cluster-wide at
     // 100 TB corpus scale, the standard trade for a 3-pass saving.
-    val in = df.cache()
+    // cache entries are keyed by logical plan and cache() is idempotent:
+    // if the CALLER already cached this exact relation, our cache() is a
+    // no-op on their entry and an unconditional unpersist below would
+    // silently evict it — so only unpersist what this call persisted
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val in = if (callerCached) df else df.cache()
     val ordered = in.orderBy(col(scoreCol).desc, col(idCol).asc)
     val (cum, _) = Relational.withRunningTotalCounted(ordered, nTokensCol, cumCol)
     // the running-total helper has already RUN the sort's map stage (its
     // per-partition-sums job executes eagerly), so the final scan below
     // reads the sort's shuffle files — the cache has served its purpose
     // and holding it for the session's lifetime would leak executor memory
-    in.unpersist(blocking = false)
+    if (!callerCached) in.unpersist(blocking = false)
     cum.filter(col(cumCol) <= budgetTokens)
   }
 

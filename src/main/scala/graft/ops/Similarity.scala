@@ -373,7 +373,7 @@ object Similarity {
     *
     * Trained artifacts are rows-only territory (no SQL oracle replays
     * k-means — the s36 IVF precedent), so the query carrying this
-    * codebook is BENCH-ONLY (x120) and SimilaritySpec bounds it against
+    * codebook is BENCH-ONLY (x120) and ScaleJoinsSpec bounds it against
     * exact brute force instead: at full expand the re-rank is exact
     * (identical to [[bruteForceTopK]]); at expand=4 a recall floor. */
   def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
