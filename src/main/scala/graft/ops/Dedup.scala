@@ -654,8 +654,18 @@ object Dedup {
     * set goes back to the corpus as a broadcast anti-join. */
   def dedupByClustersPriority(docs: DataFrame, pairs: DataFrame, idCol: String,
                               priority: Column,
-                              srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, srcCol, dstCol)
+                              srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame =
+    dedupByClustersPriorityCc(docs,
+      connectedComponents(pairs, srcCol, dstCol), idCol, priority)
+
+  /** [[dedupByClustersPriority]] over a PRECOMPUTED component map
+    * (node, component): a pipeline that already ran connected components
+    * for another consumer (cluster sizing, cluster-atomic splitting)
+    * feeds the same result here instead of re-running the iterative CC —
+    * at 100 TB the components pass is multi-round and worth computing
+    * exactly once per pair graph. */
+  def dedupByClustersPriorityCc(docs: DataFrame, cc: DataFrame, idCol: String,
+                                priority: Column): DataFrame = {
     // clustered docs only (candidate-sized), with their priority
     val members = docs.select(col(idCol), priority.as("__prio"))
       .join(broadcast(cc.select(col("node").as(idCol), col("component"))), Seq(idCol))
