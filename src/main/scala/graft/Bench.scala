@@ -49,7 +49,46 @@ package graft
   * on a deadline truncation value is the partial sum and the consumer
   * must gate on "deadline_hit"/"n_queries" before comparing totals.
   */
+/** Pure helpers of the bench harness, split out so the logic that feeds the
+  * driver's gate artifact (JSON escaping, prior-artifact parsing, the rep
+  * policy) is unit-testable without a SparkSession (BenchUtilSpec). */
+private[graft] object BenchUtil {
+  /** JSON string literal: escapes backslash, quote and all control chars —
+    * env-derived paths (sfDir, artifact, order source) are interpolated
+    * into the artifact and the stdout line, and a quote or backslash in
+    * one would otherwise emit invalid JSON. */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Parse a committed bench artifact's own "sf" string and per-query warm
+    * mins out of its JSON text. Regex-based by design (no JSON library in
+    * the unmanaged-classpath budget); malformed input degrades to no
+    * priors, never an error. */
+  def parsePrior(txt: String): (String, Map[String, Double]) = {
+    val q = "\"([A-Za-z0-9_]+)\":\\{\"passes\":\\[[^\\]]*\\],\"min\":([0-9.]+)".r
+    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    (sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
+      q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+  }
+
+  /** Rep policy: fat queries (same-scale prior min ≥ cutoff) run one fewer
+    * rep — but never MORE than the configured count (at reps=1 a naive
+    * floor-of-2 would double the expensive tail instead of thinning it)
+    * and never below the 2 that keep a min warm (unless the configured
+    * count is itself below 2). */
+  def repsFor(prior: Option[Double], fatCutoff: Double, reps: Int): Int =
+    if (prior.exists(_ >= fatCutoff)) (reps - 1).max(2).min(reps) else reps
+}
+
 object Bench {
+  import BenchUtil.{jstr, parsePrior}
   private def jitMs: Long = {
     val c = java.lang.management.ManagementFactory.getCompilationMXBean
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
@@ -59,20 +98,6 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime.max(0L)).sum
   }
-
-  /** JSON string literal: escapes backslash, quote and all control chars —
-    * env-derived paths (sfDir, artifact, order source) are interpolated
-    * into the artifact and the stdout line, and a quote or backslash in
-    * one would otherwise emit invalid JSON. */
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 
   /** Per-query warm mins from the newest committed round artifact
     * (bench/BENCH_local_r{N}.json, highest N; override with
@@ -104,11 +129,8 @@ object Bench {
     chosen match {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
-        val q = "\"([A-Za-z0-9_]+)\":\\{\"passes\":\\[[^\\]]*\\],\"min\":([0-9.]+)".r
-        val sfRe = "\"sf\":\"([^\"]*)\"".r
-        val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        (p.toString, priorSf,
-          q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        val (priorSf, mins) = parsePrior(txt)
+        (p.toString, priorSf, mins)
       case _ => ("none", "", Map.empty)
     }
   }
@@ -192,13 +214,10 @@ object Bench {
     // guard suspects the deadline prevented from re-running → trigger ratio
     // (their published min is storm-suspect: no second time window checked it)
     val guardSkipped = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // rep policy: fat queries (prior min ≥ cutoff, same-scale prior only)
-    // run one fewer rep — but never MORE than the configured count (at
-    // reps=1 a naive floor-of-2 would double the expensive tail instead
-    // of thinning it) and never below the 2 that keep a min warm
+    // rep policy (see BenchUtil.repsFor): fat cutoff judged against
+    // same-scale priors only
     def repsFor(name: String): Int =
-      if (judgePrior.get(name).exists(_ >= fatCutoff)) (reps - 1).max(2).min(reps)
-      else reps
+      BenchUtil.repsFor(judgePrior.get(name), fatCutoff, reps)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
