@@ -763,6 +763,27 @@ class PipelineSpec extends SparkSpec {
     assert(keptN == Seq(1L, 3L), s"null-priority doc 2 must not win: kept $keptN")
   }
 
+  test("dedupByClustersPriorityCc over an external component map ≡ pairs form") {
+    // the precomputed-CC variant (what d95 feeds from the shared bench
+    // prefix) must keep exactly the docs the pairs form keeps — for a CC
+    // map built independently of the internal call
+    val prios = Seq((1L, 5), (2L, 7), (3L, 9), (4L, 2)).toDF("doc_id", "prio")
+    val docsP = docs.join(prios, "doc_id")
+    val pairs = Dedup.jaccardPairs(docsP, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val viaCc = Dedup.dedupByClustersPriorityCc(docsP, cc, "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val viaPairs = Dedup.dedupByClustersPriority(docsP, pairs, "doc_id", col("prio"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(viaCc == viaPairs && viaCc == Seq(3L, 4L))
+    // an empty component map (no pairs anywhere) → identity, like the
+    // pairs form's no-pairs case
+    val emptyCc = spark.emptyDataset[(Long, Long)].toDF("node", "component")
+    assert(Dedup.dedupByClustersPriorityCc(docsP, emptyCc, "doc_id", col("prio"))
+      .count() == 4)
+  }
+
   test("BPE train: classic corpus yields the hand-computed merge sequence") {
     // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.
     // Hand-computed: es(9) → es+t(9) → l+o(7) → lo+w(7) → e+w(6, lex tie)
