@@ -22,20 +22,31 @@ package graft
   *    pair build (SparkEntry.sharedPrefix) — the r10 deadline was consumed
   *    by exactly this family rebuilding identical prefixes. The artifact's
   *    "share_prefix" flag marks the mode; correctness runs never share.
-  *  - VARIANCE GUARD: after the schedule, any query whose min exceeds
-  *    ~3.5× its prior committed min (the ordering source) is requeued for
-  *    one extra rep-set — r10 published d22 at 18.35 s (14.7× builder)
-  *    because all three reps landed in one host-contention storm and
-  *    nothing re-checked. Requeued names + trigger ratios land in the
-  *    artifact ("requeued"), so a number that STAYS high after the re-run
-  *    is a regression, not noise. A suspect the deadline leaves no budget
-  *    to re-run is flagged in "guard_skipped" (its min is storm-suspect);
+  *  - VARIANCE GUARD (interleaved since round 12): any query whose min
+  *    exceeds ~3.5× its prior committed min (the ordering source) is
+  *    requeued for one extra rep-set — r10 published d22 at 18.35 s
+  *    (14.7× builder) because all three reps landed in one
+  *    host-contention storm and nothing re-checked. A suspect is flagged
+  *    the moment its rep-set lands and requeued MID-SCHEDULE once (a) a
+  *    configurable time gap has passed — the re-run must be a different
+  *    host window, or it would just re-measure the same storm — and (b)
+  *    its estimated cost (inflated min × reps) fits the remaining
+  *    budget; leftovers drain after the schedule. The r11 end-of-run
+  *    guard detected six storms but the 420 s deadline had already been
+  *    consumed — the mechanism failed exactly when needed; interleaving
+  *    spends requeue budget while it still exists (storm-flagged CHEAP
+  *    queries run early under cheapest-first, so their re-window is
+  *    cheap and early too). Requeued names + trigger ratios land in the
+  *    artifact ("requeued"), so a number that STAYS high after the
+  *    re-run is a regression, not noise. A suspect no window could
+  *    re-run is flagged in "guard_skipped" (its min is storm-suspect);
   *    "complete" reflects the SCHEDULE only — a deadline trip inside the
-  *    guard phase cannot retroactively mark a fully measured run
+  *    end drain cannot retroactively mark a fully measured run
   *    incomplete. Priors from a different scale factor (the artifact's
-  *    "sf" differs from this run's) order the schedule but are excluded
-  *    from the guard and the fat-rep cutoff — absolute cross-scale
-  *    comparisons would spuriously requeue every honestly-scaling query.
+  *    "sf" differs from this run's, or is missing) order the schedule
+  *    but are excluded from the guard and the fat-rep cutoff — absolute
+  *    cross-scale comparisons would spuriously requeue every
+  *    honestly-scaling query.
   *  - PER-REP GC/JIT DELTAS: each rep records how much JVM GC and JIT
   *    time it absorbed ("gc_ms"/"jit_ms" arrays per query) — a storm or
   *    compile spike is visible in the artifact instead of being
@@ -130,6 +141,11 @@ object Bench {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
         val (priorSf, mins) = parsePrior(txt)
+        // a non-empty artifact parsing to zero mins means the detail
+        // format drifted from parsePrior's regex — degrade loudly, not
+        // silently (order falls back to names, guard + fat cutoff disarm)
+        if (txt.trim.nonEmpty && mins.isEmpty)
+          System.err.println(s"[bench] prior $p is non-empty but parsed to ZERO mins — format drift? (name order, no variance guard)")
         (p.toString, priorSf, mins)
       case _ => ("none", "", Map.empty)
     }
@@ -160,6 +176,10 @@ object Bench {
     // ratio × its prior committed min AND at least 0.3 s above it (sub-
     // second queries bounce around 2-3× on this host as pure noise)
     val guardRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_RATIO", "3.5").toDouble
+    // minimum seconds between flagging a storm suspect and its requeue —
+    // the re-run must land in a DIFFERENT host window than the reps that
+    // triggered it, or the requeue just re-measures the same storm
+    val guardGapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_GAP_S", "60").toDouble
     // graph-family prefix sharing (see SparkEntry.sharedPrefix); opt out
     // with SPARK_GRAFT_SHARE_PREFIX=0 to measure full per-query lineage
     val sharePrefix = sys.env.getOrElse("SPARK_GRAFT_SHARE_PREFIX", "1") == "1"
@@ -178,12 +198,15 @@ object Bench {
       if (only.isDefined) SparkEntry.queries ++ SparkEntry.benchOnlyQueries
       else SparkEntry.queries
     val (orderSource, priorSf, prior) = priorMins()
-    // a prior from another scale orders the schedule (relative costs are
-    // stable) but must not judge absolute times: guard + fat cutoff off
-    val priorComparable = prior.nonEmpty && (priorSf.isEmpty || priorSf == sfDir)
+    // a prior from another scale — or one whose scale is UNKNOWN (missing/
+    // unparsed "sf": e.g. a hand-pointed SPARK_GRAFT_BENCH_ORDER file) —
+    // orders the schedule (relative costs are stable) but must not judge
+    // absolute times: guard + fat cutoff off. Treating unknown as
+    // same-scale would arm the guard against mins it cannot compare.
+    val priorComparable = prior.nonEmpty && priorSf == sfDir
     val judgePrior = if (priorComparable) prior else Map.empty[String, Double]
     if (prior.nonEmpty && !priorComparable)
-      System.err.println(s"[bench] prior $orderSource is sf=$priorSf, run is sf=$sfDir — ordering only (variance guard + fat cutoff disabled)")
+      System.err.println(s"[bench] prior $orderSource is sf=${if (priorSf.isEmpty) "<unknown>" else priorSf}, run is sf=$sfDir — ordering only (variance guard + fat cutoff disabled)")
     // cheapest-first; queries with no committed min (new this round) slot
     // at a mid-cost 0.5 s estimate rather than the front (they may be
     // expensive) or the back (they would never get driver numbers).

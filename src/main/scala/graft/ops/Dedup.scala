@@ -482,18 +482,28 @@ object Dedup {
     * pathological chain. Each round shuffles only the edge list and the
     * label map — both candidate-set sized, orders of magnitude below the
     * corpus — and the driver-side loop performs one scalar aggregate per
-    * TWO rounds (a batched convergence check, never a data collect; see the
-    * probe comment below for why batching is exact).
+    * round (a convergence check over the round's already-materialized
+    * blocks, never a data collect).
     * Each round's label map is checkpointed: the round's plan references the
     * previous map several times, so without truncating lineage the logical
     * plan would grow multiplicatively per round and planning time would
-    * dominate within ~8 rounds. By default the truncation is a LAZY
-    * `localCheckpoint` (executor-local blocks; the convergence probe's
-    * aggregate is the action that caches it, so each round runs exactly one
-    * job instead of a materialize-then-probe pair); pass `checkpointDir` to
-    * use a reliable eager `checkpoint` to durable storage instead, which
-    * survives executor churn on a real cluster — same shape, durable
-    * truncation.
+    * dominate within ~8 rounds. The truncation is EAGER AND SERIAL — each
+    * round's `localCheckpoint` is materialized by its own `count()` before
+    * the loop plans anything against it (pass `checkpointDir` for a
+    * reliable `checkpoint` to durable storage instead, which survives
+    * executor churn on a real cluster — same shape, durable truncation).
+    * Eagerness is a CORRECTNESS requirement, not a pacing choice: a lazily
+    * checkpointed RDD that a later multi-threaded job materializes
+    * deadlocks the Spark driver intermittently — `RDD.doCheckpoint` at
+    * job end takes the `RDDCheckpointData$` class lock then the RDD
+    * monitor, while a concurrent AQE broadcast-exchange thread submitting
+    * a sub-job takes the RDD monitor (`DAGScheduler.getCacheLocs` →
+    * `RDD.partitions`) then needs the class lock — a lock-order inversion
+    * observed live (round-11 verdict jstack: dag-scheduler-event-loop ⇄
+    * broadcast-exchange-24, hung forever at 0% CPU). Materializing each
+    * checkpoint in the single driver thread before any concurrent
+    * consumer exists closes the window: by the time round N+1's exchange
+    * threads touch round N's RDD it is already markCheckpointed.
     *
     * Returns (node, component) with component = min node id reachable;
     * isolated nodes (appearing in no edge) are absent from the output.
@@ -516,34 +526,34 @@ object Dedup {
     // (df.rdd → createDataFrame) resets stats to the session default every
     // round; the Row conversion touches only the thin label map.
     //
-    // The local path checkpoints LAZILY: lineage is cut now, blocks cache
-    // at the next action — always the convergence probe below, so each
-    // round pays one job, not a materialize-then-probe pair. The reliable
-    // path caches before checkpointing (a bare reliable checkpoint
-    // recomputes its RDD when the checkpoint file is written).
+    // Both paths materialize EAGERLY, in this driver thread, before
+    // truncate returns: the count() is the job that caches the local
+    // path's blocks (and triggers the reliable path's checkpoint write —
+    // which re-reads the pre-checkpoint cache, not the lineage), and
+    // doCheckpoint/markCheckpointed complete inside it, while this thread
+    // is the ONLY one that can reference the RDD. A lazy localCheckpoint
+    // here deadlocked the driver (see the scaladoc: AQE broadcast-exchange
+    // vs dag-scheduler lock-order inversion on RDDCheckpointData$).
     // Every truncated round leaves cached blocks behind (the local path's
     // localCheckpoint blocks, the reliable path's pre-checkpoint cache).
     // Across up to maxIter rounds those label-map RDDs would pile up in
-    // executor storage on a long-running job, so each round's RDD is
-    // tracked and unpersisted once a LATER round has materialized: after
-    // the probe's action, future plans reference only the newest
-    // checkpointed RDD, so older rounds' blocks can never be read again
-    // (a localCheckpointed RDD is never recomputed — blocks either exist
-    // or the job has already failed — and the reliable path re-reads its
-    // checkpoint files, not the cache).
+    // executor storage on a long-running job, so once a round's count()
+    // returns, all OLDER rounds' blocks are unpersisted: future plans
+    // reference only the newest checkpointed RDD (a localCheckpointed RDD
+    // is never recomputed — blocks either exist or the job has already
+    // failed — and the reliable path re-reads its checkpoint files, not
+    // the cache).
     val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       if (checkpointDir.isDefined) { rdd.cache(); rdd.checkpoint() }
       else rdd.localCheckpoint()
+      rdd.count() // EAGER: materialize serially; no concurrent planner yet
       pendingUnpersist += rdd
-      df.sparkSession.createDataFrame(rdd, df.schema)
-    }
-    // call only right after an action has materialized the NEWEST round
-    def releaseSuperseded(): Unit = {
-      while (pendingUnpersist.length > 1) {
+      while (pendingUnpersist.length > 1) { // newest is live; older are unreachable
         pendingUnpersist.remove(0).unpersist(blocking = false)
       }
+      df.sparkSession.createDataFrame(rdd, df.schema)
     }
     // cached pre-partitioned on m — the per-round neighbor join's key — so
     // the edge list (the one relation here that isn't label-map-thin)
@@ -566,21 +576,14 @@ object Dedup {
     // sum dropped — one aggregate over the just-checkpointed map, instead of
     // a full prev-vs-next join per round. decimal(38,0): overflow-proof for
     // any id range (a wrapped bigint sum could collide and stop us early).
-    // The probe fires on ODD rounds (1, 3, 5, …) and at the iteration cap:
-    // the probe's aggregate is also the job that materializes a round, so
-    // probing every 2nd round halves the job count on long chains — two
-    // rounds chain into one job, the intermediate round's lazy
-    // localCheckpoint materializing as a cached stage inside it
-    // (block-level locking in the BlockManager makes the concurrent
-    // references compute each partition once). Odd (not even) rounds
-    // because the DOMINANT near-dup case converges immediately — the fused
-    // init is already the fixpoint and round 1 merely confirms it — and an
-    // even-round probe would pay a second, wasted round before noticing.
-    // Monotonicity makes the batched probe exact, not approximate: an
-    // unchanged sum over ANY span proves no label moved anywhere in that
-    // span, so "converged" still means converged — at worst one
-    // already-converged round of extra work on even-round fixpoints,
-    // against a saved scheduling+probe job per surviving pair of rounds.
+    // The probe fires EVERY round: truncate already materialized the
+    // round's blocks, so the probe is a node-sized aggregate over cached
+    // partitions — scheduling overhead only — and per-round probing stops
+    // at the earliest converged round instead of paying a confirmed-
+    // converged extra round on even-round fixpoints. (The previous
+    // odd-round batching existed to let the probe double as the lazy
+    // checkpoint's materializing action; eager truncation — required to
+    // close the doCheckpoint deadlock, see above — removes that role.)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph: SUM() is NULL
@@ -607,17 +610,14 @@ object Dedup {
         .select(col("node"), coalesce(col("kl"), col("label")).as("label")))
       labels = jumped
       iter += 1
-      if (iter % 2 == 1 || iter == maxIter) {
-        val t0 = System.nanoTime()
-        val curSum = labelSum(labels) // the action that materializes this round
-        releaseSuperseded()
-        converged = curSum.compareTo(prevSum) == 0
-        prevSum = curSum
-        // dev visibility only: round pacing for scale tuning, off by default
-        if (sys.env.contains("GRAFT_CC_LOG")) System.err.println(
-          f"[cc] round $iter probe ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-            f"wall ${(System.nanoTime() - roundT0) / 1e9}%.2f s converged=$converged")
-      }
+      val t0 = System.nanoTime()
+      val curSum = labelSum(labels) // cached-block aggregate (truncate materialized)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      // dev visibility only: round pacing for scale tuning, off by default
+      if (sys.env.contains("GRAFT_CC_LOG")) System.err.println(
+        f"[cc] round $iter probe ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"wall ${(System.nanoTime() - roundT0) / 1e9}%.2f s converged=$converged")
     }
     sym.unpersist()
     // a partially-converged label map would silently split real clusters

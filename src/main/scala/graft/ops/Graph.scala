@@ -15,9 +15,10 @@ object Graph {
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** One round's per-neighbor contribution stream: `sym(n,m)` joined with
-    * the node-sized `prIn(n,__c)`. Extracted so GraphSpec can pin both
-    * join strategies' physical shapes (BroadcastHashJoin vs
-    * ShuffledHashJoin) without running a whole iteration. */
+    * the node-sized `prIn(n,__c)`. Extracted so the PipelineSpec pageRank
+    * suite can pin both join strategies' physical shapes
+    * (BroadcastHashJoin vs ShuffledHashJoin) without running a whole
+    * iteration. */
   private[graft] def contribution(sym: DataFrame, prIn: DataFrame,
                                 useBroadcast: Boolean): DataFrame =
     (if (useBroadcast) sym.join(broadcast(prIn), "n")
@@ -68,7 +69,7 @@ object Graph {
     * the edge list never re-shuffles after the one-time build. Both
     * paths are bit-identical (the DECIMAL(27,7) contribution sums are
     * order-independent, so partitioning cannot leak into any kept bit —
-    * pinned by GraphSpec). */
+    * pinned by PipelineSpec's pageRank join-strategy tests). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85,
                teleport: Double = 0.15,
@@ -106,11 +107,26 @@ object Graph {
       symM.unpersist(blocking = false)
       s
     }
+    // EAGER, SERIAL materialization (the connectedComponents discipline —
+    // see Dedup.truncate): a lazy localCheckpoint whose blocks a later
+    // multi-threaded job caches deadlocks the driver intermittently
+    // (doCheckpoint's RDDCheckpointData$-then-RDD-monitor lock order vs an
+    // AQE broadcast-exchange thread's getCacheLocs RDD-monitor-then-class-
+    // lock order — observed live in the round-11 verdict's jstack). The
+    // count() runs while this driver thread is the RDD's only referent, so
+    // markCheckpointed completes before any round's broadcast(prIn)
+    // exchange thread can plan against it; pageRank was the WIDER window
+    // pre-fix (all rounds' checkpoints used to materialize in one cascaded
+    // post-loop action, with an explicit broadcast exchange every round).
     val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def truncate(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       rdd.localCheckpoint()
+      rdd.count() // EAGER: materialize serially; no concurrent planner yet
       pendingUnpersist += rdd
+      while (pendingUnpersist.length > 1) { // newest live; older unreachable
+        pendingUnpersist.remove(0).unpersist(blocking = false)
+      }
       df.sparkSession.createDataFrame(rdd, df.schema)
     }
     var pr = truncate(nodes.select(col("node"), col("deg"),
@@ -137,18 +153,12 @@ object Graph {
           r6(lit(teleport) / lit(nN.toDouble) +
             lit(damping) * coalesce(col("__s").cast("double"), lit(0.0))).as("pr")))
     }
-    // One materializing action after the loop: every round's
-    // localCheckpoint cut LINEAGE (and the compounding size-estimate
-    // stats — the CC lesson) at build time; the blocks compute inside
-    // this one cascaded job. (Both pacing shapes were measured at sf0.1
-    // on the 271k-edge near-dup graph — per-round actions 13.5 s, the
-    // cascade 12.8-26.8 s with higher variance; the cost is the ten
-    // edge-join rounds themselves, see the iters guidance below.)
-    // After the action, superseded rounds' blocks are unreachable.
-    pr.count()
-    while (pendingUnpersist.length > 1) {
-      pendingUnpersist.remove(0).unpersist(blocking = false)
-    }
+    // Every round already materialized and released its predecessor inside
+    // truncate (the eager discipline above) — no post-loop cascade. The
+    // per-round-action pacing was also the faster, lower-variance shape
+    // when both were measured at sf0.1 on the 271k-edge near-dup graph
+    // (per-round 13.5 s vs cascade 12.8-26.8 s); the cost is the ten
+    // edge-join rounds themselves, see the iters guidance above.
     sym.unpersist()
     nodes.unpersist()
     pr.select(col("node"), col("pr"))
