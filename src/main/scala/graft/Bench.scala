@@ -22,7 +22,9 @@ package graft
   *    pair build (SparkEntry.sharedPrefix) — the r10 deadline was consumed
   *    by exactly this family rebuilding identical prefixes. The artifact's
   *    "share_prefix" flag marks the mode; correctness runs never share.
-  *  - VARIANCE GUARD (interleaved since round 12): any query whose min
+  *  - VARIANCE GUARD (interleaved since round 13 — the round-12 header
+  *    described this design but the code still drained only after the
+  *    schedule; r13 implemented it): any query whose min
   *    exceeds ~3.5× its prior committed min (the ordering source) is
   *    requeued for one extra rep-set — r10 published d22 at 18.35 s
   *    (14.7× builder) because all three reps landed in one
@@ -39,7 +41,9 @@ package graft
   *    cheap and early too). Requeued names + trigger ratios land in the
   *    artifact ("requeued"), so a number that STAYS high after the
   *    re-run is a regression, not noise. A suspect no window could
-  *    re-run is flagged in "guard_skipped" (its min is storm-suspect);
+  *    re-run is flagged in "guard_skipped" — INCLUDING when the deadline
+  *    truncates the schedule itself (its min is storm-suspect either
+  *    way; silently publishing it as clean was the r12-advice bug);
   *    "complete" reflects the SCHEDULE only — a deadline trip inside the
   *    end drain cannot retroactively mark a fully measured run
   *    incomplete. Priors from a different scale factor (the artifact's
@@ -96,6 +100,18 @@ private[graft] object BenchUtil {
     * count is itself below 2). */
   def repsFor(prior: Option[Double], fatCutoff: Double, reps: Int): Int =
     if (prior.exists(_ >= fatCutoff)) (reps - 1).max(2).min(reps) else reps
+
+  /** Mid-schedule requeue eligibility for a storm-flagged suspect: the
+    * re-run must land in a DIFFERENT host window than the reps that
+    * triggered the flag (≥ gapS seconds since flagging — an immediate
+    * re-run would just re-measure the same storm) AND its estimated cost
+    * (the inflated storm min × the reps a requeue would run — a deliberate
+    * overestimate: a healthy re-run is cheaper, a still-stormy one isn't)
+    * must fit before the deadline. Pure so BenchUtilSpec can pin both
+    * gates without a SparkSession. */
+  def requeueEligible(flaggedAtS: Double, nowS: Double, gapS: Double,
+                      estCostS: Double, deadlineS: Double): Boolean =
+    (nowS - flaggedAtS) >= gapS && (nowS + estCostS) <= deadlineS
 }
 
 object Bench {
@@ -308,6 +324,44 @@ object Bench {
       System.err.println(f"[bench] $name ${ts.map(_.secs.map(fmt).getOrElse("FAIL")).mkString("/")} s min=${minOf(ts).map(fmt).getOrElse("-")}")
       writeArtifact(done = false)
     }
+    // variance guard, INTERLEAVED (see header): suspects are flagged the
+    // moment their rep-set lands (a min far above the prior committed min
+    // usually means every rep landed in one host-contention storm — r10's
+    // d22: 18.35 s published vs a 1.25 s prior, storm visible in adjacent
+    // queries' reps) and requeued mid-schedule once the guardGapS window
+    // has passed and the estimated cost fits the remaining budget —
+    // spending requeue budget while it still exists, instead of the r11
+    // failure (end-of-run guard detected six storms after the deadline had
+    // consumed the budget). A min that SURVIVES the re-run is a real
+    // regression and stays high with its trigger ratio on record.
+    case class Suspect(ratio: Double, flaggedAtS: Double, stormMin: Double)
+    val pending = scala.collection.mutable.LinkedHashMap[String, Suspect]()
+    val byName = pool.toMap
+    // flag at land time; at most one requeue per query per run
+    def flagIfSuspect(name: String): Unit =
+      if (!failed.contains(name) && !requeued.contains(name) && !pending.contains(name))
+        for {
+          ts <- results.get(name); m <- minOf(ts); p <- judgePrior.get(name)
+          if m > p * guardRatio && m - p > 0.3
+        } {
+          pending(name) = Suspect(m / p, elapsed, m)
+          System.err.println(f"[bench] variance guard: flagged $name (min ${m / p}%.1fx prior) — eligible for requeue after ${guardGapS}%.0f s")
+        }
+    def requeueNow(n: String, s: Suspect, when: String): Unit = {
+      pending.remove(n)
+      requeued(n) = s.ratio
+      System.err.println(f"[bench] variance guard: requeue $n $when (min ${s.ratio}%.1fx prior)")
+      byName.get(n).foreach(runReps(n, _, repsFor(n)))
+    }
+    // between scheduled queries: requeue every suspect whose gap has passed
+    // and whose (storm-inflated) cost estimate fits the remaining budget
+    def drainEligible(): Unit =
+      pending.toSeq.foreach { case (n, s) =>
+        if (!deadlineHit &&
+            BenchUtil.requeueEligible(s.flaggedAtS, elapsed, guardGapS,
+              s.stormMin * repsFor(n), deadlineS))
+          requeueNow(n, s, "mid-schedule")
+      }
     val it = queryList.iterator
     while (it.hasNext && !deadlineHit) {
       val (name, fn) = it.next()
@@ -317,39 +371,36 @@ object Bench {
         System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
       } else {
         runReps(name, fn, repsFor(name))
+        flagIfSuspect(name)
+        drainEligible()
       }
     }
     // The schedule's completeness is decided HERE: a deadline trip inside
-    // the variance-guard phase below must not retroactively mark a fully
-    // measured schedule incomplete (every query already has its warm min;
-    // only the guard's second look was cut short — recorded separately).
+    // the end drain below must not retroactively mark a fully measured
+    // schedule incomplete (every query already has its warm min; only the
+    // guard's second look was cut short — recorded separately).
     val scheduleDone = !deadlineHit
-    // variance guard: a min far above the prior committed min usually means
-    // every rep landed in one host-contention storm (r10's d22: 18.35 s
-    // published vs a 1.25 s prior — storm visible in adjacent queries'
-    // reps). One extra rep-set at the END of the schedule gives the query a
-    // different time window; a min that SURVIVES the re-run is a real
-    // regression and stays high with its trigger ratio on record. A suspect
-    // the deadline prevents from re-running lands in guard_skipped — its
-    // published min is storm-suspect and a consumer must not read it as a
-    // clean regression.
     if (scheduleDone) {
-      val byName = pool.toMap
-      val suspects = results.toSeq.flatMap { case (n, ts) =>
-        for {
-          m <- minOf(ts); p <- judgePrior.get(n)
-          if !failed.contains(n) && m > p * guardRatio && m - p > 0.3
-        } yield (n, m / p)
-      }
-      suspects.foreach { case (n, ratio) =>
-        if (elapsed <= deadlineS) {
-          requeued(n) = ratio
-          System.err.println(f"[bench] variance guard: requeue $n (min ${ratio}%.1fx prior)")
-          byName.get(n).foreach(runReps(n, _, repsFor(n)))
-        } else {
-          guardSkipped(n) = ratio
-          System.err.println(f"[bench] variance guard: NO BUDGET to requeue $n (min ${ratio}%.1fx prior) — flagged guard_skipped")
+      // end drain: the last chance, so the gap gate no longer applies
+      // (waiting idle cannot buy a different host window, and for cheap
+      // early-flagged suspects the end of the schedule IS a later window);
+      // only the budget gate remains. A suspect the deadline prevents from
+      // re-running lands in guard_skipped — its published min is
+      // storm-suspect and a consumer must not read it as a clean number.
+      pending.toSeq.foreach { case (n, s) =>
+        if (elapsed <= deadlineS) requeueNow(n, s, "at end drain")
+        else {
+          pending.remove(n); guardSkipped(n) = s.ratio
+          System.err.println(f"[bench] variance guard: NO BUDGET to requeue $n (min ${s.ratio}%.1fx prior) — flagged guard_skipped")
         }
+      }
+    } else {
+      // truncated schedule: no requeue budget by definition, but suspects
+      // must STILL be flagged (r12 advice: silently publishing their
+      // storm-suspect mins as clean numbers was the bug)
+      pending.toSeq.foreach { case (n, s) =>
+        pending.remove(n); guardSkipped(n) = s.ratio
+        System.err.println(f"[bench] variance guard: schedule truncated before $n could re-run (min ${s.ratio}%.1fx prior) — flagged guard_skipped")
       }
     }
     writeArtifact(done = scheduleDone)

@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions._
   *     broadcast exchange every round).
   * A regression shows up as a hang (run under `timeout`); correctness is
   * asserted every iteration so a racy wrong answer can't pass silently.
-  * Usage: `runMain graft.DeadlockSoak [iterations]` (default 10). */
+  * Usage: `runMain graft.DeadlockSoak [iterations] [threads]` (defaults
+  * 10 iterations; threads = SPARK_GRAFT_CPUS or the host's core count —
+  * a hardcoded 32 oversubscribed small CI hosts, making the
+  * `timeout`-gated hang detection flaky: slow ≠ deadlocked. The race
+  * window needs concurrency, not 32 specifically — any multi-threaded
+  * local master exercises the AQE broadcast-exchange interleaving). */
 object DeadlockSoak {
   def main(args: Array[String]): Unit = {
     val iterations = args.headOption.map(_.toInt).getOrElse(10)
-    val spark = core.Engine.session("local[32]", 32)
+    val threads = args.lift(1).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt))
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+      .max(2) // the deadlock needs at least two concurrent scheduler threads
+    val spark = core.Engine.session(s"local[$threads]", threads)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val t0 = System.nanoTime()

@@ -3,7 +3,7 @@ package graft
 import graft.agg.Folds
 import graft.core.Tables
 import graft.io.{Csv, CsvDialect}
-import graft.ops.{Chunking, Dedup, Relational, Similarity}
+import graft.ops.{Checkpointing, Chunking, Dedup, Relational, Similarity}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1308,7 +1308,7 @@ object SparkEntry {
       val clean = d.join(keep, Seq("doc_id"), "left_semi")
         .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
         .filter(col("quality") >= 0.3)
-        .localCheckpoint() // consumed by repeatedSpans AND the prune anti-join
+        .transform(Checkpointing.stage) // consumed by repeatedSpans AND the prune anti-join
       // drop documents that are mostly cross-doc boilerplate; the span cap
       // bounds the hot-span aggregate however common a licence block is
       // (a no-op semantically until a span is shared by >10k docs, which
@@ -1324,10 +1324,12 @@ object SparkEntry {
       // would recompute the shared prefix per consumer, so the multi-use
       // stages materialize once — measured p90 36.6 → 13.0 s on 10× sf0.1
       // (5.6 → 4.1 at sf0.1); the 10× ratio drops 6.5× → 3.1×.
-      // localCheckpoint = executor-local blocks (the tier d73's rounds use);
-      // a cluster with executor churn would set a reliable checkpointDir.
+      // Checkpointing.stage = executor-local blocks by default (the tier
+      // d73's rounds use); a cluster with executor churn sets
+      // -Dgraft.stage.reliableCheckpoint=1 + a checkpointDir for the
+      // file-backed tier (see Checkpointing.stage's scaladoc).
       val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .transform(Checkpointing.stage)
       val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
         .select(col("id_a"), col("id_b"))
@@ -1350,19 +1352,19 @@ object SparkEntry {
       val clean = d.join(keep, Seq("doc_id"), "left_semi")
         .withColumn("quality", TextFunctions.qualityScore(col("text"), stopwords))
         .filter(col("quality") >= 0.3)
-        .localCheckpoint() // consumed by repeatedSpans AND the prune anti-join
+        .transform(Checkpointing.stage) // consumed by repeatedSpans AND the prune anti-join
       val boiler = Dedup.repeatedSpans(clean, "doc_id", "text",
           spanChars = 50, stride = 25, maxSpanDf = 10000)
         .filter(col("repeat_frac") >= 0.5)
         .select(col("id").as("doc_id"))
       val pruned = clean.join(boiler, Seq("doc_id"), "left_anti")
-        .localCheckpoint() // two heavy consumers — see p90
+        .transform(Checkpointing.stage) // two heavy consumers — see p90
       val pairs = Dedup.minHashLsh(pruned, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8)
         .select(col("id_a"), col("id_b"))
       val deduped = Dedup.dedupByClusters(pruned, pairs, "doc_id")
       val balanced = graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
-        .localCheckpoint() // consumed by contamination AND the anti-join
+        .transform(Checkpointing.stage) // consumed by contamination AND the anti-join
       // decontaminate against the held-out eval slice (doc_id % 25 == 0);
       // eval members surviving inside the balanced set flag themselves and
       // are dropped too — exactly what a train/eval split wants
@@ -1370,7 +1372,7 @@ object SparkEntry {
           d.filter(col("doc_id") % 25 === 0), "doc_id", "text", n = 5)
         .select(col("id").as("doc_id"))
       val fin = balanced.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint() // consumed by tokenWindows AND the lang join-back
+        .transform(Checkpointing.stage) // consumed by tokenWindows AND the lang join-back
       val chunks = Chunking.tokenWindows(fin, "doc_id", "text", window = 64, stride = 32)
         .join(fin.select(col("doc_id"), col("lang")), "doc_id")
         .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_id"))

@@ -512,49 +512,14 @@ object Dedup {
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    // Truncation must strip the plan's estimated Statistics along with its
-    // lineage. `Dataset.checkpoint`/`localCheckpoint` carry the source
-    // plan's stats into the new LogicalRDD, and Catalyst's size-only join
-    // estimate is the PRODUCT of its children's sizeInBytes — so across
-    // rounds the carried estimate compounds (each round cubes it: one
-    // neighbor join + two pointer-jump joins) and its BigInt digit count
-    // triples per round. By round ~14 the driver spends minutes per join
-    // inside BigInteger.multiply (Karatsuba/ToomCook) just PLANNING —
-    // observed as an exponential per-round wall blowup (0.4 s → 170 s by
-    // round 15) on a long-diameter graph, with data, partitions, and
-    // lineage all flat. Rebuilding the frame from the checkpointed RDD
-    // (df.rdd → createDataFrame) resets stats to the session default every
-    // round; the Row conversion touches only the thin label map.
-    //
-    // Both paths materialize EAGERLY, in this driver thread, before
-    // truncate returns: the count() is the job that caches the local
-    // path's blocks (and triggers the reliable path's checkpoint write —
-    // which re-reads the pre-checkpoint cache, not the lineage), and
-    // doCheckpoint/markCheckpointed complete inside it, while this thread
-    // is the ONLY one that can reference the RDD. A lazy localCheckpoint
-    // here deadlocked the driver (see the scaladoc: AQE broadcast-exchange
-    // vs dag-scheduler lock-order inversion on RDDCheckpointData$).
-    // Every truncated round leaves cached blocks behind (the local path's
-    // localCheckpoint blocks, the reliable path's pre-checkpoint cache).
-    // Across up to maxIter rounds those label-map RDDs would pile up in
-    // executor storage on a long-running job, so once a round's count()
-    // returns, all OLDER rounds' blocks are unpersisted: future plans
-    // reference only the newest checkpointed RDD (a localCheckpointed RDD
-    // is never recomputed — blocks either exist or the job has already
-    // failed — and the reliable path re-reads its checkpoint files, not
-    // the cache).
-    val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
-    def truncate(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      if (checkpointDir.isDefined) { rdd.cache(); rdd.checkpoint() }
-      else rdd.localCheckpoint()
-      rdd.count() // EAGER: materialize serially; no concurrent planner yet
-      pendingUnpersist += rdd
-      while (pendingUnpersist.length > 1) { // newest is live; older are unreachable
-        pendingUnpersist.remove(0).unpersist(blocking = false)
-      }
-      df.sparkSession.createDataFrame(rdd, df.schema)
-    }
+    // Shared eager-truncate discipline (stats reset per round — each CC
+    // round's one neighbor join + two pointer-jump joins would otherwise
+    // CUBE the carried sizeInBytes estimate, with planning-time BigInt
+    // blowup by round ~14; eager serial materialization closes the r11
+    // doCheckpoint deadlock; old rounds' blocks rotated out): see
+    // Checkpointing's scaladoc, pinned by CheckpointingSpec.
+    val truncator = new Checkpointing.Truncator(reliable = checkpointDir.isDefined)
+    def truncate(df: DataFrame): DataFrame = truncator.truncate(df)
     // cached pre-partitioned on m — the per-round neighbor join's key — so
     // the edge list (the one relation here that isn't label-map-thin)
     // crosses the network ONCE at build, not once per round: the cached

@@ -107,28 +107,13 @@ object Graph {
       symM.unpersist(blocking = false)
       s
     }
-    // EAGER, SERIAL materialization (the connectedComponents discipline —
-    // see Dedup.truncate): a lazy localCheckpoint whose blocks a later
-    // multi-threaded job caches deadlocks the driver intermittently
-    // (doCheckpoint's RDDCheckpointData$-then-RDD-monitor lock order vs an
-    // AQE broadcast-exchange thread's getCacheLocs RDD-monitor-then-class-
-    // lock order — observed live in the round-11 verdict's jstack). The
-    // count() runs while this driver thread is the RDD's only referent, so
-    // markCheckpointed completes before any round's broadcast(prIn)
-    // exchange thread can plan against it; pageRank was the WIDER window
-    // pre-fix (all rounds' checkpoints used to materialize in one cascaded
-    // post-loop action, with an explicit broadcast exchange every round).
-    val pendingUnpersist = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
-    def truncate(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count() // EAGER: materialize serially; no concurrent planner yet
-      pendingUnpersist += rdd
-      while (pendingUnpersist.length > 1) { // newest live; older unreachable
-        pendingUnpersist.remove(0).unpersist(blocking = false)
-      }
-      df.sparkSession.createDataFrame(rdd, df.schema)
-    }
+    // Shared eager-truncate discipline (see Checkpointing's scaladoc,
+    // pinned by CheckpointingSpec): pageRank was the WIDER deadlock window
+    // pre-fix — every round runs an explicit broadcast(prIn) exchange, and
+    // all rounds' lazy checkpoints used to materialize in one cascaded
+    // post-loop action right into those exchange threads.
+    val truncator = new Checkpointing.Truncator(reliable = false)
+    def truncate(df: DataFrame): DataFrame = truncator.truncate(df)
     var pr = truncate(nodes.select(col("node"), col("deg"),
       r6(lit(1.0) / lit(nN.toDouble)).as("pr")))
     for (_ <- 1 to iters) {

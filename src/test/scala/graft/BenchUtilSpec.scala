@@ -60,4 +60,23 @@ class BenchUtilSpec extends AnyFunSuite {
     // boundary: prior exactly at the cutoff counts as fat
     assert(BenchUtil.repsFor(Some(1.2), 1.2, 3) == 2)
   }
+
+  test("requeueEligible: mid-schedule requeue needs BOTH the time gap and budget") {
+    // flagged at t=10 with a 60 s gap: not eligible at t=30 (same host
+    // window — re-running would just re-measure the same storm) ...
+    assert(!BenchUtil.requeueEligible(10.0, 30.0, 60.0, 5.0, 420.0))
+    // ... eligible once the gap has passed and the cost fits
+    assert(BenchUtil.requeueEligible(10.0, 70.0, 60.0, 5.0, 420.0))
+    // gap boundary: exactly gapS after flagging is eligible
+    assert(BenchUtil.requeueEligible(10.0, 70.0, 60.0, 0.0, 420.0))
+    assert(!BenchUtil.requeueEligible(10.0, 69.9, 60.0, 0.0, 420.0))
+    // budget gate: the storm-inflated estimate must fit before the deadline
+    assert(!BenchUtil.requeueEligible(10.0, 400.0, 60.0, 25.0, 420.0))
+    assert(BenchUtil.requeueEligible(10.0, 400.0, 60.0, 20.0, 420.0))
+    // a huge estimate blocks the mid-schedule path even with lots of gap —
+    // such a suspect waits for the end drain (budget-gated only there)
+    assert(!BenchUtil.requeueEligible(0.0, 300.0, 60.0, 200.0, 420.0))
+    // gap=0 degenerates to pure budget gating
+    assert(BenchUtil.requeueEligible(10.0, 10.0, 0.0, 5.0, 420.0))
+  }
 }
