@@ -92,4 +92,23 @@ class CheckpointingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("p90 composed pass: reliable stage tier ≡ local tier (sf0.001, end to end)") {
+    // the composed pass's correctness must not depend on which stage-
+    // checkpoint tier it runs on — executor-churn clusters flip the flag
+    def run(): Seq[(String, Long)] =
+      SparkEntry.queries("p90_composed_corpus")(spark, sf("sf0.001"))
+        .select("lang", "n_docs").as[(String, Long)].collect().toSeq
+    val local = run()
+    assert(local.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_p90_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    System.setProperty("graft.stage.reliableCheckpoint", "1")
+    try {
+      assert(run() == local, "p90 output differs between stage-checkpoint tiers")
+    } finally {
+      System.clearProperty("graft.stage.reliableCheckpoint")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }
