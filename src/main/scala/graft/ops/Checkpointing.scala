@@ -78,7 +78,21 @@ private[graft] object Checkpointing {
       rdd.count() // EAGER: materialize serially; no concurrent planner yet
       pendingUnpersist += rdd
       while (pendingUnpersist.length > 1) { // newest is live; older are unreachable
-        pendingUnpersist.remove(0).unpersist(blocking = false)
+        val old = pendingUnpersist.remove(0)
+        // Reliable tier: also delete the retired round's checkpoint FILES.
+        // Spark never cleans them unprompted (cleanCheckpoints defaults
+        // off), so a long maxIter loop would otherwise leave one
+        // node-sized file set per round on the checkpoint store until
+        // context stop. Safe by the same argument as the unpersist: the
+        // newest round's count() has returned, its own files are complete,
+        // and every future plan reads ONLY the newest checkpoint (each
+        // round's plan is rebuilt over the newest RDD — nothing references
+        // an older round's files once its successor is materialized).
+        old.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(old.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        old.unpersist(blocking = false)
       }
       rdd
     }

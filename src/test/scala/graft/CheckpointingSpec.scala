@@ -88,6 +88,18 @@ class CheckpointingSpec extends SparkSpec {
       // reliably checkpointed: files exist on disk (an executor-churn
       // cluster re-reads these instead of recomputing lineage)
       assert(out.getCheckpointFile.isDefined, "reliable tier produced no checkpoint file")
+      // rotation must also delete the RETIRED round's checkpoint files —
+      // Spark leaves them forever by default, and a long iterative loop
+      // would pile one node-sized file set per round onto the store
+      val firstFiles = new java.io.File(new java.net.URI(out.getCheckpointFile.get))
+      assert(firstFiles.exists)
+      val out2 = t.eager(spark.range(600).rdd)
+      assert(out2.isCheckpointed && out2.getCheckpointFile.isDefined)
+      assert(!firstFiles.exists,
+        s"retired round's checkpoint files survived rotation: $firstFiles")
+      assert(new java.io.File(new java.net.URI(out2.getCheckpointFile.get)).exists)
+      // and the survivor still reads back (its files, not the old ones)
+      assert(out2.count() == 600)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
