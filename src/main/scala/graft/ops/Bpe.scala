@@ -60,8 +60,11 @@ object Bpe {
 
   /** Train `numMerges` BPE merges. Returns the merge list in order. The loop
     * is driver-side but each round's data work is one vocab-sized aggregate
-    * plus one vocab-sized projection; `localCheckpoint` every few rounds
-    * truncates the growing `applyMerge` lineage. Ties break lexicographically
+    * plus one vocab-sized projection; a [[Checkpointing.Truncator]] every
+    * few rounds truncates the growing `applyMerge` lineage AND rotates the
+    * previous checkpoint's blocks out of executor storage (the realistic
+    * 10k-50k-merge regime would otherwise retain merges/8 vocab-sized block
+    * sets for the life of the job). Ties break lexicographically
     * (a, b) for a deterministic, engine-portable merge sequence. */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] =
     trainBatched(docs, textCol, numMerges)._1
@@ -104,7 +107,8 @@ object Bpe {
   def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
                    batchK: Int = 16): (Seq[(String, String)], Int) = {
     require(batchK >= 1, s"batchK=$batchK must be >= 1")
-    var vocab = wordFreq(docs, textCol).localCheckpoint()
+    val truncator = new Checkpointing.Truncator(reliable = false)
+    var vocab = truncator.truncate(wordFreq(docs, textCol))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var rounds = 0
     var sinceCheckpoint = 0
@@ -139,7 +143,7 @@ object Bpe {
       vocab = batch.foldLeft(vocab) { case (v, (a, b)) => applyMerge(v, a, b) }
         .filter(size(col("syms")) >= 2)
       sinceCheckpoint += batch.length
-      if (sinceCheckpoint >= 8) { vocab = vocab.localCheckpoint(); sinceCheckpoint = 0 }
+      if (sinceCheckpoint >= 8) { vocab = truncator.truncate(vocab); sinceCheckpoint = 0 }
     }
     (merges.toSeq, rounds)
   }
