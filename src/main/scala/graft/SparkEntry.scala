@@ -763,11 +763,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
-    // ntile decile bucketing over a global order
+    // ntile decile bucketing over a global order — the terasort-shape tile
+    // (range sort + row-index machinery + NTILE's closed form), NOT
+    // ntile().over(Window.orderBy(...)): the partitionless window form moves
+    // the whole relation through ONE task (r13 verdict's only `weak` plan)
     "q55_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("tile"))
+      Relational.globalNtile(
+          t(s, dir, "customer").select(col("c_acctbal"), col("c_custkey")),
+          10, Seq(col("c_acctbal"), col("c_custkey")), "tile")
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
         .orderBy(col("tile"))

@@ -142,6 +142,40 @@ object Relational {
     (df.sparkSession.createDataFrame(out, schema), offsets.last)
   }
 
+  /** Global NTILE(k) over a total order WITHOUT a single-partition window.
+    *
+    * `ntile(k).over(Window.orderBy(...))` moves the ENTIRE relation through
+    * one task (Spark's own WindowExec "Moving all data to a single
+    * partition" warning) — the textbook scale-killer for a corpus-sized
+    * input. Tiling needs only each row's global rank and the total count,
+    * and both come from the terasort shape this file already owns: a
+    * distributed range sort (one range exchange), then
+    * [[withRowIndexCounted]] (per-partition counts cross the driver as
+    * scalars, offsets ride in the closure — no shuffle, no window).
+    *
+    * The tile is SQL NTILE's exact closed form from the 0-based index: with
+    * total = q·k + r, the first r tiles get q+1 rows and the rest q, so
+    *   tile = idx div (q+1) + 1                     when idx < r·(q+1)
+    *        = r + (idx − r·(q+1)) div q + 1         otherwise.
+    * (The tempting `1 + idx·k div total` is NOT NTILE when r > 0: it
+    * scatters the r fat tiles — 7 rows into 5 tiles gives sizes 2,1,2,1,1
+    * vs NTILE's 2,2,1,1,1.) Integral `div` keeps the arithmetic exact and
+    * codegen'd at any row count. Pass a tie-breaking total order for
+    * deterministic assignment, exactly as a window NTILE would need. */
+  def globalNtile(df: DataFrame, k: Int, order: Seq[Column], name: String): DataFrame = {
+    require(k > 0, "globalNtile: k must be positive")
+    val idxCol = "__ntile_idx"
+    val (indexed, total) = withRowIndexCounted(df.orderBy(order: _*), idxCol)
+    val q = total / k
+    val r = total % k
+    val tile =
+      if (q == 0) expr(s"`$idxCol` + 1L") // fewer rows than tiles
+      else if (r == 0) expr(s"`$idxCol` div ${q}L + 1L")
+      else expr(s"IF(`$idxCol` < ${r * (q + 1)}L, `$idxCol` div ${q + 1}L, " +
+        s"${r}L + (`$idxCol` - ${r * (q + 1)}L) div ${q}L) + 1L")
+    indexed.withColumn(name, tile).drop(idxCol)
+  }
+
   /** Wide→long melt (agnes `melt`, src/view.rs:1276-1376): the N `meltCols`
     * become (`nameCol`:string, `valueCol`) pairs, hold columns repeated N per
     * input row, row-major — exactly the emission order of Spark's `stack`.

@@ -243,6 +243,62 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
   }
 
+  /** Every partitionless WindowExec reachable from `p` — including through
+    * the AQE wrapper, cached relations, and subquery plans. LogicalRDD
+    * boundaries (the row-index machinery) genuinely end the walk: whatever
+    * built that RDD was planned separately and windows there would surface
+    * when the builder itself is under test (RelationalSpec pins
+    * globalNtile's plan directly). */
+  private def partitionlessWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val buf = scala.collection.mutable.ListBuffer[String]()
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit =
+      n.foreach { node =>
+        node match {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            buf += w.windowExpression.mkString(";").take(160)
+          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+          case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+          case _ =>
+        }
+        node.subqueries.foreach(walk)
+      }
+    walk(p)
+    buf.toList
+  }
+
+  test("no corpus-sized partitionless window in any driver query plan") {
+    // A WindowExec with an EMPTY partition spec moves its entire input
+    // through ONE task (Spark's own "Moving all data to a single partition"
+    // warning) — fine over a pre-reduced relation, fatal over a corpus at
+    // 100 TB. r13's audit left exactly four legitimate sites, each windowing
+    // over an input already bounded by orderBy+limit / per-step aggregates;
+    // every other query must have ZERO. The allowlist is asserted in BOTH
+    // directions so it cannot rot: an allowlisted query that LOSES its
+    // bounded window must be removed from this list.
+    val allowlisted = Map(
+      "t66_token_rarity" -> "vocab-rank row_number over orderBy+limit(vocab) terms (Sampling.tokenRarityScore)",
+      "e103_funnel" -> "lag over one row per funnel step (Events.funnel)",
+      "e118_event_paths" -> "rank over orderBy+limit(topN) paths (Events.topPaths)",
+      "q101_skew_profile" -> "rank/cum_share over orderBy+limit(topN) keys (Diagnostics.keySkewProfile)")
+    val dir = sf("sf0.001")
+    val offenders = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val ws = partitionlessWindows(fn(spark, dir).queryExecution.executedPlan)
+      if (ws.nonEmpty) offenders(name) = ws
+      spark.catalog.clearCache()
+    }
+    val illegal = offenders.view.filterKeys(!allowlisted.contains(_)).toMap
+    assert(illegal.isEmpty,
+      s"partitionless corpus-window reintroduced (the r13 q55 shape):\n" +
+        illegal.map { case (n, ws) => s"  $n: ${ws.mkString(" | ")}" }.mkString("\n"))
+    val stale = allowlisted.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"allowlisted queries no longer have a partitionless window — prune the allowlist: $stale")
+  }
+
   test("q78 scan is partition-pruned to exactly the 3 filtered days") {
     val df = SparkEntry.queries("q78_partition_prune")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan match {

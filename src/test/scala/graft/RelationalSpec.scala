@@ -189,4 +189,31 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(hc == Seq((hostile, 2L)))
   }
+
+  test("globalNtile: exact SQL NTILE semantics without a global window") {
+    import org.apache.spark.sql.expressions.Window
+    // every (total, k) shape that distinguishes NTILE from the naive
+    // floor(idx*k/total): irregular remainders scatter the naive formula's
+    // fat tiles (7 rows / 5 tiles: naive gives sizes 2,1,2,1,1; NTILE
+    // demands 2,2,1,1,1 — extras in the FIRST r tiles)
+    for ((total, k) <- Seq((7, 5), (10, 3), (11, 3), (5, 8), (1, 4), (32, 7), (100, 10))) {
+      val df = spark.range(total.toLong).toDF("id")
+        .withColumn("v", -col("id")) // non-trivial order: v desc of id
+        .repartition(5)              // input order must not matter
+      val got = Relational.globalNtile(df, k, Seq(col("v"), col("id")), "tile")
+        .select("id", "tile").as[(Long, Long)].collect().toMap
+      val want = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long").as("tile"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"globalNtile != window NTILE at total=$total k=$k")
+    }
+    // and the plan property the helper exists for: NO partitionless
+    // WindowExec anywhere (the sort + row-index machinery replaces it)
+    val out = Relational.globalNtile(
+      spark.range(50).toDF("id"), 4, Seq(col("id")), "tile")
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.isEmpty, "globalNtile produced a partitionless WindowExec")
+  }
 }
