@@ -79,4 +79,33 @@ class BenchUtilSpec extends AnyFunSuite {
     // gap=0 degenerates to pure budget gating
     assert(BenchUtil.requeueEligible(10.0, 10.0, 0.0, 5.0, 420.0))
   }
+
+  test("scheduledReserveS: remaining schedule's prior-estimated cost, fat-thinned") {
+    // empty schedule reserves nothing (the end-drain case)
+    assert(BenchUtil.scheduledReserveS(Nil, 1.2, 3) == 0.0)
+    // thin prior: full reps; fat prior (≥ cutoff): one fewer rep;
+    // no prior: the scheduler's 0.5 s mid-cost estimate at full reps
+    val reserve = BenchUtil.scheduledReserveS(
+      Seq(Some(0.4), Some(2.0), None), fatCutoff = 1.2, reps = 3)
+    assert(math.abs(reserve - (0.4 * 3 + 2.0 * 2 + 0.5 * 3)) < 1e-9, reserve.toString)
+    // the reserve gates a mid-schedule requeue exactly like a nearer
+    // deadline: a requeue that fits the raw budget but not the reserved one
+    // must wait (it can still run at the end drain, where reserve = 0)
+    val estCost = 30.0 // now=100, reserve=6.7: raw 135 s deadline fits, reserved doesn't
+    assert(BenchUtil.requeueEligible(0.0, 100.0, 60.0, estCost, 135.0))
+    assert(!BenchUtil.requeueEligible(0.0, 100.0, 60.0, estCost, 135.0 - reserve))
+  }
+
+  test("watchBand: sub-trigger risers are flagged; storm triggers and noise are not") {
+    // in the band: 2× a 3 s prior (r13's q94 shape)
+    assert(BenchUtil.watchBand(6.2, 3.28, 1.75, 3.5))
+    // below the band: an honest 1.5× is normal host variance
+    assert(!BenchUtil.watchBand(4.9, 3.28, 1.75, 3.5))
+    // above the storm trigger: the guard owns it (requeue path, not watch)
+    assert(!BenchUtil.watchBand(12.0, 3.28, 1.75, 3.5))
+    // sub-second noise: ratio in band but absolute gap ≤ 0.3 s
+    assert(!BenchUtil.watchBand(0.5, 0.25, 1.75, 3.5))
+    // absolute-gap boundary: just over 0.3 s qualifies
+    assert(BenchUtil.watchBand(1.01, 0.5, 1.75, 3.5))
+  }
 }
