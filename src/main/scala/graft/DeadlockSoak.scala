@@ -17,18 +17,26 @@ import org.apache.spark.sql.functions._
   * A regression shows up as a hang (run under `timeout`); correctness is
   * asserted every iteration so a racy wrong answer can't pass silently.
   * Usage: `runMain graft.DeadlockSoak [iterations] [threads]` (defaults
-  * 10 iterations; threads = SPARK_GRAFT_CPUS or the host's core count —
-  * a hardcoded 32 oversubscribed small CI hosts, making the
-  * `timeout`-gated hang detection flaky: slow ≠ deadlocked. The race
-  * window needs concurrency, not 32 specifically — any multi-threaded
-  * local master exercises the AQE broadcast-exchange interleaving). */
+  * 10 iterations; threads = SPARK_GRAFT_CPUS or the host's core count,
+  * floored at 8 — a hardcoded 32 oversubscribed small CI hosts, making
+  * the `timeout`-gated hang detection flaky: slow ≠ deadlocked; but a
+  * 2-4 thread master exerts too little scheduler/broadcast-exchange
+  * interleaving pressure to re-open the r11 race window, so a core-count
+  * default on a small host would weaken the soak's detection power while
+  * still "passing". 8 threads modestly oversubscribes a small host
+  * (keeping the race window exercised) without the 32-thread timeout
+  * flakiness; an explicit arg/env still overrides in either direction. */
 object DeadlockSoak {
   def main(args: Array[String]): Unit = {
     val iterations = args.headOption.map(_.toInt).getOrElse(10)
     val threads = args.lift(1).map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt))
-      .getOrElse(Runtime.getRuntime.availableProcessors)
-      .max(2) // the deadlock needs at least two concurrent scheduler threads
+      // explicit choices honored above the 2-thread minimum a deadlock
+      // needs (a 2-thread repro run stays 2); the DEFAULT floors at 8 so
+      // small hosts keep enough scheduler/broadcast interleaving pressure
+      // to exercise the r11 race window
+      .map(_.max(2))
+      .getOrElse(Runtime.getRuntime.availableProcessors.max(8))
     val spark = core.Engine.session(s"local[$threads]", threads)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -29,6 +29,15 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim checkpoint FILES when their RDD is garbage-collected:
+      // Checkpointing.stage's reliable tier (p90/p91 composed passes) writes
+      // one file set per stage and Spark never deletes them unprompted — a
+      // long-lived session running composed passes repeatedly would grow the
+      // checkpoint store unboundedly (the iterative Truncator rotates its own
+      // files explicitly; this covers the stage tier, whose frames' lifetimes
+      // only the consumer knows). Context-level conf: applies when this
+      // builder creates the context.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   def session(master: String = "local[32]", cpus: Int = 32): SparkSession = {

@@ -51,7 +51,18 @@ private[graft] object Checkpointing {
     * whole shared prefix, exactly what the stage checkpoint exists to
     * avoid. (Stats carried by Dataset.checkpoint are fine here: the
     * compounding-estimate blowup documented below is per-ROUND in
-    * iterative loops; a composed pass checkpoints each stage once.) */
+    * iterative loops; a composed pass checkpoints each stage once.)
+    *
+    * Reliable-tier file RETENTION: stage() cannot delete its own files —
+    * only the caller knows when the composed pass's last consumer has run
+    * (the Truncator can rotate eagerly because each round provably
+    * supersedes the last; stages have no such order). Cleanup is instead
+    * delegated to Spark's ContextCleaner: [[graft.core.Engine.builder]]
+    * sets `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so a
+    * stage's files are deleted when its RDD is garbage-collected — i.e.
+    * once no live frame references the stage. Sessions built outside the
+    * Engine factory without that conf retain stage files until context
+    * stop (Spark's default). */
   def stage(df: DataFrame): DataFrame =
     if (System.getProperty("graft.stage.reliableCheckpoint", "0") == "1") {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,

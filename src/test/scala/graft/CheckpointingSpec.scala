@@ -11,6 +11,19 @@ import org.apache.spark.storage.StorageLevel
 class CheckpointingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Suite-lifetime checkpoint dir: tests that point the shared session's
+    * context at a per-test temp dir MUST reset here in `finally` BEFORE
+    * deleting that dir — the checkpoint dir is JVM-global state on the
+    * shared session, and any later checkpoint (this suite or another)
+    * would otherwise write into a deleted directory. (Suites run serially
+    * under sbt's single test JVM — SparkSpec's documented contract — so no
+    * parallel test can observe the mid-test mutation.) */
+  private lazy val suiteCkptDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_spec_ckpt").toString
+    spark.sparkContext.setCheckpointDir(d)
+    d
+  }
+
   test("eager(): RDD is already checkpointed when the call returns") {
     val t = new ops.Checkpointing.Truncator(reliable = false)
     val rdd = spark.range(1000).rdd
@@ -73,6 +86,7 @@ class CheckpointingSpec extends SparkSpec {
       assert(files > 0, s"reliable stage() wrote no checkpoint data under $dir")
     } finally {
       System.clearProperty("graft.stage.reliableCheckpoint")
+      spark.sparkContext.setCheckpointDir(suiteCkptDir) // before deleting the active dir
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
@@ -101,6 +115,7 @@ class CheckpointingSpec extends SparkSpec {
       // and the survivor still reads back (its files, not the old ones)
       assert(out2.count() == 600)
     } finally {
+      spark.sparkContext.setCheckpointDir(suiteCkptDir) // before deleting the active dir
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
@@ -120,6 +135,7 @@ class CheckpointingSpec extends SparkSpec {
       assert(run() == local, "p90 output differs between stage-checkpoint tiers")
     } finally {
       System.clearProperty("graft.stage.reliableCheckpoint")
+      spark.sparkContext.setCheckpointDir(suiteCkptDir) // before deleting the active dir
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
