@@ -1863,6 +1863,30 @@ object SparkEntry {
       Similarity.recallAtK(approx, exact).orderBy(col("query_id"))
     }),
 
+    // recall@k for the PQ serving tiers (round 14): s120's full-scan ADC
+    // and s123's bucket-pruned composition graded against the exact top-k
+    // in one report — the same measured-recall evidence the LSH tier has
+    // had since s142, so the quantization + pruning knobs (m, kc, expand,
+    // planes) ship with numbers, not guesses. The exact side is staged
+    // once (localCheckpoint) so the brute-force pass — the harness's real
+    // cost at corpus scale — isn't recomputed per graded tier
+    "s143_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Checkpointing.stage(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10))
+      val cb = Similarity.pqCodebook(8, 16, 8)
+      val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,
+        codebook = cb, expand = 4)
+      val lshpq = Similarity.lshPqTopK(e, q, "vec_id", "embedding", k = 10,
+        codebook = cb, planes = 3, dim = 64, expand = 4)
+      Similarity.recallAtK(pq, exact).withColumn("tier", lit("pq"))
+        .unionByName(Similarity.recallAtK(lshpq, exact).withColumn("tier", lit("lshpq")))
+        .select(col("tier"), col("query_id"), col("n_approx"), col("n_exact"),
+          col("n_overlap"), col("recall"))
+        .orderBy(col("tier"), col("query_id"))
+    }),
+
     // cross-video duplicate-FRAME detection: frame sampling → per-frame
     // pHash → banded Hamming pairs → video-pair counts; catches shared
     // clips whole-file hashing (m113) misses
@@ -2074,6 +2098,9 @@ object SparkEntry {
     *  - x97_bpe_train64: the full 64-merge BPE training loop (batched
     *    top-k extraction + vocab pruning) — the end-to-end cost t97's
     *    single pair-count statistic doesn't show.
+    *  - x97_bpe_train1k: the same loop at 1024 merges — the depth
+    *    measurement for the 10k-50k-merge production regime the r13
+    *    checkpoint rotation targets (bounds rounds/merge and s/merge).
     *  - x120_pq_trained: s120 with a TRAINED per-subspace k-means codebook
     *    (Similarity.pqCodebookTrained, the s36 trainCap precedent) instead
     *    of the md5 grid — the real-deployment form. Trained artifacts are
@@ -2132,6 +2159,19 @@ object SparkEntry {
       val (merges, rounds) = graft.ops.Bpe.trainBatched(
         t(s, dir, "documents"), "text", numMerges = 64)
       System.err.println(s"[x97] 64 merges in $rounds pair-count rounds")
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "a", "b")
+    }),
+    // BPE training at realistic DEPTH (round 14): 1024 merges — the
+    // r13 Truncator vocab-checkpoint rotation was built for the
+    // 10k-50k-merge regime but only 64 merges had ever been measured;
+    // this bounds per-merge driver-loop cost (pair-count rounds per
+    // merge, seconds per merge warm) one decade closer to production
+    "x97_bpe_train1k" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, rounds) = graft.ops.Bpe.trainBatched(
+        t(s, dir, "documents"), "text", numMerges = 1024)
+      System.err.println(s"[x97_1k] ${merges.length} merges in $rounds pair-count rounds")
       merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         .toDF("rank", "a", "b")
     }),
@@ -3534,6 +3574,8 @@ object SparkEntry {
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "s142_ann_recall" -> annRecallOracle(planes = 6, tables = 2, dim = 64, k = 10),
+    "s143_pq_recall" -> pqRecallOracle(m = 8, kc = 16, subDim = 8,
+      planes = 3, dim = 64, kTop = 10, expand = 4),
 
     // m107's frame derivation + m113's pHash grid per FRAME (composite
     // frame id = doc·4 + idx), Hamming ≤ 2 pairs, video-pair counts
@@ -4029,6 +4071,82 @@ object SparkEntry {
        |  floor(CAST(hits.n_overlap AS DOUBLE) / hits.n_exact * 1e6 + 0.5) / 1e6 AS recall
        |FROM hits LEFT JOIN ac ON ac.query_id = hits.query_id
        |ORDER BY hits.query_id""".stripMargin
+  }
+
+  /** s143 oracle: BOTH PQ serving tiers replayed in SQL — the s120 ADC
+    * chain (full-scan coarse pass) and the s123 bucket-pruned chain share
+    * one codes CTE (the md5-grid codebook inlined once, first-position
+    * argmin, sequential list_sums — pqOracle/lshPqOracle's determinism
+    * argument verbatim) — each graded against the s29 exact top-k with
+    * annRecallOracle's left-join recall shape, union'd under a tier tag. */
+  private def pqRecallOracle(m: Int, kc: Int, subDim: Int, planes: Int,
+                             dim: Int, kTop: Int, expand: Int): String = {
+    val cb = graft.ops.Similarity.pqCodebook(m, kc, subDim)
+    val mat = graft.ops.Similarity.planeMatrix(planes, dim)
+    def num(d: Double) = java.math.BigDecimal.valueOf(d).toPlainString
+    def lst(a: Array[Double]): String = a.map(num).mkString("[", ", ", "]")
+    val bucketExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val cLit = cb.map(sc => sc.map(cv => cv.map(num).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    def dsFor(v: String) =
+      s"[ list_sum([ ($v[(s-1)*$subDim + j] - C[s][c][j]) * ($v[(s-1)*$subDim + j] - C[s][c][j]) for j in range(1, ${subDim + 1}) ]) for c in range(1, ${kc + 1}) ]"
+    val dsE = dsFor("e"); val dsQ = dsFor("qe")
+    // one tier's approx top-k: coarse ADC pass (optionally bucket-pruned),
+    // kTop·expand candidates, exact-cosine re-rank, keep rk <= kTop
+    def tierCtes(tag: String, bucketPred: String) =
+      s"""coarse_$tag AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |  list_sum([ $dsQ[c.codes[s]] for s in range(1, ${m + 1}) ]) AS adc
+         |  FROM qs, cbk, codes c WHERE $bucketPred c.vec_id <> query_id),
+         |cand_$tag AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+         |  FROM coarse_$tag) WHERE rn <= ${kTop * expand}),
+         |exr_$tag AS (SELECT cand_$tag.query_id, cand_$tag.neighbor_id,
+         |  list_sum([qs.qe[i] * ce.e[i] for i in range(1, len(qs.qe) + 1)]) /
+         |  (sqrt(list_sum([qs.qe[i] * qs.qe[i] for i in range(1, len(qs.qe) + 1)])) *
+         |   sqrt(list_sum([ce.e[i] * ce.e[i] for i in range(1, len(ce.e) + 1)]))) AS cosine
+         |  FROM cand_$tag JOIN qs USING (query_id) JOIN v ce ON ce.vec_id = cand_$tag.neighbor_id),
+         |approx_$tag AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM exr_$tag) WHERE rk <= $kTop)""".stripMargin
+    // one tier's recall report rows against the shared exact CTE
+    def tierReport(tag: String, label: String) =
+      s"""hits_$tag AS (SELECT e.query_id, count(*) AS n_exact,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+         |  FROM exact e LEFT JOIN approx_$tag a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |ac_$tag AS (SELECT query_id, count(*) AS n_approx FROM approx_$tag GROUP BY query_id),
+         |rep_$tag AS (SELECT '$label' AS tier, hits_$tag.query_id,
+         |  coalesce(ac_$tag.n_approx, 0) AS n_approx, hits_$tag.n_exact,
+         |  CAST(hits_$tag.n_overlap AS BIGINT) AS n_overlap,
+         |  floor(CAST(hits_$tag.n_overlap AS DOUBLE) / hits_$tag.n_exact * 1e6 + 0.5) / 1e6 AS recall
+         |  FROM hits_$tag LEFT JOIN ac_$tag ON ac_$tag.query_id = hits_$tag.query_id)""".stripMargin
+    s"""WITH cbk AS (SELECT $cLit AS C),
+       |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bucketExpr AS BIGINT) AS bkt FROM v),
+       |codes AS (SELECT vec_id, bkt,
+       |  [ list_position($dsE, list_min($dsE)) for s in range(1, ${m + 1}) ] AS codes
+       |  FROM b, cbk),
+       |qs AS (SELECT vec_id AS query_id, e AS qe, bkt AS qbkt FROM b WHERE vec_id < 8),
+       |${tierCtes("pq", "")},
+       |${tierCtes("lp", "c.bkt = qs.qbkt AND")},
+       |ex_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_sum([q.e[i]*c.e[i] for i in range(1, len(q.e)+1)]) /
+       |  (sqrt(list_sum([q.e[i]*q.e[i] for i in range(1, len(q.e)+1)])) *
+       |   sqrt(list_sum([c.e[i]*c.e[i] for i in range(1, len(c.e)+1)]))) AS cosine
+       |  FROM v q, v c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM ex_scored) WHERE rn <= $kTop),
+       |${tierReport("pq", "pq")},
+       |${tierReport("lp", "lshpq")}
+       |SELECT * FROM rep_pq UNION ALL SELECT * FROM rep_lp
+       |ORDER BY tier, query_id""".stripMargin
   }
 
   /** OR-amplified LSH near-dup oracle: table `t` buckets with hyperplane
