@@ -428,8 +428,10 @@ object Bench {
       }
     // watch tier (see BenchUtil.watchBand): a sub-trigger riser is NAMED in
     // the artifact; all-heavy-JIT reps earn one extra back-to-back warm rep
-    // (budget-gated) — if the fresh rep clears the band the published min is
-    // honest and only "watch_reran" records the adjudication
+    // (budget-gated against the SAME remaining-schedule reserve as a
+    // requeue — an extra rep must not starve a first measurement either) —
+    // if the fresh rep clears the band the published min is honest and only
+    // "watch_reran" records the adjudication
     def watchIfRiser(name: String,
                      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (!failed.contains(name) && !pending.contains(name) && !requeued.contains(name))
@@ -438,7 +440,10 @@ object Bench {
           if BenchUtil.watchBand(m, p, watchRatio, guardRatio)
         } {
           val allHeavyJit = ts.nonEmpty && ts.forall(_.jit >= watchJitMs)
-          if (allHeavyJit && !deadlineHit && elapsed + m <= deadlineS) {
+          val reserve = BenchUtil.scheduledReserveS(
+            queryList.map(_._1).filterNot(results.contains).map(judgePrior.get),
+            fatCutoff, reps)
+          if (allHeavyJit && !deadlineHit && elapsed + m <= deadlineS - reserve) {
             watchReran(name) = m / p
             System.err.println(f"[bench] watch tier: $name min ${m / p}%.2fx prior with all-heavy-JIT reps — granting one extra warm rep")
             runReps(name, fn, nReps = 1)
