@@ -409,6 +409,12 @@ object Bench {
       System.err.println(f"[bench] variance guard: requeue $n $when (min ${s.ratio}%.1fx prior)")
       byName.get(n).foreach(runReps(n, _, repsFor(n)))
     }
+    // ONE reserve definition for BOTH mid-schedule budget gates (requeue +
+    // watch bonus rep) — the documented invariant is that they reserve the
+    // SAME remaining-schedule cost, so the expression must not fork
+    def remainingReserve(): Double = BenchUtil.scheduledReserveS(
+      queryList.map(_._1).filterNot(results.contains).map(judgePrior.get),
+      fatCutoff, reps)
     // between scheduled queries: requeue every suspect whose gap has passed
     // and whose (storm-inflated) cost estimate fits the budget LEFT AFTER
     // reserving the rest of the schedule's prior-estimated cost — a
@@ -416,9 +422,7 @@ object Bench {
     // drain has no remaining schedule, so no reserve applies there)
     def drainEligible(): Unit =
       if (pending.nonEmpty) {
-        val remaining = queryList.map(_._1).filterNot(results.contains)
-        val reserve = BenchUtil.scheduledReserveS(
-          remaining.map(judgePrior.get), fatCutoff, reps)
+        val reserve = remainingReserve()
         pending.toSeq.foreach { case (n, s) =>
           if (!deadlineHit &&
               BenchUtil.requeueEligible(s.flaggedAtS, elapsed, guardGapS,
@@ -440,16 +444,31 @@ object Bench {
           if BenchUtil.watchBand(m, p, watchRatio, guardRatio)
         } {
           val allHeavyJit = ts.nonEmpty && ts.forall(_.jit >= watchJitMs)
-          val reserve = BenchUtil.scheduledReserveS(
-            queryList.map(_._1).filterNot(results.contains).map(judgePrior.get),
-            fatCutoff, reps)
-          if (allHeavyJit && !deadlineHit && elapsed + m <= deadlineS - reserve) {
+          // cost estimate for the bonus rep: the WORST observed rep, not the
+          // min — the all-heavy-JIT class that triggers this is exactly the
+          // class whose next rep can pay JIT again (the q94 streaming family
+          // re-pays codegen per rep), and a min-based estimate would admit a
+          // rep that overshoots the deadline and truncates the schedule
+          val estRep = ts.flatMap(_.secs).maxOption.getOrElse(m)
+          if (allHeavyJit && !deadlineHit &&
+              elapsed + estRep <= deadlineS - remainingReserve()) {
             watchReran(name) = m / p
             System.err.println(f"[bench] watch tier: $name min ${m / p}%.2fx prior with all-heavy-JIT reps — granting one extra warm rep")
+            val failedBefore = failed.contains(name)
             runReps(name, fn, nReps = 1)
-            for (m2 <- minOf(results(name))
-                 if BenchUtil.watchBand(m2, p, watchRatio, guardRatio))
-              watch(name) = m2 / p
+            // the bonus rep is ADJUDICATION-ONLY: the scheduled rep-set
+            // already passed, so a flake here must not null the run's total
+            // and exit non-zero — drop the taint (the null rep stays visible
+            // in the passes array) and keep the watch entry un-cleared
+            if (!failedBefore && failed.contains(name)) {
+              failed -= name
+              watch(name) = m / p
+              System.err.println(s"[bench] watch tier: $name bonus rep FAILED — kept as watch entry, run not tainted")
+              writeArtifact(done = false)
+            } else
+              for (m2 <- minOf(results(name))
+                   if BenchUtil.watchBand(m2, p, watchRatio, guardRatio))
+                watch(name) = m2 / p
           } else {
             watch(name) = m / p
             System.err.println(f"[bench] watch tier: $name min ${m / p}%.2fx prior (sub-trigger riser) — named in artifact")

@@ -165,6 +165,8 @@ object Relational {
   def globalNtile(df: DataFrame, k: Int, order: Seq[Column], name: String): DataFrame = {
     require(k > 0, "globalNtile: k must be positive")
     val idxCol = "__ntile_idx"
+    require(!df.columns.contains(idxCol),
+      s"globalNtile: input already has a column named $idxCol") // fail loudly at the call, not at action time
     val (indexed, total) = withRowIndexCounted(df.orderBy(order: _*), idxCol)
     val q = total / k
     val r = total % k

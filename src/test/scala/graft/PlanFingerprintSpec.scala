@@ -245,10 +245,12 @@ class PlanFingerprintSpec extends SparkSpec {
 
   /** Every partitionless WindowExec reachable from `p` — including through
     * the AQE wrapper, cached relations, and subquery plans. LogicalRDD
-    * boundaries (the row-index machinery) genuinely end the walk: whatever
-    * built that RDD was planned separately and windows there would surface
-    * when the builder itself is under test (RelationalSpec pins
-    * globalNtile's plan directly). */
+    * boundaries (the row-index machinery) genuinely end the walk — a
+    * window hidden INSIDE that machinery is invisible to any plan
+    * inspection, which is why RelationalSpec pins globalNtile at the
+    * EXECUTION level instead: its task-metrics test fails if any single
+    * task processes ~the whole relation, wherever in the lineage the
+    * single-partition stage hides. */
   private def partitionlessWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec

@@ -216,4 +216,54 @@ class RelationalSpec extends SparkSpec {
     }
     assert(windows.isEmpty, "globalNtile produced a partitionless WindowExec")
   }
+
+  test("globalNtile: no task ever processes the whole relation (LogicalRDD-proof)") {
+    // The plan-level checks (above, and PlanFingerprintSpec's sweep) stop
+    // at the df.rdd/LogicalRDD boundary, so a single-partition window
+    // reintroduced INSIDE the row-index machinery would stay invisible to
+    // them. This pin measures the execution itself: run globalNtile on a
+    // multi-partition relation and assert via task metrics that no single
+    // task read anywhere near the full row count — a global-window
+    // implementation funnels ALL rows through one task and trips this
+    // deterministically, wherever in the lineage it hides.
+    val total = 20000L
+    val maxTaskRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val rows = math.max(m.inputMetrics.recordsRead, m.shuffleReadMetrics.recordsRead)
+          maxTaskRows.updateAndGet(x => math.max(x, rows)); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE's small-byte coalescing legitimately collapses this TINY test
+    // shuffle to one partition (advisory 64MB vs ~160KB here) — a byte-size
+    // effect that vanishes at real scale. Disable it for the measurement so
+    // the detector sees the machinery's intrinsic shape, not AQE's
+    // small-data collapse; restored in finally.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalescePrev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val df = spark.range(total).toDF("id").repartition(8)
+      val n = Relational.globalNtile(df, 10, Seq(col("id")), "tile").count()
+      assert(n == total)
+      // task-end events are delivered async: poll until the max stabilizes
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 50) {
+        Thread.sleep(100); waited += 1
+        val cur = maxTaskRows.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val seen = maxTaskRows.get
+      assert(seen > 0L, "listener observed no task metrics — detector broken")
+      assert(seen < total * 3 / 4,
+        s"one task processed $seen of $total rows — a single-partition stage is hiding inside globalNtile's lineage")
+    } finally {
+      spark.conf.set(coalesceKey, coalescePrev)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
