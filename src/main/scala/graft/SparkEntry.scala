@@ -1573,6 +1573,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    // keep the quarter of the corpus whose token distribution is most like
+    // the English target slice — importance = mean bigram log-prob under
+    // the target-domain model MINUS under the corpus's own model; two
+    // vocab²-bounded model estimations, and the keep step is the terasort
+    // row-index form (never a global window, never a driver-side collect)
+    "t144_dsir_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextIndex.dsirResample(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", fraction = 0.25)
+        .orderBy(col("importance").desc, col("doc_id"))
+    }),
+
     // max-containment near-dup pairs — the ASYMMETRIC dedup metric: a short
     // doc fully pasted inside a long one has tiny Jaccard but containment
     // ~1.0; same candidate/skew machinery as d22 (df cap on the numerator,
@@ -2470,6 +2483,37 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  floor(CAST(s AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS avg_logprob
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the t110 LM chain twice — once with the model estimated on the 'en'
+    // target slice, once on the whole corpus — importance = the difference
+    // of the two 6-dp floor-rounded means (identical doubles in both
+    // engines), keep = top floor(scored·0.25) by (importance desc, doc_id)
+    "t144_dsir_resample" ->
+      """WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |tk2 AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, lang, unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS s FROM tk2),
+        |p AS (SELECT doc_id, lang, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |ct AS (SELECT w1, w2, count(*) AS c12 FROM p WHERE lang = 'en' GROUP BY 1, 2),
+        |ft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM ct GROUP BY 1),
+        |vt AS (SELECT count(DISTINCT w2) AS nv FROM ct),
+        |lpt AS (SELECT doc_id,
+        |  CAST(ln((CAST(coalesce(ct.c12, 0) AS DOUBLE) + 0.5) / (CAST(coalesce(ft.c1, 0) AS DOUBLE) + 0.5 * CAST(vt.nv AS DOUBLE))) AS DECIMAL(27,7)) AS l
+        |  FROM p LEFT JOIN ct USING (w1, w2) LEFT JOIN ft USING (w1), vt),
+        |gt AS (SELECT doc_id, floor(CAST(sum(l) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS lp_target FROM lpt GROUP BY doc_id),
+        |cc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |fc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cc GROUP BY 1),
+        |vc AS (SELECT count(DISTINCT w2) AS nv FROM cc),
+        |lpc AS (SELECT doc_id,
+        |  CAST(ln((CAST(coalesce(cc.c12, 0) AS DOUBLE) + 0.5) / (CAST(coalesce(fc.c1, 0) AS DOUBLE) + 0.5 * CAST(vc.nv AS DOUBLE))) AS DECIMAL(27,7)) AS l
+        |  FROM p LEFT JOIN cc USING (w1, w2) LEFT JOIN fc USING (w1), vc),
+        |gc AS (SELECT doc_id, floor(CAST(sum(l) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS lp_corpus FROM lpc GROUP BY doc_id),
+        |sc AS (SELECT gt.doc_id AS doc_id, lp_target, lp_corpus,
+        |  floor((lp_target - lp_corpus) * 1e6 + 0.5) / 1e6 AS importance
+        |  FROM gt JOIN gc ON gc.doc_id = gt.doc_id),
+        |n AS (SELECT CAST(floor(count(*) * 0.25) AS BIGINT) AS keep FROM sc),
+        |r AS (SELECT sc.*, row_number() OVER (ORDER BY importance DESC, doc_id) AS rn FROM sc)
+        |SELECT doc_id, lp_target, lp_corpus, importance FROM r, n WHERE rn <= n.keep
+        |ORDER BY importance DESC, doc_id""".stripMargin,
 
     // d22's chain with the containment denominator (least set size)
     "d109_containment_pairs" ->

@@ -137,4 +137,82 @@ object TextIndex {
         (floor(col("__s").cast("double") / col("n_bigrams") * lit(1e6) + lit(0.5))
           / lit(1e6)).as("avg_logprob"))
   }
+
+  /** [[bigramLogProbScore]]'s cross-domain sibling: score `docs` under an
+    * add-k bigram model estimated from a DIFFERENT relation (`modelDocs`) —
+    * the building block importance weighting needs (score the whole corpus
+    * under the target-domain model). Same determinism contract: each ln
+    * decimal-rounded pre-sum, final mean through the portable floor form.
+    *
+    * Scale shape: model counts are vocab²-bounded regardless of corpus
+    * size, localCheckpointed once (three consumers), join strategy left to
+    * AQE; the scored stream is a projection until the model joins. */
+  def bigramLogProbScoreUnder(docs: DataFrame, modelDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Double = 0.5): DataFrame = {
+    def pairsOf(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), tokensExpr(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = pairsOf(docs)
+    val counts = pairsOf(modelDocs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("v"))
+    scored
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(totals, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+        (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(27,7)")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("__s").cast("double") / col("n_bigrams") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("avg_logprob"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public paper): keep the corpus documents whose token distribution
+    * looks most like a TARGET domain. Each doc's importance is its mean
+    * bigram log-prob under the target-domain add-k model MINUS under the
+    * general-corpus model (positive = more target-like than typical); the
+    * top `fraction` of SCORED docs by (importance desc, id asc — a
+    * deterministic total order) survive. Docs with < 2 tokens produce no
+    * bigrams and are unscoreable — they are excluded from both the ranking
+    * and the denominator, exactly as the per-doc LM score family already
+    * treats them.
+    *
+    * Scale shape: two model estimations (each vocab²-bounded, AQE-joined)
+    * over ONE shared corpus bigram stream shape, then the keep step is the
+    * terasort form — range sort on the score + the row-index machinery
+    * (per-partition counts cross the driver as scalars), never a
+    * single-partition window or a driver-side collect of rows. */
+  def dsirResample(corpus: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, fraction: Double,
+                   k: Double = 0.5): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction $fraction must be in (0, 1]")
+    val underTarget = bigramLogProbScoreUnder(corpus, target, idCol, textCol, k)
+      .select(col("doc_id"), col("avg_logprob").as("lp_target"))
+    val underCorpus = bigramLogProbScore(corpus, idCol, textCol, k)
+      .select(col("doc_id"), col("avg_logprob").as("lp_corpus"))
+    // both inputs are already 6-dp floor-rounded, so the difference is a
+    // double subtraction of identical values in any engine; re-floor for a
+    // stable 6-dp output column
+    val scored = underTarget.join(underCorpus, Seq("doc_id"))
+      .select(col("doc_id"), col("lp_target"), col("lp_corpus"),
+        (floor((col("lp_target") - col("lp_corpus")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("importance"))
+    val ordered = scored.orderBy(col("importance").desc, col("doc_id").asc)
+    val (indexed, total) = Relational.withRowIndexCounted(ordered, "__dsir_idx")
+    val keepN = math.floor(total * fraction).toLong
+    indexed.filter(col("__dsir_idx") < keepN).drop("__dsir_idx")
+  }
 }
