@@ -692,4 +692,26 @@ class PropertySpec extends SparkSpec {
       assert(got == end.toSeq.sorted)
     }
   }
+
+  test("globalNtile matches SQL NTILE's definition for random (total, k)") {
+    // driver-side reference: NTILE's definitional bucket layout — with
+    // total = q·k + r, the first r tiles have q+1 rows, the rest q; tile
+    // of 0-based sorted index i follows directly. Stronger than the
+    // fixed-case table in RelationalSpec: 15 random shapes including
+    // total < k, total % k ∈ {0, …}, and k = 1.
+    def refTile(total: Long, k: Int, i: Long): Long = {
+      val q = total / k; val r = total % k
+      if (q == 0) i + 1
+      else if (i < r * (q + 1)) i / (q + 1) + 1
+      else r + (i - r * (q + 1)) / q + 1
+    }
+    forAll(Gen.zip(Gen.choose(0L, 200L), Gen.choose(1, 20)), cases = 15) {
+      case (total, k) =>
+        val df = spark.range(total).toDF("id").repartition(4)
+        val got = Relational.globalNtile(df, k, Seq(col("id")), "tile")
+          .select("id", "tile").as[(Long, Long)].collect().toMap
+        val want = (0L until total).map(i => i -> refTile(total, k, i)).toMap
+        assert(got == want, s"total=$total k=$k")
+    }
+  }
 }
