@@ -72,6 +72,21 @@ package graft
   *    measurements and mark the run incomplete, a failure mode the old
   *    end-of-schedule drain could not cause.
   *
+  * Round 15 additions:
+  *  - HOST-AWARE PRIORS: the artifact records which host produced it
+  *    ("host", from SPARK_GRAFT_BENCH_HOST or the hostname) and which
+  *    host produced its prior ("prior_host"); a cross-host (or
+  *    pre-field, unattributed) prior widens the watch band's absolute
+  *    gap to 1.0 s — r14's two watch entries were sub-second
+  *    driver-host floors priced against a faster builder host's priors
+  *    (the third cross-host fast-denominator incident after d22/q94).
+  *  - TWO-BAND WATCH RATIO: priors ≥ 2 s watch at 1.5× (multi-second
+  *    warm mins are stable; d128's 1.66× riser slipped under 1.75×).
+  *  - watch_rep_failed: a watch bonus rep that throws is recorded
+  *    in-band (name → pre-rep ratio) — it leaves a null in the passes
+  *    array while "failed" stays empty by design (the scheduled rep-set
+  *    already passed), and the null needs an in-artifact explanation.
+  *
   * The stdout line is a COMPACT summary (total, counts, slowest-10) —
   * the full 141-query line exceeded the driver's ~2.2 KB stdout-tail
   * capture in r8 AND r9 (`parsed: null`); per-query detail lives in the
@@ -98,14 +113,19 @@ private[graft] object BenchUtil {
     case c => c.toString
   } + "\""
 
-  /** Parse a committed bench artifact's own "sf" string and per-query warm
-    * mins out of its JSON text. Regex-based by design (no JSON library in
-    * the unmanaged-classpath budget); malformed input degrades to no
+  /** Parse a committed bench artifact's own "sf" string, its "host"
+    * identity (empty for pre-r15 artifacts, which predate the field —
+    * callers must treat empty as UNKNOWN host, i.e. cross-host for the
+    * watch band's purposes) and per-query warm mins out of its JSON
+    * text. Regex-based by design (no JSON library in the
+    * unmanaged-classpath budget); malformed input degrades to no
     * priors, never an error. */
-  def parsePrior(txt: String): (String, Map[String, Double]) = {
+  def parsePrior(txt: String): (String, String, Map[String, Double]) = {
     val q = "\"([A-Za-z0-9_]+)\":\\{\"passes\":\\[[^\\]]*\\],\"min\":([0-9.]+)".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
+    val hostRe = "\"host\":\"([^\"]*)\"".r
     (sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
+      hostRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
       q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
   }
 
@@ -140,19 +160,43 @@ private[graft] object BenchUtil {
                         fatCutoff: Double, reps: Int): Double =
     remainingPriors.map(p => p.getOrElse(0.5) * repsFor(p, fatCutoff, reps)).sum
 
-  /** Sub-trigger riser band ("watch" tier, round 14). The storm guard's
-    * 3.5× trigger is deliberately storm-sized, so an honest ~2× regression
-    * publishes unretested (r13's q94: 6.20 s vs a 3.28 s prior — 2.3×,
-    * never re-run, while the builder measured 2.65 s at the same HEAD). A
-    * min above watchRatio × prior that does NOT trip the storm guard lands
-    * in the artifact's "watch" map — named, never silently published as
-    * clean — and when every rep also carried heavy JIT (compile cost, the
-    * usual benign cause) one extra back-to-back warm rep is granted within
-    * budget so the query can clear itself. Same 0.3 s absolute gap as the
-    * guard: sub-second queries bounce 2-3× as pure noise on this host. */
+  /** Sub-trigger riser band ("watch" tier, round 14; host- and
+    * size-aware since round 15). The storm guard's 3.5× trigger is
+    * deliberately storm-sized, so an honest ~2× regression publishes
+    * unretested (r13's q94: 6.20 s vs a 3.28 s prior — 2.3×, never
+    * re-run, while the builder measured 2.65 s at the same HEAD). A min
+    * above the band's ratio × prior that does NOT trip the storm guard
+    * lands in the artifact's "watch" map — named, never silently
+    * published as clean — and when every rep also carried heavy JIT
+    * (compile cost, the usual benign cause) one extra back-to-back warm
+    * rep is granted within budget so the query can clear itself.
+    *
+    * Round-15 calibration, from two r14 misses:
+    *  - TWO-BAND RATIO: the 1.75× ratio is tuned for the sub-second
+    *    noise floor, but a multi-second query's warm min is far more
+    *    stable — d128_pagerank published a 1.66× riser (2.71→4.51 s,
+    *    ~6% of the whole surface's total) under the 1.75× band,
+    *    unexamined. Priors ≥ 2 s watch at 1.5× instead; the 0.3 s
+    *    absolute gap already keeps the noise floor out of the tighter
+    *    band.
+    *  - CROSS-HOST GAP: the 0.3 s gap was calibrated for SAME-host
+    *    noise; a prior measured on a systematically faster host blows
+    *    through it on sub-second queries (r14: s131 at 2.51× and q127
+    *    at 2.21× of BUILDER priors — both honest driver-host floors,
+    *    both isolated-probe-adjudicated as such; the third occurrence
+    *    of the cross-host fast-denominator trap after d22 and q94).
+    *    When the prior's recorded host differs from this run's — or the
+    *    prior predates the host field (pre-r15 artifacts, exactly the
+    *    unattributed class that caused the r14 entries) — the band
+    *    requires a 1.0 s absolute gap: a host-speed delta on a
+    *    sub-second query cannot reach it, a real multi-second
+    *    regression still does (d128's 1.8 s gap would). */
   def watchBand(min: Double, prior: Double, watchRatio: Double,
-                guardRatio: Double): Boolean =
-    min > prior * watchRatio && (min - prior) > 0.3 && min <= prior * guardRatio
+                guardRatio: Double, crossHost: Boolean = false): Boolean = {
+    val ratio = if (prior >= 2.0) math.min(watchRatio, 1.5) else watchRatio
+    val gap = if (crossHost) 1.0 else 0.3
+    min > prior * ratio && (min - prior) > gap && min <= prior * guardRatio
+  }
 }
 
 object Bench {
@@ -177,7 +221,7 @@ object Bench {
     * absolute mins must not feed the variance guard or the fat-rep
     * cutoff — a 10× run judged against sf0.1 priors would spuriously
     * requeue every query whose honest scale ratio exceeds guardRatio. */
-  private def priorMins(): (String, String, Map[String, Double]) = {
+  private def priorMins(): (String, String, String, Map[String, Double]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_ORDER").map(Paths.get(_))
     val chosen = explicit.orElse {
@@ -197,14 +241,14 @@ object Bench {
     chosen match {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
-        val (priorSf, mins) = parsePrior(txt)
+        val (priorSf, priorHost, mins) = parsePrior(txt)
         // a non-empty artifact parsing to zero mins means the detail
         // format drifted from parsePrior's regex — degrade loudly, not
         // silently (order falls back to names, guard + fat cutoff disarm)
         if (txt.trim.nonEmpty && mins.isEmpty)
           System.err.println(s"[bench] prior $p is non-empty but parsed to ZERO mins — format drift? (name order, no variance guard)")
-        (p.toString, priorSf, mins)
-      case _ => ("none", "", Map.empty)
+        (p.toString, priorSf, priorHost, mins)
+      case _ => ("none", "", "", Map.empty)
     }
   }
 
@@ -259,7 +303,20 @@ object Bench {
     val pool =
       if (only.isDefined) SparkEntry.queries ++ SparkEntry.benchOnlyQueries
       else SparkEntry.queries
-    val (orderSource, priorSf, prior) = priorMins()
+    // host identity, recorded in the artifact and compared against the
+    // prior's recorded host: the r14 watch entries (s131/q127) were
+    // sub-second driver-host floors priced against a faster builder
+    // host's priors — nothing in either artifact said which host wrote
+    // it. SPARK_GRAFT_BENCH_HOST names the role explicitly (e.g.
+    // "driver"/"builder"); the hostname fallback still distinguishes
+    // physical hosts when the env var is unset.
+    val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST",
+      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" })
+    val (orderSource, priorSf, priorHost, prior) = priorMins()
+    // empty priorHost = pre-r15 artifact (no field): UNKNOWN provenance
+    // gets the wide cross-host gap — unattributed priors are exactly how
+    // the r14 false-positive watch entries happened
+    val crossHost = priorHost.isEmpty || priorHost != host
     // a prior from another scale — or one whose scale is UNKNOWN (missing/
     // unparsed "sf": e.g. a hand-pointed SPARK_GRAFT_BENCH_ORDER file) —
     // orders the schedule (relative costs are stable) but must not judge
@@ -269,6 +326,8 @@ object Bench {
     val judgePrior = if (priorComparable) prior else Map.empty[String, Double]
     if (prior.nonEmpty && !priorComparable)
       System.err.println(s"[bench] prior $orderSource is sf=${if (priorSf.isEmpty) "<unknown>" else priorSf}, run is sf=$sfDir — ordering only (variance guard + fat cutoff disabled)")
+    if (prior.nonEmpty && priorComparable && crossHost)
+      System.err.println(s"[bench] prior $orderSource host=${if (priorHost.isEmpty) "<unrecorded>" else priorHost} differs from this run's host=$host — watch band at the 1.0 s cross-host gap")
     // cheapest-first; queries with no committed min (new this round) slot
     // at a mid-cost 0.5 s estimate rather than the front (they may be
     // expensive) or the back (they would never get driver numbers).
@@ -305,6 +364,12 @@ object Bench {
     // watch-band risers granted the extra warm rep → ratio BEFORE that rep
     // (the adjudication is visible even when the extra rep cleared it)
     val watchReran = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // watch bonus reps that THREW → the pre-rep ratio. The scheduled
+    // rep-set already passed, so the flake must not taint the run (failed
+    // stays empty, exit 0) — but it leaves a null in the passes array,
+    // and the documented invariant "a null pass implies an entry in
+    // failed" needs an in-band explanation, not just a stderr line
+    val watchRepFailed = scala.collection.mutable.LinkedHashMap[String, Double]()
     // rep policy (see BenchUtil.repsFor): fat cutoff judged against
     // same-scale priors only
     def repsFor(name: String): Int =
@@ -341,8 +406,10 @@ object Bench {
         .mkString("{", ",", "}")
       val watchReranJson = watchReran.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
+      val watchRepFailedJson = watchRepFailed.map { case (n, r) => s""""$n":${fmt(r)}""" }
+        .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -441,7 +508,7 @@ object Bench {
       if (!failed.contains(name) && !pending.contains(name) && !requeued.contains(name))
         for {
           ts <- results.get(name); m <- minOf(ts); p <- judgePrior.get(name)
-          if BenchUtil.watchBand(m, p, watchRatio, guardRatio)
+          if BenchUtil.watchBand(m, p, watchRatio, guardRatio, crossHost)
         } {
           val allHeavyJit = ts.nonEmpty && ts.forall(_.jit >= watchJitMs)
           // cost estimate for the bonus rep: the WORST observed rep, not the
@@ -463,11 +530,12 @@ object Bench {
             if (!failedBefore && failed.contains(name)) {
               failed -= name
               watch(name) = m / p
-              System.err.println(s"[bench] watch tier: $name bonus rep FAILED — kept as watch entry, run not tainted")
+              watchRepFailed(name) = m / p
+              System.err.println(s"[bench] watch tier: $name bonus rep FAILED — kept as watch entry (watch_rep_failed), run not tainted")
               writeArtifact(done = false)
             } else
               for (m2 <- minOf(results(name))
-                   if BenchUtil.watchBand(m2, p, watchRatio, guardRatio))
+                   if BenchUtil.watchBand(m2, p, watchRatio, guardRatio, crossHost))
                 watch(name) = m2 / p
           } else {
             watch(name) = m / p

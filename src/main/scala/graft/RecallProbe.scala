@@ -37,6 +37,18 @@ object RecallProbe {
           k = 10, codebook = cb, planes = planes, dim = 64, expand = expand))
         println(f"[recallprobe] dir=$dir tier=lshpq planes=$planes expand=$expand%-2d recall@10=$r%.3f")
       }
+      // the serving auto-contract (round 15): planes sized by
+      // autoServingPlanes from the corpus count — the printed planes value
+      // is the evidence that the knob tracks corpus growth (1 at the
+      // 500-vector gate, 3 at sf0.1's 2000, 6 at the 10× stress corpus)
+      // while recall stays at the fixed-knob curve's occupancy-safe end
+      val n = e.count()
+      for (expand <- Seq(4, 16)) {
+        val planes = ops.Similarity.autoServingPlanes(n, 10, expand)
+        val r = mean(ops.Similarity.lshPqTopK(e, q, "vec_id", "embedding",
+          k = 10, codebook = cb, planes = planes, dim = 64, expand = expand))
+        println(f"[recallprobe] dir=$dir tier=lshpq_auto n=$n planes=$planes expand=$expand%-2d recall@10=$r%.3f")
+      }
     }
     spark.stop()
   }

@@ -571,6 +571,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Corpus-size-aware hyperplane count for the PQ SERVING tier
+    * ([[lshPqTopK]]) — the dual of [[autoPlanes]]. Dedup wants buckets
+    * SMALL (planes bound the candidate-pair blowup); serving wants them
+    * big enough that a query's own bucket still holds the k·expand
+    * re-rank candidate set with margin, or recall collapses before the
+    * `expand` knob can buy it back — RecallProbe's committed curve shows
+    * exactly that: at the 500-vector gate corpus recall@10 DEGRADES
+    * monotonically in planes because the expected bucket occupancy
+    * n/2^planes binds below k·expand (bench/RECALLPROBE_r14 notes,
+    * docs/PLANS.md round-14 entry). The contract here is the LARGEST
+    * `planes` whose expected occupancy n/2^planes stays at or above
+    * `occupancyFactor`·k·expand: per-query coarse ADC cost is then
+    * ~flat (≈ occupancyFactor·k·expand rows scanned per query) while
+    * the PRUNE RATIO improves ~linearly as the corpus grows — at 10×
+    * the corpus this adds log₂ 10 ≈ 3 planes and the per-query scan
+    * stays the same size instead of growing 10×. occupancyFactor is the
+    * recall margin over the bare candidate count (hash buckets are
+    * uneven, and the true neighbors must survive the bucket, not just
+    * fill it); 4 holds the serving tier's recall at its full-scan
+    * ceiling on the gate corpora (ScaleJoinsSpec pins that).
+    * Clamped to [1, 48] like [[autoPlanes]] — a corpus below
+    * 2·occupancyFactor·k·expand vectors gets 1 plane (halving is all
+    * the prune that occupancy permits; below that, use [[pqTopK]]'s
+    * full scan). */
+  def autoServingPlanes(n: Long, k: Int, expand: Int,
+                        occupancyFactor: Double = 4.0): Int = {
+    require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    require(occupancyFactor > 0, s"occupancyFactor=$occupancyFactor must be > 0")
+    val target = occupancyFactor * k * expand
+    if (n <= 0) 1
+    else {
+      val raw = math.floor(math.log(n / target) / math.log(2.0)).toInt
+      math.min(48, math.max(1, raw))
+    }
+  }
+
+  /** [[lshPqTopK]] with `planes` sized by [[autoServingPlanes]] from the
+    * corpus count at call time (one count() pre-pass — parquet answers it
+    * from row-group metadata without touching the vector column), the
+    * serving twin of [[nearDupPairsAuto]]: the operational entry point
+    * for a corpus that grows between runs, keeping per-query coarse cost
+    * flat and recall at its codebook ceiling while the prune ratio
+    * tracks n. The fixed-knob [[lshPqTopK]] stays the right call when
+    * the corpus size is known and stable (and is what the md5-portable
+    * driver oracle pins — s123/s143 replay planes=3 bit-for-bit). */
+  def lshPqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    codebook: Array[Array[Array[Double]]], dim: Int,
+                    expand: Int = 4, occupancyFactor: Double = 4.0): DataFrame = {
+    val planes = autoServingPlanes(corpus.count(), k, expand, occupancyFactor)
+    lshPqTopK(corpus, queries, idCol, vecCol, k, codebook, planes, dim, expand)
+  }
+
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
     * (bucket, dimension) with the bucket's mean component and size. This is
     * the declarative cluster-summary pass under SemDeDup-style semantic

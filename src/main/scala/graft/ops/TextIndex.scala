@@ -162,6 +162,14 @@ object TextIndex {
     val counts = pairsOf(modelDocs)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
+    // a model with ZERO bigrams (every modelDoc under 2 tokens) cannot be
+    // estimated: the smoothing denominator c1 + k·v collapses to 0 and
+    // non-ANSI division would publish silently-null avg_logprob while a
+    // strict engine errors — fail loudly at the call site instead
+    // (counts is already eagerly localCheckpointed, so this is one cheap
+    // limit-1 job over materialized blocks, not a recompute)
+    require(!counts.isEmpty,
+      "bigramLogProbScoreUnder: modelDocs yields no bigrams (every doc has < 2 tokens) — an add-k bigram model cannot be estimated from an empty stream")
     val totals = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = counts.agg(countDistinct(col("w2")).as("v"))
     scored
@@ -199,6 +207,12 @@ object TextIndex {
                    textCol: String, fraction: Double,
                    k: Double = 0.5): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction must be in (0, 1]")
+    // reserved internal name, same loud-precondition contract as
+    // globalNtile's __ntile_idx: today the fixed-schema scored projection
+    // shields the index column from caller columns, but the public
+    // contract must not lean on that internal detail
+    require(!corpus.columns.contains("__dsir_idx"),
+      "dsirResample: input already has a column named __dsir_idx (reserved internal name)")
     val underTarget = bigramLogProbScoreUnder(corpus, target, idCol, textCol, k)
       .select(col("doc_id"), col("avg_logprob").as("lp_target"))
     val underCorpus = bigramLogProbScore(corpus, idCol, textCol, k)

@@ -24,25 +24,38 @@ class BenchUtilSpec extends AnyFunSuite {
       json.contains("\\n") && json.contains("\\u0002"))
   }
 
-  test("parsePrior extracts sf and per-query mins from artifact JSON") {
+  test("parsePrior extracts sf, host and per-query mins from artifact JSON") {
     val txt =
-      """{"sf":"/root/testdata/sf0.1","cpus":32,"reps":3,
+      """{"sf":"/root/testdata/sf0.1","host":"driver","cpus":32,"reps":3,
         |"queries":{"q01_agg":{"passes":[0.5,0.2,0.3],"min":0.200,"warm":true,"gc_ms":[1,2,3],"jit_ms":[4,5,6]},
         |"d22_jaccard_pairs":{"passes":[1.5,null,1.2],"min":1.200,"warm":true,"gc_ms":[0,0,0],"jit_ms":[0,0,0]}}}"""
         .stripMargin.replace("\n", "")
-    val (sf, mins) = BenchUtil.parsePrior(txt)
+    val (sf, host, mins) = BenchUtil.parsePrior(txt)
     assert(sf == "/root/testdata/sf0.1")
+    assert(host == "driver")
     assert(mins == Map("q01_agg" -> 0.2, "d22_jaccard_pairs" -> 1.2))
   }
 
+  test("parsePrior: pre-r15 artifact (no host field) parses to empty host") {
+    // UNKNOWN provenance — the caller must treat it as cross-host: the r14
+    // watch false-positives were priced against exactly this class of
+    // unattributed prior
+    val txt =
+      """{"sf":"/root/testdata/sf0.1","cpus":32,
+        |"queries":{"q01_agg":{"passes":[0.5],"min":0.500,"warm":false,"gc_ms":[0],"jit_ms":[0]}}}"""
+        .stripMargin.replace("\n", "")
+    val (sf, host, mins) = BenchUtil.parsePrior(txt)
+    assert(sf == "/root/testdata/sf0.1" && host == "" && mins == Map("q01_agg" -> 0.5))
+  }
+
   test("parsePrior degrades to empty on malformed or alien input") {
-    assert(BenchUtil.parsePrior("") == ("", Map.empty))
-    assert(BenchUtil.parsePrior("not json at all") == ("", Map.empty))
+    assert(BenchUtil.parsePrior("") == ("", "", Map.empty))
+    assert(BenchUtil.parsePrior("not json at all") == ("", "", Map.empty))
     // a failed query (min null) contributes no prior — the regex requires
     // a numeric min, so the query simply has no ordering/guard reference
     val failedOnly =
       """{"sf":"/x","queries":{"bad_q":{"passes":[null],"min":null,"warm":false,"gc_ms":[0],"jit_ms":[0]}}}"""
-    assert(BenchUtil.parsePrior(failedOnly) == ("/x", Map.empty))
+    assert(BenchUtil.parsePrior(failedOnly) == ("/x", "", Map.empty))
   }
 
   test("repsFor: fat queries drop one rep, clamped to [2, reps]") {
@@ -99,7 +112,7 @@ class BenchUtilSpec extends AnyFunSuite {
   test("watchBand: sub-trigger risers are flagged; storm triggers and noise are not") {
     // in the band: 2× a 3 s prior (r13's q94 shape)
     assert(BenchUtil.watchBand(6.2, 3.28, 1.75, 3.5))
-    // below the band: an honest 1.5× is normal host variance
+    // below even the fat-prior 1.5× band: 4.9/3.28 = 1.49
     assert(!BenchUtil.watchBand(4.9, 3.28, 1.75, 3.5))
     // above the storm trigger: the guard owns it (requeue path, not watch)
     assert(!BenchUtil.watchBand(12.0, 3.28, 1.75, 3.5))
@@ -107,5 +120,33 @@ class BenchUtilSpec extends AnyFunSuite {
     assert(!BenchUtil.watchBand(0.5, 0.25, 1.75, 3.5))
     // absolute-gap boundary: just over 0.3 s qualifies
     assert(BenchUtil.watchBand(1.01, 0.5, 1.75, 3.5))
+  }
+
+  test("watchBand two-band ratio: priors ≥ 2 s watch at 1.5× (r14's d128 miss)") {
+    // the exact r14 numbers: d128_pagerank min 4.508 s vs its 2.71 s r13
+    // driver prior = 1.66× — under the 1.75× band, unexamined, while being
+    // ~6% of the surface's total. The fat-prior band names it.
+    assert(BenchUtil.watchBand(4.508, 2.71, 1.75, 3.5))
+    // ... including against a cross-host prior: the 1.8 s gap clears the
+    // 1.0 s cross-host floor (a real multi-second riser still fires)
+    assert(BenchUtil.watchBand(4.508, 2.71, 1.75, 3.5, crossHost = true))
+    // sub-2 s priors keep the 1.75× band: 1.6× of a 1.5 s prior stays out
+    assert(!BenchUtil.watchBand(2.4, 1.5, 1.75, 3.5))
+    // the fat-prior rule TIGHTENS to 1.5×, never loosens: a caller-set
+    // 1.4× band stays 1.4× (2.9/2.0 = 1.45 still enters)
+    assert(BenchUtil.watchBand(2.9, 2.0, 1.4, 3.5))
+  }
+
+  test("watchBand cross-host gap: r14's s131/q127 false positives would not enter") {
+    // the exact r14 numbers: driver mins priced against same-HEAD BUILDER
+    // priors (a systematically faster host). Same-host they enter the
+    // band; cross-host the 1.0 s gap keeps these sub-second floors out.
+    assert(BenchUtil.watchBand(0.868, 0.346, 1.75, 3.5)) // s131, same-host
+    assert(!BenchUtil.watchBand(0.868, 0.346, 1.75, 3.5, crossHost = true))
+    assert(BenchUtil.watchBand(0.770, 0.349, 1.75, 3.5)) // q127, same-host
+    assert(!BenchUtil.watchBand(0.770, 0.349, 1.75, 3.5, crossHost = true))
+    // a genuine sub-second → multi-second regression still fires cross-host
+    // (gap 1.1 s > 1.0, ratio 3.2× under the storm trigger the guard owns)
+    assert(BenchUtil.watchBand(1.6, 0.5, 1.75, 3.5, crossHost = true))
   }
 }

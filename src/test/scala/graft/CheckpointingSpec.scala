@@ -21,6 +21,17 @@ class CheckpointingSpec extends SparkSpec {
   private lazy val suiteCkptDir = {
     val d = java.nio.file.Files.createTempDirectory("graft_spec_ckpt").toString
     spark.sparkContext.setCheckpointDir(d)
+    // the dir must outlive this suite (the checkpoint dir is JVM-global —
+    // later suites write into it), so it can't be deleted in afterAll;
+    // a shutdown hook bounds the on-disk leak to the JVM lifetime
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          scala.util.Using.resource(java.nio.file.Files.list(p))(_.forEach(rm(_)))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(java.nio.file.Paths.get(d)) catch { case _: Exception => () }
+    }
     d
   }
 

@@ -574,6 +574,56 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("autoServingPlanes: flat per-query coarse cost, prune ratio tracks n, clamps") {
+    import ops.Similarity.autoServingPlanes
+    // the gate corpora (k=10, expand=4 → target occupancy 160): 500
+    // vectors → 1 plane, sf0.1's 2000 → 3, the 10× stress corpus's
+    // 20000 → 6 — the knob tracks corpus growth (RecallProbe's committed
+    // r15 curve shows recall at these picks vs the fixed-knob grid)
+    assert(autoServingPlanes(500, 10, 4) == 1)
+    assert(autoServingPlanes(2000, 10, 4) == 3)
+    assert(autoServingPlanes(20000, 10, 4) == 6)
+    // the defining property: the LARGEST planes whose expected bucket
+    // occupancy n/2^planes still covers occupancyFactor·k·expand — coarse
+    // ADC cost per query stays ~flat while 2^planes (the prune ratio)
+    // grows with n
+    val target = 4.0 * 10 * 4
+    for (n <- Seq(1000L, 5000L, 50000L, 1000000L, 123456789L)) {
+      val p = autoServingPlanes(n, 10, 4)
+      assert(n / math.pow(2, p) >= target, s"occupancy violated at n=$n p=$p")
+      assert(n / math.pow(2, p + 1) < target, s"p=$p not the largest at n=$n")
+    }
+    // clamps: empty/tiny corpora get the minimum viable single plane
+    // (below 2·target even one plane violates occupancy — that end of the
+    // range is pqTopK's full scan territory, documented on the contract)
+    assert(autoServingPlanes(0, 10, 4) == 1)
+    assert(autoServingPlanes(100, 10, 4) == 1)
+    assert(autoServingPlanes(Long.MaxValue, 1, 1, 1e-9) == 48)
+  }
+
+  test("lshPqTopKAuto: auto planes release the bucket constraint the fixed knob binds") {
+    // the committed RecallProbe curve's driving observation, pinned: at
+    // the 500-vector gate corpus the fixed serving knob (planes=3,
+    // expected occupancy 62.5 < k·expand·4) BINDS recall at the bucket,
+    // not the codebook — auto sizing (planes=1, occupancy 250) must be
+    // at least as good at every expand (deterministic md5 hyperplanes +
+    // grid codebook → these means are exact constants, not noise)
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter(col("vec_id") < 8)
+    val cb = ops.Similarity.pqCodebook(8, 16, 8)
+    val exact = ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      ops.Similarity.recallAtK(df, exact).agg(avg(col("recall"))).first().getDouble(0)
+    for (expand <- Seq(4, 16)) {
+      val auto = mean(ops.Similarity.lshPqTopKAuto(e, q, "vec_id", "embedding",
+        k = 10, codebook = cb, dim = 64, expand = expand))
+      val fixed = mean(ops.Similarity.lshPqTopK(e, q, "vec_id", "embedding",
+        k = 10, codebook = cb, planes = 3, dim = 64, expand = expand))
+      assert(auto >= fixed,
+        s"expand=$expand: auto recall $auto below fixed-planes $fixed")
+    }
+  }
+
   test("tokenBudgetPrefix: inclusive prefix rule, running totals, determinism") {
     // order by (score desc, id): sizes 5, 4, 3, 1 — budget 10 keeps docs
     // 1-2 (cum 5, 9); doc 3 CROSSES (12 > 10) and, prefix semantics (not
