@@ -525,6 +525,34 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(trained * 2 >= brute.size, s"recall floor: $trained/${brute.size}")
   }
 
+  test("s143 pqt tier: the query run stashes the trained codebook; the oracle inlines it") {
+    // the oracle's pqt tier can only be generated AFTER the query runs in
+    // this JVM (Verify's flow: all queries, then the SQL dump) — before
+    // the run it must fail LOUDLY, never emit silently-wrong SQL
+    SparkEntry.trainedPqCodebook = None
+    assert(SparkEntry.oracleSql("s143_pq_recall").contains("error("),
+      "pre-run oracle must be the loud error() form")
+    val rows = SparkEntry.queries("s143_pq_recall")(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq == Seq("lshpq", "pq", "pqt"))
+    // all three tiers report every query (full-scan tiers k rows each;
+    // lshpq may prune below k but never to a missing query row)
+    val nq = rows.map(_.getLong(1)).distinct.length
+    assert(rows.groupBy(_.getString(0)).forall(_._2.length == nq))
+    val cbt = SparkEntry.trainedPqCodebook
+    assert(cbt.nonEmpty, "query run must stash the trained codebook")
+    val sql = SparkEntry.oracleSql("s143_pq_recall")
+    assert(!sql.contains("error("), "post-run oracle must be the real replay")
+    // the stashed constants are inlined verbatim (shortest-roundtrip form)
+    assert(sql.contains(s"CAST('${java.lang.Double.toString(cbt.get(0)(0)(0))}' AS DOUBLE)"))
+    assert(sql.contains("AS T)") && sql.contains("rep_pt"))
+    // refit at the same dir reproduces the stash bit-for-bit (the
+    // determinism the oracle's exactness rests on)
+    val refit = ops.Similarity.pqCodebookTrained(
+      core.Tables.embeddings(spark, sf("sf0.001")), "vec_id", "embedding",
+      m = 8, k = 16, subDim = 8)
+    assert(refit.flatten.flatten.toSeq == cbt.get.flatten.flatten.toSeq)
+  }
+
   test("q125: MIN/MAX/COUNT answered from parquet footer statistics (PushedAggregation)") {
     val s = spark.newSession()
     // aggregate pushdown exists only in the V2 parquet reader; the scoped
