@@ -1586,6 +1586,49 @@ object SparkEntry {
         .orderBy(col("importance").desc, col("doc_id"))
     }),
 
+    // per-doc Shannon entropy over Unicode codepoints (round 15): the
+    // classic gibberish / binary-junk / padding signal — random symbols
+    // score high, repeated padding near 0, natural language sits in a
+    // stable band. A codegen'd native expression
+    // (functions/EntropyExpressions), pure per-row projection: zero
+    // exchange beyond the output sort, a map over the scan at any scale
+    "t145_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          coalesce(length(col("text")), lit(0)).cast("long").as("n_chars"),
+          (floor(graft.functions.EntropyExpressions.charEntropy(s, col("text"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-VALUE entropy of the whitespace token stream — the
+    // vocabulary-diversity complement of t145: template/boilerplate docs
+    // reuse few distinct tokens (low entropy) even when their character
+    // distribution looks like normal prose
+    "t146_token_entropy" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          coalesce(size(toks), lit(0)).cast("long").as("n_tokens"),
+          (floor(graft.functions.EntropyExpressions.tokenEntropy(s, toks)
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-source shingle-vocabulary overlap via THETA sketches (round
+    // 15): the set-ALGEBRA sketch — HLL (q57) can only union, theta also
+    // estimates intersections, the snapshot/contamination overlap
+    // primitive at corpus scale. One bounded sketch per source (built by
+    // map-side partial aggregation), pairwise algebra over sketch rows
+    // only — the distinct-pair join never materializes. In exact mode at
+    // every test SF (vocab << 2^lgK), so the whole report is hash-exact
+    // against the exact-set oracle; a planet-scale vocabulary degrades
+    // gracefully to ~1/sqrt(2^20) relative error (SketchesSpec pins both
+    // modes)
+    "d147_theta_overlap" -> ((s, dir) => {
+      graft.ops.Sketches.thetaShingleOverlap(t(s, dir, "documents"),
+          "source", "text", n = 3, lgK = 20)
+        .orderBy(col("slice_a"), col("slice_b"))
+    }),
+
     // max-containment near-dup pairs — the ASYMMETRIC dedup metric: a short
     // doc fully pasted inside a long one has tiny Jaccard but containment
     // ~1.0; same candidate/skew machinery as d22 (df cap on the numerator,
@@ -2539,6 +2582,51 @@ object SparkEntry {
         |r AS (SELECT sc.*, row_number() OVER (ORDER BY importance DESC, doc_id) AS rn FROM sc)
         |SELECT doc_id, lp_target, lp_corpus, importance FROM r, n WHERE rn <= n.keep
         |ORDER BY importance DESC, doc_id""".stripMargin,
+
+    // t145: codepoint counts per doc; the Σ c·ln(c) is taken over a list
+    // ordered by codepoint (binary collation = codepoint order), the same
+    // order the native expression's TreeMap iterates — bit-for-bit parity
+    "t145_char_entropy" ->
+      """WITH cps AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM cps GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id, sum(c) AS n, list_sum(list(c * ln(c) ORDER BY ch)) AS s
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_chars,
+        |  floor((ln(a.n) - a.s / a.n) / ln(2) * 1e6 + 0.5) / 1e6 AS entropy
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // t146: same formula over whitespace token VALUES (split keeps empty
+    // tokens in both engines; ORDER BY tok = UTF-8 binary order, the
+    // TreeMap<UTF8String> iteration order)
+    "t146_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, sum(c) AS n, list_sum(list(c * ln(c) ORDER BY tok)) AS s
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(len(string_split(d.text, ' ')), 0) AS BIGINT) AS n_tokens,
+        |  floor((ln(a.n) - a.s / a.n) / ln(2) * 1e6 + 0.5) / 1e6 AS entropy
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // d147: the theta sketches are in exact mode at gate vocab sizes, so
+    // plain distinct-set algebra IS the oracle (d109's shingle form); the
+    // pair frame comes from the slice cross join so zero-overlap pairs
+    // survive with n_inter = 0, matching the sketch path's full pair join
+    "d147_theta_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s FROM toks),
+        |n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+        |SELECT na.source AS slice_a, nb.source AS slice_b, na.n AS n_a, nb.n AS n_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
+        |  floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / (na.n + nb.n - coalesce(i.n_inter, 0)) * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM n na JOIN n nb ON na.source < nb.source
+        |LEFT JOIN i ON i.sa = na.source AND i.sb = nb.source
+        |ORDER BY slice_a, slice_b""".stripMargin,
 
     // d22's chain with the containment denominator (least set size)
     "d109_containment_pairs" ->

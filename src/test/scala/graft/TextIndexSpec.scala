@@ -270,4 +270,62 @@ class TextIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("__dsir_idx"))
   }
+
+  // independent reference implementation of the entropy formula (same
+  // ascending-symbol summation order the expressions promise)
+  private def refEntropy(counts: Seq[Long]): Double = {
+    val n = counts.sum
+    val s = counts.foldLeft(0.0)((acc, c) => acc + c.toDouble * math.log(c.toDouble))
+    (math.log(n.toDouble) - s / n) / math.log(2.0)
+  }
+
+  test("char_entropy: known values, unicode codepoints, empty and null → null") {
+    // é (2-byte) and 😀 (surrogate pair, 1 codepoint) pin the
+    // CODEPOINT alphabet: "é😀é😀" = 2 symbols × 2 → exactly 1 bit
+    val df = Seq(
+      (1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""),
+      (5L, "é😀é😀"), (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select($"id", graft.functions.EntropyExpressions.charEntropy(spark, $"t"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(1.0) && got(2L).contains(0.0) && got(5L).contains(1.0))
+    assert(got(3L).contains(refEntropy(Seq(1L, 1L, 1L, 1L))))
+    assert(got(4L).isEmpty && got(6L).isEmpty)
+    // interpreted path (eval without codegen) agrees with the df/codegen path
+    val e = graft.functions.CharEntropy(
+      org.apache.spark.sql.catalyst.expressions.Literal("aabb"))
+    assert(e.eval(null) == 1.0)
+  }
+
+  test("char_entropy ≡ independent recompute on the corpus fixture") {
+    val d = core.Tables.documents(spark, sf("sf0.001")).limit(64)
+    val got = d.select($"doc_id", $"text",
+        graft.functions.EntropyExpressions.charEntropy(spark, $"text"))
+      .collect()
+    got.foreach { r =>
+      val cps = r.getString(1).codePoints().toArray
+      val counts = cps.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length.toLong)
+      assert(r.getDouble(2) == refEntropy(counts), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("token_entropy: value alphabet, null elements skipped, empty → null") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", null, "a", "b")),       // nulls skipped → [a,a,b]
+      (3L, Seq.empty[String]),              // no tokens → null
+      (4L, Seq[String](null))               // only nulls → null
+    ).toDF("id", "toks")
+    val got = df.select($"id", graft.functions.EntropyExpressions.tokenEntropy(spark, $"toks"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).contains(refEntropy(Seq(2L, 1L))))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // distinct VALUES, not distinct chars: "aa aa bb bb" at the token level
+    // is 1 bit even though its char entropy is also 1 bit on {a,b, space}…
+    val one = Seq((1L, Seq("aa", "aa", "bb"))).toDF("id", "toks")
+      .select(graft.functions.EntropyExpressions.tokenEntropy(spark, $"toks"))
+      .head().getDouble(0)
+    assert(one == refEntropy(Seq(2L, 1L)))
+  }
 }
