@@ -1629,6 +1629,36 @@ object SparkEntry {
         .orderBy(col("slice_a"), col("slice_b"))
     }),
 
+    // PERSISTED PQ serving index (round 15): s123's composition with the
+    // LSH bucket as the STORAGE partition key. writeAnnIndex lays out
+    // (id, pq_codes) partitionBy(bucket) once per (JVM, dir, data
+    // fingerprint) — q50's bucketed-table caching rule — and
+    // queryAnnIndex pushes the query set's bucket values as LITERAL
+    // partition filters, so whole bucket= directories are pruned before
+    // a byte is read (ScaleJoinsSpec asserts the file-level prune). The
+    // chain downstream is lshPqTopK's verbatim, so the s123 oracle
+    // replays this result bit-for-bit too
+    "s148_ann_partitioned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Similarity.pqCodebook(8, 16, 8)
+      val sfx = {
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }
+      val path = s"spark-warehouse/graft_ann_$sfx"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.ops.Similarity.writeAnnIndex(emb, "vec_id", "embedding", cb,
+          planes = 3, dim = 64, path = path)
+      graft.ops.Similarity.queryAnnIndex(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, codebook = cb, planes = 3, dim = 64,
+          path = path, expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // max-containment near-dup pairs — the ASYMMETRIC dedup metric: a short
     // doc fully pasted inside a long one has tiny Jaccard but containment
     // ~1.0; same candidate/skew machinery as d22 (df cap on the numerator,
@@ -3649,6 +3679,11 @@ object SparkEntry {
     "s120_pq_topk" -> pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4),
 
     "s123_lshpq_topk" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
+      planes = 3, dim = 64, kTop = 10, expand = 4),
+
+    // the persisted-index path is lshPqTopK's math over a partitionBy
+    // layout — same oracle chain as s123
+    "s148_ann_partitioned" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
       planes = 3, dim = 64, kTop = 10, expand = 4),
 
     // the streaming emission is exactly the batch history's CLOSED rows

@@ -624,6 +624,86 @@ object Similarity {
     lshPqTopK(corpus, queries, idCol, vecCol, k, codebook, planes, dim, expand)
   }
 
+  /** Persist the [[lshPqTopK]] serving index with the bucket as the
+    * STORAGE partition key: one parquet layout `partitionBy(bucket)` of
+    * (id, pq_codes) rows — the "production layout" the [[lshPqTopK]]
+    * scaladoc promises, where pruning happens at the directory level
+    * before a single byte of the corpus is read. The codes are 32×
+    * smaller than the float32 vectors and the vectors themselves are NOT
+    * in the index (the exact re-rank joins them from the corpus by
+    * candidate id — a broadcast of k·expand ids per query, so the float
+    * column is only ever scanned for the winners). Write once, serve
+    * many: at 100 TB the index is the only thing the coarse path ever
+    * opens, and each query opens 1/2^planes of it. */
+  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    codebook: Array[Array[Array[Double]]], planes: Int,
+                    dim: Int, path: String): Unit = {
+    val m = codebook.length; val kc = codebook(0).length
+    val ctbl = graft.functions.PqExpressions.pqDistTable(
+      corpus.sparkSession, col(vecCol), codebook)
+    val codes = array((0 until m).map { s =>
+      val sl = slice(col("__ctbl"), s * kc + 1, kc)
+      array_position(sl, array_min(sl))
+    }: _*)
+    corpus.withColumn("__ctbl", ctbl)
+      .select(col(idCol).as("neighbor_id"),
+        lshBucket(col(vecCol), planes, dim).as("bucket"), codes.as("pq_codes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Query a [[writeAnnIndex]] layout. The query set's bucket VALUES are
+    * derived up front (queries are the broadcast-sized side everywhere in
+    * this family; this is one pass over that same small set) and pushed
+    * as LITERAL `isin` partition filters — so the scan's PartitionFilters
+    * prune whole `bucket=` directories statically, no runtime join needed
+    * to skip them (ScaleJoinsSpec asserts the scan touches only the
+    * matching directories). From there the chain is [[lshPqTopK]]'s
+    * verbatim: per-query ADC against the once-evaluated distance table,
+    * k·expand candidates, exact cosine re-rank from the corpus floats —
+    * bit-for-bit the same result as the in-memory composition. */
+  def queryAnnIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    codebook: Array[Array[Array[Double]]], planes: Int,
+                    dim: Int, path: String, expand: Int = 4): DataFrame = {
+    require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    val m = codebook.length; val kc = codebook(0).length
+    val spark = corpus.sparkSession
+    val qb = queries.select(lshBucket(col(vecCol), planes, dim).as("__b"))
+      .distinct().collect().map(_.getLong(0))
+    // partition-column values come back via directory-name inference —
+    // normalize to the long the bucket expression produces
+    val idx = spark.read.parquet(path)
+      .filter(col("bucket").isin(qb.map(Long.box): _*))
+      .select(col("neighbor_id"), col("bucket").cast("long").as("__b"),
+        col("pq_codes"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      lshBucket(col(vecCol), planes, dim).as("__b"),
+      graft.functions.PqExpressions.pqDistTable(spark, col(vecCol), codebook).as("__tbl")))
+    val adc = (0 until m).map { s =>
+      element_at(col("__tbl"),
+        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
+    val coarse = idx.join(qv, Seq("__b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= k * expand)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        spark, col("qv"), col("cv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("__rk", row_number().over(wE))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per
     * (bucket, dimension) with the bucket's mean component and size. This is
     * the declarative cluster-summary pass under SemDeDup-style semantic

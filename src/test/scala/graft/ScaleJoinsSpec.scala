@@ -525,6 +525,47 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(trained * 2 >= brute.size, s"recall floor: $trained/${brute.size}")
   }
 
+  test("ann partitioned index: bucket= dirs prune at the scan; result ≡ in-memory lshPqTopK") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val cb = ops.Similarity.pqCodebook(8, 16, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_spec").toString
+    ops.Similarity.writeAnnIndex(e, "vec_id", "embedding", cb,
+      planes = 2, dim = 64, path = dir)
+    val nParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("bucket="))
+    assert(nParts > 1, s"want multiple bucket partitions, got $nParts")
+    val q = e.filter(col("vec_id") === 0L)
+    val got = ops.Similarity.queryAnnIndex(e, q, "vec_id", "embedding", k = 10,
+      codebook = cb, planes = 2, dim = 64, path = dir, expand = 4)
+    // the single query's single bucket must prune to ONE bucket= directory
+    // at the DIRECTORY level (PartitionFilters), not the row level
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(
+          new java.io.File(dir).getName)) => s
+    }
+    assert(scans.nonEmpty, "index scan not found in the physical plan")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"one query bucket must read ONE bucket= dir, got " +
+        s"${scans.head.selectedPartitions.partitionCount} of $nParts")
+    assert(scans.head.metadata.getOrElse("PartitionFilters", "").contains("bucket"))
+    // and the persisted path reproduces the in-memory composition bit-for-bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("neighbor_id")).collect().toSeq.map(_.toSeq)
+    val mem = ops.Similarity.lshPqTopK(e, q, "vec_id", "embedding", 10, cb,
+      planes = 2, dim = 64, expand = 4)
+    assert(rows(got) == rows(mem))
+    val q8 = e.filter(col("vec_id") < 8)
+    val got8 = ops.Similarity.queryAnnIndex(e, q8, "vec_id", "embedding", k = 10,
+      codebook = cb, planes = 2, dim = 64, path = dir, expand = 4)
+    val mem8 = ops.Similarity.lshPqTopK(e, q8, "vec_id", "embedding", 10, cb,
+      planes = 2, dim = 64, expand = 4)
+    assert(rows(got8) == rows(mem8))
+  }
+
   test("s143 pqt tier: the query run stashes the trained codebook; the oracle inlines it") {
     // the oracle's pqt tier can only be generated AFTER the query runs in
     // this JVM (Verify's flow: all queries, then the SQL dump) — before
