@@ -74,12 +74,18 @@ package graft
   *
   * Round 15 additions:
   *  - HOST-AWARE PRIORS: the artifact records which host produced it
-  *    ("host", from SPARK_GRAFT_BENCH_HOST or the hostname) and which
-  *    host produced its prior ("prior_host"); a cross-host (or
-  *    pre-field, unattributed) prior widens the watch band's absolute
-  *    gap to 1.0 s — r14's two watch entries were sub-second
-  *    driver-host floors priced against a faster builder host's priors
-  *    (the third cross-host fast-denominator incident after d22/q94).
+  *    ("host", from SPARK_GRAFT_BENCH_HOST or the hostname; "hostname"
+  *    carries the raw machine name ALONGSIDE the role so env-var drift
+  *    between rounds can't reclassify a same-machine prior — raw names
+  *    win when both sides have one, BenchUtil.isCrossHost) and which
+  *    host produced its prior ("prior_host"/"prior_hostname"); a
+  *    cross-host (or pre-field, unattributed) prior widens the absolute
+  *    riser gap to 1.0 s for BOTH the watch band and the storm guard
+  *    (BenchUtil.hostGap — one definition; a fast-denominator cross-host
+  *    min could otherwise reach the 3.5× storm trigger and burn requeue
+  *    budget on an honest slower-host floor) — r14's two watch entries
+  *    were sub-second driver-host floors priced against a faster builder
+  *    host's priors (the third such incident after d22/q94).
   *  - TWO-BAND WATCH RATIO: priors ≥ 2 s watch at 1.5× (multi-second
   *    warm mins are stable; d128's 1.66× riser slipped under 1.75×).
   *  - watch_rep_failed: a watch bonus rep that throws is recorded
@@ -116,18 +122,46 @@ private[graft] object BenchUtil {
   /** Parse a committed bench artifact's own "sf" string, its "host"
     * identity (empty for pre-r15 artifacts, which predate the field —
     * callers must treat empty as UNKNOWN host, i.e. cross-host for the
-    * watch band's purposes) and per-query warm mins out of its JSON
-    * text. Regex-based by design (no JSON library in the
+    * watch band's purposes), its raw "hostname" (r15.1: the physical
+    * machine name recorded ALONGSIDE the role, because "host" mixes two
+    * namespaces — an env-var role like "builder" one round and a raw
+    * hostname the next would reclassify a genuinely same-host prior as
+    * cross-host on string inequality alone) and per-query warm mins out
+    * of its JSON text. Regex-based by design (no JSON library in the
     * unmanaged-classpath budget); malformed input degrades to no
-    * priors, never an error. */
-  def parsePrior(txt: String): (String, String, Map[String, Double]) = {
+    * priors, never an error. The literal `"host":"` / `"hostname":"`
+    * anchors cannot cross-match ("prior_host"/"prior_hostname" are
+    * preceded by '_', not '"'; "hostname" does not contain `"host":`). */
+  def parsePrior(txt: String): (String, String, String, Map[String, Double]) = {
     val q = "\"([A-Za-z0-9_]+)\":\\{\"passes\":\\[[^\\]]*\\],\"min\":([0-9.]+)".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
     val hostRe = "\"host\":\"([^\"]*)\"".r
+    val hostNameRe = "\"hostname\":\"([^\"]*)\"".r
     (sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
       hostRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
+      hostNameRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(""),
       q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
   }
+
+  /** Absolute riser gap by prior provenance — ONE definition feeding both
+    * the watch band and the storm guard: 0.3 s absorbs same-host
+    * sub-second noise; a cross-host (or unattributed) prior gets 1.0 s,
+    * which a host-speed delta on a sub-second query cannot reach while a
+    * real multi-second regression still does. (r15.1: the storm guard
+    * previously kept the same-host gap against cross-host priors — the
+    * s131-class fast-denominator could reach 3.5× of a faster host's
+    * sub-second prior and burn requeue budget on an honest floor.) */
+  def hostGap(crossHost: Boolean): Double = if (crossHost) 1.0 else 0.3
+
+  /** Same-host decision for judging priors: raw hostnames win when both
+    * sides recorded one (role labels drift with env vars — the same
+    * machine must never be reclassified cross-host because one round set
+    * SPARK_GRAFT_BENCH_HOST and the other didn't); otherwise fall back
+    * to the "host" field, where empty = pre-r15 unattributed = cross. */
+  def isCrossHost(priorHost: String, priorHostName: String,
+                  host: String, hostName: String): Boolean =
+    if (priorHostName.nonEmpty && hostName.nonEmpty) priorHostName != hostName
+    else priorHost.isEmpty || priorHost != host
 
   /** Rep policy: fat queries (same-scale prior min ≥ cutoff) run one fewer
     * rep — but never MORE than the configured count (at reps=1 a naive
@@ -194,8 +228,7 @@ private[graft] object BenchUtil {
   def watchBand(min: Double, prior: Double, watchRatio: Double,
                 guardRatio: Double, crossHost: Boolean = false): Boolean = {
     val ratio = if (prior >= 2.0) math.min(watchRatio, 1.5) else watchRatio
-    val gap = if (crossHost) 1.0 else 0.3
-    min > prior * ratio && (min - prior) > gap && min <= prior * guardRatio
+    min > prior * ratio && (min - prior) > hostGap(crossHost) && min <= prior * guardRatio
   }
 }
 
@@ -221,7 +254,7 @@ object Bench {
     * absolute mins must not feed the variance guard or the fat-rep
     * cutoff — a 10× run judged against sf0.1 priors would spuriously
     * requeue every query whose honest scale ratio exceeds guardRatio. */
-  private def priorMins(): (String, String, String, Map[String, Double]) = {
+  private def priorMins(): (String, String, String, String, Map[String, Double]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_ORDER").map(Paths.get(_))
     val chosen = explicit.orElse {
@@ -241,14 +274,14 @@ object Bench {
     chosen match {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
-        val (priorSf, priorHost, mins) = parsePrior(txt)
+        val (priorSf, priorHost, priorHostName, mins) = parsePrior(txt)
         // a non-empty artifact parsing to zero mins means the detail
         // format drifted from parsePrior's regex — degrade loudly, not
         // silently (order falls back to names, guard + fat cutoff disarm)
         if (txt.trim.nonEmpty && mins.isEmpty)
           System.err.println(s"[bench] prior $p is non-empty but parsed to ZERO mins — format drift? (name order, no variance guard)")
-        (p.toString, priorSf, priorHost, mins)
-      case _ => ("none", "", "", Map.empty)
+        (p.toString, priorSf, priorHost, priorHostName, mins)
+      case _ => ("none", "", "", "", Map.empty)
     }
   }
 
@@ -310,13 +343,17 @@ object Bench {
     // it. SPARK_GRAFT_BENCH_HOST names the role explicitly (e.g.
     // "driver"/"builder"); the hostname fallback still distinguishes
     // physical hosts when the env var is unset.
+    val hostName =
+      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "" }
     val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST",
-      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" })
-    val (orderSource, priorSf, priorHost, prior) = priorMins()
-    // empty priorHost = pre-r15 artifact (no field): UNKNOWN provenance
-    // gets the wide cross-host gap — unattributed priors are exactly how
-    // the r14 false-positive watch entries happened
-    val crossHost = priorHost.isEmpty || priorHost != host
+      if (hostName.isEmpty) "unknown" else hostName)
+    val (orderSource, priorSf, priorHost, priorHostName, prior) = priorMins()
+    // raw hostnames decide when both sides carry one (role labels drift
+    // with env vars; the machine doesn't); else the "host" field, where
+    // empty = pre-r15 artifact = UNKNOWN provenance, which gets the wide
+    // cross-host gap — unattributed priors are exactly how the r14
+    // false-positive watch entries happened
+    val crossHost = BenchUtil.isCrossHost(priorHost, priorHostName, host, hostName)
     // a prior from another scale — or one whose scale is UNKNOWN (missing/
     // unparsed "sf": e.g. a hand-pointed SPARK_GRAFT_BENCH_ORDER file) —
     // orders the schedule (relative costs are stable) but must not judge
@@ -409,7 +446,7 @@ object Bench {
       val watchRepFailedJson = watchRepFailed.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -465,7 +502,7 @@ object Bench {
       if (!failed.contains(name) && !requeued.contains(name) && !pending.contains(name))
         for {
           ts <- results.get(name); m <- minOf(ts); p <- judgePrior.get(name)
-          if m > p * guardRatio && m - p > 0.3
+          if m > p * guardRatio && m - p > BenchUtil.hostGap(crossHost)
         } {
           pending(name) = Suspect(m / p, elapsed, m)
           System.err.println(f"[bench] variance guard: flagged $name (min ${m / p}%.1fx prior) — eligible for requeue after ${guardGapS}%.0f s")

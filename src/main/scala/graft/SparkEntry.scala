@@ -1641,12 +1641,17 @@ object SparkEntry {
     "s148_ann_partitioned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = graft.ops.Similarity.pqCodebook(8, 16, 8)
+      // cache key = data fingerprint (q50's rule) PLUS every parameter the
+      // on-disk layout was derived under (planes, codebook spec, a layout
+      // version) — a knob edit must invalidate the index, or stale
+      // bucket=/code partitions would serve silently-wrong candidates
       val sfx = {
         val conf = s.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
         val st = p.getFileSystem(conf).getFileStatus(p)
         val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}|planes=3|cb=grid-8-16-8|v1"
+            .getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
       }
       val path = s"spark-warehouse/graft_ann_$sfx"

@@ -33,50 +33,55 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object EntropyExpressions {
 
-  private def entropyOf(counts: java.util.Iterator[Array[Long]], n: Long): Double = {
-    if (n == 0L) return Double.NaN
-    var sum = 0.0
-    while (counts.hasNext) {
-      val c = counts.next()(0).toDouble
-      sum += c * Math.log(c)
-    }
-    (Math.log(n.toDouble) - sum / n.toDouble) / Math.log(2.0)
-  }
+  // Both loops count by SORT + RUN-LENGTH, not a map: the per-row cost is
+  // one primitive sort and a single pass — no boxing, no per-symbol
+  // allocation — and the sorted order IS the ascending-symbol order the
+  // Σ c·ln c parity contract requires.
 
   /** Codepoint entropy; NaN = "empty string" sentinel (mapped to NULL). */
   def charEntropyOf(s: UTF8String): Double = {
     val str = s.toString
-    // TreeMap = ascending codepoint order, the order the Σ is taken in
-    val m = new java.util.TreeMap[Integer, Array[Long]]()
-    var i = 0; var n = 0L
+    if (str.isEmpty) return Double.NaN
+    val cps = new Array[Int](str.length) // ≥ codepoint count
+    var i = 0; var n = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      val e = m.get(cp)
-      if (e == null) m.put(cp, Array(1L)) else e(0) += 1L
-      n += 1L
+      cps(n) = cp; n += 1
       i += Character.charCount(cp)
     }
-    entropyOf(m.values().iterator(), n)
+    java.util.Arrays.sort(cps, 0, n)
+    var sum = 0.0; var run = 1L; var j = 1
+    while (j <= n) {
+      if (j < n && cps(j) == cps(j - 1)) run += 1L
+      else { val c = run.toDouble; sum += c * Math.log(c); run = 1L }
+      j += 1
+    }
+    (Math.log(n.toDouble) - sum / n.toDouble) / Math.log(2.0)
   }
 
   /** Token-value entropy; null elements are skipped (SQL aggregate
     * convention); NaN = "no non-null tokens" sentinel (mapped to NULL). */
   def tokenEntropyOf(arr: ArrayData): Double = {
-    // UTF8String.compareTo is unsigned byte order = SQL binary collation
-    val m = new java.util.TreeMap[UTF8String, Array[Long]]()
     val len = arr.numElements()
-    var i = 0; var n = 0L
+    val toks = new Array[UTF8String](len)
+    var i = 0; var n = 0
     while (i < len) {
-      if (!arr.isNullAt(i)) {
-        // copy out of the (possibly reused) unsafe buffer before keying
-        val t = arr.getUTF8String(i).clone()
-        val e = m.get(t)
-        if (e == null) m.put(t, Array(1L)) else e(0) += 1L
-        n += 1L
-      }
+      // views into the row buffer are fine: they only live through this
+      // call, and the buffer is stable for the duration of one eval
+      if (!arr.isNullAt(i)) { toks(n) = arr.getUTF8String(i); n += 1 }
       i += 1
     }
-    entropyOf(m.values().iterator(), n)
+    if (n == 0) return Double.NaN
+    // UTF8String.compareTo is unsigned byte order = SQL binary collation
+    java.util.Arrays.sort(toks, 0, n,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var sum = 0.0; var run = 1L; var j = 1
+    while (j <= n) {
+      if (j < n && toks(j).equals(toks(j - 1))) run += 1L
+      else { val c = run.toDouble; sum += c * Math.log(c); run = 1L }
+      j += 1
+    }
+    (Math.log(n.toDouble) - sum / n.toDouble) / Math.log(2.0)
   }
 
   private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()

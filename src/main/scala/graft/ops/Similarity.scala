@@ -321,11 +321,33 @@ object Similarity {
     val coarse = cq.crossJoin(qq)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__approx", idot.cast("double") * col("qscale") * col("cscale"))
+    val cand = coarseCandidates(coarse, col("__approx").desc, k, expand)
+    exactRerank(corpus, queries, cand, idCol, vecCol, k)
+  }
+
+  /** The shared two-stage serving tail every coarse-then-exact ANN path
+    * here ends in ([[rerankTopK]], [[pqTopK]], [[lshPqTopK]],
+    * [[queryAnnIndex]]) — ONE definition, because the persisted-index and
+    * bucket-pruned paths owe their bit-for-bit oracle parity to this chain
+    * staying byte-identical across operators (a tie-break fixed in one
+    * hand-synced copy and not another would silently split them). Stage 1:
+    * keep the `k·expand` best coarse candidates per query — the caller
+    * passes its score WITH direction (`.asc` for distances, `.desc` for
+    * similarities), the neighbor-id tie-break is appended here. Stage 2:
+    * broadcast the tiny candidate id set back against the corpus (the
+    * float vectors never shuffle), exact cosine, top-k. */
+  private def coarseCandidates(coarse: DataFrame, scoreOrdered: Column,
+                               k: Int, expand: Int): DataFrame = {
     val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("__approx").desc, col("neighbor_id").asc)
-    val cand = coarse.withColumn("__rn", row_number().over(wC))
+      .orderBy(scoreOrdered, col("neighbor_id").asc)
+    coarse.withColumn("__rn", row_number().over(wC))
       .filter(col("__rn") <= k * expand)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+                          cand: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(broadcast(cand), Seq("neighbor_id"))
@@ -338,6 +360,15 @@ object Similarity {
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Per-candidate ADC: Σ_s T_q[s][code_s] over the query's once-evaluated
+    * flat distance table (`__tbl`, entry (s, code) at s·kc + code) — the
+    * shared coarse score of the three PQ paths. */
+  private def adcExpr(m: Int, kc: Int): Column =
+    (0 until m).map { s =>
+      element_at(col("__tbl"),
+        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
+    }.reduce(_ + _)
 
   /** Deterministic product-quantization codebook: `m` subspaces × `k`
     * centroids × `subDim` components, component (s, c, j) md5-folded to
@@ -479,35 +510,16 @@ object Similarity {
     // QUERY on the broadcast side (the same tight-loop PqDistTable
     // expression pqEncode uses), so the per-candidate cost in the
     // corpus-sized join is m flat-table lookups + m−1 adds — never a
-    // re-derivation of the table per pair.
+    // re-derivation of the table per pair. Flat layout: entry (s, code)
+    // lives at position s·kc + code (1-based, matching element_at).
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       graft.functions.PqExpressions.pqDistTable(
         corpus.sparkSession, col(vecCol), codebook).as("__tbl")))
-    // flat layout: entry (s, code) lives at position s·k + code (code is
-    // 1-based from array_position, matching 1-based element_at)
-    val adc = (0 until m).map { s =>
-      element_at(col("__tbl"),
-        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
-    }.reduce(_ + _)
     val coarse = coded.crossJoin(qv)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", adc)
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").asc, col("neighbor_id").asc)
-    val cand = coarse.withColumn("__rn", row_number().over(wC))
-      .filter(col("__rn") <= k * expand)
-      .select(col("query_id"), col("neighbor_id"))
-    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(qf, Seq("query_id"))
-      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
-        corpus.sparkSession, col("qv"), col("cv")))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("__rk", row_number().over(wE))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .withColumn("__adc", adcExpr(m, kc))
+    val cand = coarseCandidates(coarse, col("__adc").asc, k, expand)
+    exactRerank(corpus, queries, cand, idCol, vecCol, k)
   }
 
   /** Bucket-pruned PQ ANN — the billion-scale serving shape composed from
@@ -546,29 +558,11 @@ object Similarity {
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       lshBucket(col(vecCol), planes, dim).as("__b"),
       graft.functions.PqExpressions.pqDistTable(spark, col(vecCol), codebook).as("__tbl")))
-    val adc = (0 until m).map { s =>
-      element_at(col("__tbl"),
-        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
-    }.reduce(_ + _)
     val coarse = coded.join(qv, Seq("__b"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", adc)
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").asc, col("neighbor_id").asc)
-    val cand = coarse.withColumn("__rn", row_number().over(wC))
-      .filter(col("__rn") <= k * expand)
-      .select(col("query_id"), col("neighbor_id"))
-    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(qf, Seq("query_id"))
-      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
-        spark, col("qv"), col("cv")))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("__rk", row_number().over(wE))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .withColumn("__adc", adcExpr(m, kc))
+    val cand = coarseCandidates(coarse, col("__adc").asc, k, expand)
+    exactRerank(corpus, queries, cand, idCol, vecCol, k)
   }
 
   /** Corpus-size-aware hyperplane count for the PQ SERVING tier
@@ -679,29 +673,11 @@ object Similarity {
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       lshBucket(col(vecCol), planes, dim).as("__b"),
       graft.functions.PqExpressions.pqDistTable(spark, col(vecCol), codebook).as("__tbl")))
-    val adc = (0 until m).map { s =>
-      element_at(col("__tbl"),
-        (lit(s * kc) + element_at(col("pq_codes"), s + 1)).cast("int"))
-    }.reduce(_ + _)
     val coarse = idx.join(qv, Seq("__b"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", adc)
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").asc, col("neighbor_id").asc)
-    val cand = coarse.withColumn("__rn", row_number().over(wC))
-      .filter(col("__rn") <= k * expand)
-      .select(col("query_id"), col("neighbor_id"))
-    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(qf, Seq("query_id"))
-      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
-        spark, col("qv"), col("cv")))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("__rk", row_number().over(wE))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .withColumn("__adc", adcExpr(m, kc))
+    val cand = coarseCandidates(coarse, col("__adc").asc, k, expand)
+    exactRerank(corpus, queries, cand, idCol, vecCol, k)
   }
 
   /** Per-LSH-bucket embedding centroids as a FLAT relation — one row per

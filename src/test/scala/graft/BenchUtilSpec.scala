@@ -24,16 +24,21 @@ class BenchUtilSpec extends AnyFunSuite {
       json.contains("\\n") && json.contains("\\u0002"))
   }
 
-  test("parsePrior extracts sf, host and per-query mins from artifact JSON") {
+  test("parsePrior extracts sf, host, hostname and per-query mins from artifact JSON") {
     val txt =
-      """{"sf":"/root/testdata/sf0.1","host":"driver","cpus":32,"reps":3,
+      """{"sf":"/root/testdata/sf0.1","host":"driver","hostname":"vm-a","cpus":32,"reps":3,
         |"queries":{"q01_agg":{"passes":[0.5,0.2,0.3],"min":0.200,"warm":true,"gc_ms":[1,2,3],"jit_ms":[4,5,6]},
         |"d22_jaccard_pairs":{"passes":[1.5,null,1.2],"min":1.200,"warm":true,"gc_ms":[0,0,0],"jit_ms":[0,0,0]}}}"""
         .stripMargin.replace("\n", "")
-    val (sf, host, mins) = BenchUtil.parsePrior(txt)
+    val (sf, host, hostName, mins) = BenchUtil.parsePrior(txt)
     assert(sf == "/root/testdata/sf0.1")
-    assert(host == "driver")
+    assert(host == "driver" && hostName == "vm-a")
     assert(mins == Map("q01_agg" -> 0.2, "d22_jaccard_pairs" -> 1.2))
+    // the r15 field layout must not cross-match: "host" never reads the
+    // "hostname"/"prior_host"/"prior_hostname" values
+    val r15 = """{"sf":"/s","host":"builder","hostname":"vm-b","order_source":"x","prior_host":"driver","prior_hostname":"vm-a","queries":{}}"""
+    val (_, h2, hn2, _) = BenchUtil.parsePrior(r15)
+    assert(h2 == "builder" && hn2 == "vm-b")
   }
 
   test("parsePrior: pre-r15 artifact (no host field) parses to empty host") {
@@ -44,18 +49,44 @@ class BenchUtilSpec extends AnyFunSuite {
       """{"sf":"/root/testdata/sf0.1","cpus":32,
         |"queries":{"q01_agg":{"passes":[0.5],"min":0.500,"warm":false,"gc_ms":[0],"jit_ms":[0]}}}"""
         .stripMargin.replace("\n", "")
-    val (sf, host, mins) = BenchUtil.parsePrior(txt)
-    assert(sf == "/root/testdata/sf0.1" && host == "" && mins == Map("q01_agg" -> 0.5))
+    val (sf, host, hostName, mins) = BenchUtil.parsePrior(txt)
+    assert(sf == "/root/testdata/sf0.1" && host == "" && hostName == ""
+      && mins == Map("q01_agg" -> 0.5))
   }
 
   test("parsePrior degrades to empty on malformed or alien input") {
-    assert(BenchUtil.parsePrior("") == ("", "", Map.empty))
-    assert(BenchUtil.parsePrior("not json at all") == ("", "", Map.empty))
+    assert(BenchUtil.parsePrior("") == ("", "", "", Map.empty))
+    assert(BenchUtil.parsePrior("not json at all") == ("", "", "", Map.empty))
     // a failed query (min null) contributes no prior — the regex requires
     // a numeric min, so the query simply has no ordering/guard reference
     val failedOnly =
       """{"sf":"/x","queries":{"bad_q":{"passes":[null],"min":null,"warm":false,"gc_ms":[0],"jit_ms":[0]}}}"""
-    assert(BenchUtil.parsePrior(failedOnly) == ("/x", "", Map.empty))
+    assert(BenchUtil.parsePrior(failedOnly) == ("/x", "", "", Map.empty))
+  }
+
+  test("isCrossHost: raw hostnames win over role labels; unattributed = cross") {
+    // same machine, role label drift (env set one round, unset the next):
+    // NOT cross-host — the r15.1 fix
+    assert(!BenchUtil.isCrossHost("builder", "vm-a", "vm-a", "vm-a"))
+    assert(!BenchUtil.isCrossHost("driver", "vm-a", "builder", "vm-a"))
+    // different machines, same role label: cross-host
+    assert(BenchUtil.isCrossHost("builder", "vm-a", "builder", "vm-b"))
+    // hostname missing on either side: fall back to the host field
+    assert(!BenchUtil.isCrossHost("builder", "", "builder", "vm-b"))
+    assert(BenchUtil.isCrossHost("driver", "", "builder", "vm-b"))
+    // pre-r15 prior (both empty): unknown provenance = cross-host
+    assert(BenchUtil.isCrossHost("", "", "builder", "vm-b"))
+  }
+
+  test("hostGap feeds BOTH the watch band and the storm guard's riser gap") {
+    assert(BenchUtil.hostGap(crossHost = false) == 0.3)
+    assert(BenchUtil.hostGap(crossHost = true) == 1.0)
+    // the s131 shape at storm scale: 1.25 s vs a faster host's 0.346 s
+    // prior is 3.6x with a 0.9 s gap — same-host gap would flag it for a
+    // requeue, the cross-host gap keeps the budget for real storms
+    val (m, p) = (1.25, 0.346)
+    assert(m > p * 3.5 && m - p > BenchUtil.hostGap(false))
+    assert(!(m - p > BenchUtil.hostGap(true)))
   }
 
   test("repsFor: fat queries drop one rep, clamped to [2, reps]") {
