@@ -88,6 +88,22 @@ class CsvSpec extends SparkSpec {
     assert(json == """{"state": ["OH","PA"],"val1": [4,null]}""")
   }
 
+  test("show sink truncates at the reference's 1000-row display cap (view.rs:472)") {
+    // the display sink delegates to df.show, but the CONTRACT worth
+    // pinning is the reference's MAX_DISP_ROWS=1000 truncation: 1500
+    // input rows must print exactly 1000 data rows plus the truncation
+    // notice. df.show prints via Predef.println → scala.Console
+    val big = spark.range(1500).toDF("id")
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Sinks.show(big)
+    }
+    val out = bos.toString("UTF-8")
+    assert(out.contains("only showing top 1000 rows"))
+    // pipe-framed lines = 1 header + 1000 data rows
+    assert(out.linesIterator.count(_.startsWith("|")) == 1001, "1000 data rows + header")
+  }
+
   test("sniffEncoding fallback chain (decode.rs:9-21)") {
     val utf8 = tmpCsv("a,b\nx,1\n")
     assert(Csv.sniffEncoding(utf8) == "UTF-8")
