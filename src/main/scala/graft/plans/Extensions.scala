@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Catalyst-level integration through Spark's two PUBLIC extension points —
+  * the (c) tier of the custom-operator ladder (compose < Expression <
+  * Rule/Strategy via SparkSessionExtensions):
+  *
+  *  - [[StrictPlanGuard]], an optimizer `Rule[LogicalPlan]` enforcing at
+  *    RUNTIME the plan property the test suite enforces at CI time
+  *    (PlanFingerprintSpec): no partitionless window. `ORDER BY` windows
+  *    with an empty `PARTITION BY` collapse the whole relation into ONE
+  *    task — invisible on a laptop corpus, a guaranteed straggler-or-OOM
+  *    on a 1000-executor job. Opt-in per session (`spark.graft.strictPlans`
+  *    = true): a pipeline author flips it on in production sessions and a
+  *    q55-class plan fails FAST at planning, with the fix named, instead
+  *    of hanging a cluster. Legitimate pre-reduced tiny-input windows stay
+  *    available by leaving the flag off (the library's own four audited
+  *    sites run under non-strict sessions).
+  *
+  *  - SQL registration of the graft native expressions (char_entropy,
+  *    token_entropy) so `spark.sql("SELECT char_entropy(text) …")` works
+  *    in any session built `.withExtensions(new GraftExtensions)` or with
+  *    `spark.sql.extensions=graft.plans.GraftExtensions` — the Column-API
+  *    helpers in [[graft.functions]] keep working unchanged either way.
+  *
+  * [[GraftExtensions.enableStrictPlans]] arms the guard POST-HOC on an
+  * existing session via `spark.experimental.extraOptimizations` (also a
+  * public API, session-scoped) for callers who didn't build their session
+  * with extensions.
+  */
+object StrictPlanGuard extends Rule[LogicalPlan] {
+  val confKey = "spark.graft.strictPlans"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SQLConf.get.getConfString(confKey, "false") == "true")
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty =>
+          throw new IllegalStateException(
+            s"[graft strict plans] partitionless window (ORDER BY with no PARTITION BY) " +
+              s"over ${w.windowExpressions.map(_.name).mkString(", ")}: this plans a " +
+              "single-partition stage that serializes the whole relation through one task " +
+              "at cluster scale. Partition the window, or use the distributed forms " +
+              "(Relational.globalNtile for NTILE, terasort row-index machinery for ranks); " +
+              s"unset $confKey to allow it on pre-reduced tiny inputs.")
+        case _ => ()
+      }
+    plan
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => StrictPlanGuard)
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  /** The graft natives exposed to SQL (the Column-API constructors in
+    * [[graft.functions]] remain the primary surface). */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "char_entropy" -> (es => graft.functions.CharEntropy(es.head)),
+    "token_entropy" -> (es => graft.functions.TokenEntropy(es.head))
+  )
+
+  /** Arm [[StrictPlanGuard]] on an EXISTING session (no rebuild needed):
+    * registers the rule through `experimental.extraOptimizations` (public,
+    * session-scoped) and flips the conf the rule keys on. Idempotent. */
+  def enableStrictPlans(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(StrictPlanGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ StrictPlanGuard
+    spark.conf.set(StrictPlanGuard.confKey, "true")
+  }
+}
