@@ -1120,11 +1120,17 @@ object SparkEntry {
     // candidate set stays LINEAR as the corpus grows — the 10× stress
     // artifact showed fixed planes=4 going 17.5× superlinear while this
     // contract ran 1.29 s). md5-derived planes, so the oracle recomputes
-    // identical buckets: at the sf0.01 gate (500 vectors)
-    // autoPlanes(500) = 4, which SimilaritySpec pins against the parquet
+    // identical buckets; the planes VALUE the run actually used is stashed
+    // (the s143 pqt technique — Verify dumps oracle SQL after the queries
+    // run) so the oracle replays THIS scale's knob: what was a documented
+    // permanent cross-scale pin through r14 is now exact at every SF. At
+    // the sf0.01 gate autoPlanes(500) = 4, which SimilaritySpec pins
     "d74_embed_neardup_lsh" -> ((s, dir) => {
-      Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35, tables = 2, dim = 64)
+      val e = t(s, dir, "embeddings")
+      val planes = Similarity.autoPlanes(e.count())
+      autoPlanesUsed = Some(planes)
+      Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.35,
+          planes = planes, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1140,8 +1146,10 @@ object SparkEntry {
     // matching the oracle's plane derivation
     "p92_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val pairs = Similarity.nearDupPairsAuto(e, "vec_id", "embedding",
-          threshold = 0.35, tables = 2, dim = 64)
+      val planes = Similarity.autoPlanes(e.count())
+      autoPlanesUsed = Some(planes)
+      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.35, planes = planes, tables = 2, dim = 64)
         .select(col("id_a"), col("id_b"))
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
@@ -2302,6 +2310,14 @@ object SparkEntry {
     * oracle emits a loud error() instead of silently-wrong SQL. */
   @volatile private[graft] var trainedPqCodebook: Option[Array[Array[Array[Double]]]] = None
 
+  /** d74/p92's auto-sized planes stash, same lifecycle as
+    * [[trainedPqCodebook]]: the query fns record the count-derived knob
+    * the run ACTUALLY used, and the oracle replays that value — so the
+    * auto contract is verified hash-exact at every scale instead of
+    * pinning the gate-scale constant (the r9-r14 "permanent" d74/p92
+    * cross-scale divergence dissolves into the stash). */
+  @volatile private[graft] var autoPlanesUsed: Option[Int] = None
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2951,17 +2967,18 @@ object SparkEntry {
 
     // same plane derivation, OR-amplified across 2 tables: candidates from
     // either table's bucket join, UNION-deduped, exact cosine >= threshold.
-    // planes = 4 here IS the auto contract at the gate: the driver query
-    // runs nearDupPairsAuto, and autoPlanes(500 sf0.01 vectors) = 4 —
-    // SimilaritySpec pins that identity against the parquet row count
-    "d74_embed_neardup_lsh" ->
-      nearDupLshOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+    // planes comes from the stash the query run wrote (the s143 pqt
+    // technique), so the oracle replays the auto contract at the RUN's own
+    // scale — exact at every SF, not just the gate where autoPlanes(500)=4
+    "d74_embed_neardup_lsh" -> autoPlanesUsed
+      .map(p => nearDupLshOracle(planes = p, tables = 2, dim = 64, threshold = 0.35))
+      .getOrElse(autoPlanesOracleError),
 
     // d74's bucket/verify CTE chained into d73's recursive-CTE components:
-    // one oracle for the full semantic-dedup pass (planes = autoPlanes(500)
-    // = 4, same identity as d74's oracle)
-    "p92_semantic_dedup" ->
-      semanticDedupOracle(planes = 4, tables = 2, dim = 64, threshold = 0.35),
+    // one oracle for the full semantic-dedup pass, planes from the stash
+    "p92_semantic_dedup" -> autoPlanesUsed
+      .map(p => semanticDedupOracle(planes = p, tables = 2, dim = 64, threshold = 0.35))
+      .getOrElse(autoPlanesOracleError),
 
     // schema-merge oracle from the ORIGINAL table: gen-1 rows never carried
     // o_orderpriority, so it is NULL for them after the merged read
@@ -4269,6 +4286,10 @@ object SparkEntry {
        |FROM hits LEFT JOIN ac ON ac.query_id = hits.query_id
        |ORDER BY hits.query_id""".stripMargin
   }
+
+  private def autoPlanesOracleError: String =
+    "SELECT error('d74/p92 auto-planes oracle: run the query first to stash " +
+      "the run''s plane count (Verify dumps oracle SQL after the queries run)')"
 
   /** s143 oracle: ALL THREE PQ serving tiers replayed in SQL — the s120
     * ADC chain (full-scan coarse pass) and the s123 bucket-pruned chain

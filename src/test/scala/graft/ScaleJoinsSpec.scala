@@ -594,6 +594,32 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(refit.flatten.flatten.toSeq == cbt.get.flatten.flatten.toSeq)
   }
 
+  test("d74/p92 auto-planes: the run's knob is stashed; the oracle replays it at any scale") {
+    // the s143 pqt lifecycle applied to the auto-planes contract: before
+    // any run the oracle is the loud error() form; after a run it inlines
+    // the plane count the run ACTUALLY derived from its corpus — so the
+    // former permanent gate-scale pin verifies exact at every SF
+    SparkEntry.autoPlanesUsed = None
+    assert(SparkEntry.oracleSql("d74_embed_neardup_lsh").contains("error("))
+    assert(SparkEntry.oracleSql("p92_semantic_dedup").contains("error("))
+    val n = core.Tables.embeddings(spark, sf("sf0.001")).count()
+    val expected = ops.Similarity.autoPlanes(n)
+    val rows = SparkEntry.queries("d74_embed_neardup_lsh")(spark, sf("sf0.001")).collect()
+    assert(SparkEntry.autoPlanesUsed.contains(expected))
+    val sql = SparkEntry.oracleSql("d74_embed_neardup_lsh")
+    assert(!sql.contains("error("))
+    // the bucket expression carries exactly `expected` CASE terms per table
+    // (2 tables) — the knob is verifiably inlined, not a fixed constant
+    assert("CASE WHEN".r.findAllIn(sql).size == expected * 2,
+      s"expected ${expected * 2} CASE terms in:\n${sql.take(400)}")
+    // and the result equals the fixed-knob form at the same planes
+    val fixed = ops.Similarity.nearDupPairs(
+        core.Tables.embeddings(spark, sf("sf0.001")), "vec_id", "embedding",
+        threshold = 0.35, planes = expected, tables = 2, dim = 64)
+      .orderBy(col("id_a"), col("id_b")).collect()
+    assert(rows.toSeq.map(_.toSeq) == fixed.toSeq.map(_.toSeq))
+  }
+
   test("q125: MIN/MAX/COUNT answered from parquet footer statistics (PushedAggregation)") {
     val s = spark.newSession()
     // aggregate pushdown exists only in the V2 parquet reader; the scoped
