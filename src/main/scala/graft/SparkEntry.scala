@@ -2296,6 +2296,24 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 10, codebook = cb, expand = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+    // s148's WRITE side: one full index build (encode + bucket partition
+    // layout) to a fresh temp dir per rep — the amortized build cost the
+    // serve-only driver row deliberately excludes via the q50 caching
+    // rule; emits the bucket-dir count so the measured action IS the write
+    "x148_ann_index_write" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_x148")
+      Similarity.writeAnnIndex(emb, "vec_id", "embedding",
+        Similarity.pqCodebook(8, 16, 8), planes = 3, dim = 64, path.toString)
+      val n = path.toFile.listFiles().count(_.getName.startsWith("bucket="))
+      // reclaim before returning — a 3-rep bench run must not litter /tmp
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(path.toFile)
+      Seq(n.toLong).toDF("n_buckets")
     })
   )
 
