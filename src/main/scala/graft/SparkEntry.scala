@@ -1637,6 +1637,21 @@ object SparkEntry {
         .orderBy(col("slice_a"), col("slice_b"))
     }),
 
+    // cross-snapshot vocabulary novelty via theta DIFFERENCE (round 15,
+    // completing d147's set algebra): how many of the new snapshot's
+    // distinct shingles appear nowhere in the old one — the release-cut
+    // "what does this crawl add" diagnostic, one bounded sketch per side
+    // where the exact form is a full distinct anti-join. p114's snapshot
+    // convention; exact mode at test vocab → hash-exact vs the exact oracle
+    "d149_theta_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snapA = docs.filter(col("doc_id") % 23 =!= 0)
+      val snapB = docs.filter(col("doc_id") % 29 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.Sketches.thetaNovelty(snapA, snapB, "text", n = 3, lgK = 20)
+    }),
+
     // PERSISTED PQ serving index (round 15): s123's composition with the
     // LSH bucket as the STORAGE partition key. writeAnnIndex lays out
     // (id, pq_codes) partitionBy(bucket) once per (JVM, dir, data
@@ -2696,6 +2711,23 @@ object SparkEntry {
         |FROM n na JOIN n nb ON na.source < nb.source
         |LEFT JOIN i ON i.sa = na.source AND i.sb = nb.source
         |ORDER BY slice_a, slice_b""".stripMargin,
+
+    // d149: exact-mode theta difference = plain distinct anti-join count;
+    // p114's snapshot convention (A = %23≠0; B = %29≠0 with the v2 text
+    // mutation on %17=0)
+    "d149_theta_novelty" ->
+      """WITH a0 AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 23 <> 0),
+        |ash AS (SELECT DISTINCT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s FROM a0),
+        |b0 AS (SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 29 <> 0),
+        |bt AS (SELECT string_split(text, ' ') AS t FROM b0),
+        |bsh AS (SELECT DISTINCT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s FROM bt),
+        |na AS (SELECT count(*) AS n FROM ash),
+        |nb AS (SELECT count(*) AS n FROM bsh),
+        |nov AS (SELECT count(*) AS n FROM bsh WHERE s NOT IN (SELECT s FROM ash))
+        |SELECT na.n AS n_a, nb.n AS n_b, nov.n AS n_novel,
+        |  floor(CAST(nov.n AS DOUBLE) / nb.n * 1e6 + 0.5) / 1e6 AS novelty
+        |FROM na, nb, nov""".stripMargin,
 
     // d22's chain with the containment denominator (least set size)
     "d109_containment_pairs" ->

@@ -55,4 +55,27 @@ object Sketches {
         floor(col("n_inter").cast("double") / col("n_union").cast("double")
           * lit(1e6) + lit(0.5)) / lit(1e6))
   }
+
+  /** Cross-snapshot vocabulary NOVELTY — theta_difference completes the
+    * set algebra ([[thetaShingleOverlap]] covers union/intersection): how
+    * many of the new snapshot's distinct word-`n`-grams appear nowhere in
+    * the old one, as one bounded-sketch pass per side (the release-cut
+    * "what does this crawl actually add" diagnostic; an exact distinct
+    * anti-join at 100 TB is precisely the job this sketch replaces).
+    * Output: one row (n_a, n_b, n_novel = |B ∖ A|, novelty = n_novel/n_b
+    * 6-dp). Same determinism/exact-mode contract as the overlap. */
+  def thetaNovelty(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                   n: Int = 3, lgK: Int = 20): DataFrame = {
+    require(n >= 1 && lgK >= 4 && lgK <= 26, s"n=$n lgK=$lgK out of range")
+    def sk(df: DataFrame, name: String) = df
+      .select(explode(graft.functions.TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .agg(theta_sketch_agg(col("sh"), lgK).as(name))
+    sk(oldDf, "ska").crossJoin(sk(newDf, "skb"))
+      .select(theta_sketch_estimate(col("ska")).as("n_a"),
+        theta_sketch_estimate(col("skb")).as("n_b"),
+        theta_sketch_estimate(theta_difference(col("skb"), col("ska"))).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel").cast("double") / col("n_b").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+  }
 }

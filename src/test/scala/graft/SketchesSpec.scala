@@ -31,6 +31,21 @@ class SketchesSpec extends SparkSpec {
     assert(got.length == sets.size * (sets.size - 1) / 2)
   }
 
+  test("thetaNovelty: exact mode reproduces the distinct anti-join count") {
+    val d = core.Tables.documents(spark, sf("sf0.001"))
+    val a = d.filter(col("doc_id") % 3 =!= 0)
+    val b = d.filter(col("doc_id") % 2 =!= 0)
+    val r = ops.Sketches.thetaNovelty(a, b, "text").head()
+    def shingleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    assert(r.getLong(0) == sa.size.toLong && r.getLong(1) == sb.size.toLong)
+    assert(r.getLong(2) == sb.diff(sa).size.toLong)
+    val nov = math.floor(r.getLong(2).toDouble / r.getLong(1).toDouble * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(3) == nov)
+  }
+
   test("theta estimation mode: pure function of the input set, bounded error") {
     // 10k distinct values per slice through a 2^12-entry sketch → the
     // sketch leaves exact mode; the estimate must still be reproducible
