@@ -1637,6 +1637,18 @@ object SparkEntry {
         .orderBy(col("slice_a"), col("slice_b"))
     }),
 
+    // Okapi BM25 retrieval ranking (round 15): the standard scorer over
+    // the t84 tokenization — tf from the codegen'd token_counts map (pure
+    // projection, no corpus shuffle), corpus stats (N, Σdl, per-term df)
+    // reduced to ONE broadcast row, top-N via TakeOrdered. Every float
+    // input is integral and per-term scores sum in query order, so the
+    // oracle replays the chain term by term with constants printed from
+    // the operator's own doubles
+    "t150_bm25" -> ((s, dir) => {
+      graft.ops.TextIndex.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("hash", "join", "filter"), topN = 20)
+    }),
+
     // cross-snapshot vocabulary novelty via theta DIFFERENCE (round 15,
     // completing d147's set algebra): how many of the new snapshot's
     // distinct shingles appear nowhere in the old one — the release-cut
@@ -2711,6 +2723,9 @@ object SparkEntry {
         |FROM n na JOIN n nb ON na.source < nb.source
         |LEFT JOIN i ON i.sa = na.source AND i.sb = nb.source
         |ORDER BY slice_a, slice_b""".stripMargin,
+
+    "t150_bm25" -> bm25Oracle(Seq("hash", "join", "filter"),
+      k1 = 1.2, b = 0.75, topN = 20),
 
     // d149: exact-mode theta difference = plain distinct anti-join count;
     // p114's snapshot convention (A = %23≠0; B = %29≠0 with the v2 text
@@ -4335,6 +4350,31 @@ object SparkEntry {
        |  floor(CAST(hits.n_overlap AS DOUBLE) / hits.n_exact * 1e6 + 0.5) / 1e6 AS recall
        |FROM hits LEFT JOIN ac ON ac.query_id = hits.query_id
        |ORDER BY hits.query_id""".stripMargin
+  }
+
+  /** t150 oracle: BM25 replayed term by term in the query's fixed order,
+    * every float constant printed from the SAME Scala double the operator
+    * computes (k1+1, 1−b — shortest-roundtrip decimals), the same
+    * tokenization as the t84/t110 oracles. Association mirrors the
+    * operator exactly: ((idf·tf)·k1p1)/(tf + k1·((1−b) + (b·dl)/(Σdl/N))). */
+  private def bm25Oracle(terms: Seq[String], k1: Double, b: Double,
+                         topN: Int): String = {
+    def num(d: Double) = java.math.BigDecimal.valueOf(d).toPlainString
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${num(k1 + 1.0)} / " +
+        s"(tf$i + ${num(k1)} * (${num(1.0 - b)} + ${num(b)} * dl / (sumdl / n)))"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+       |d AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfCols FROM tk),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfCols FROM d),
+       |sc AS (SELECT doc_id, $scoreExpr AS score FROM d, st)
+       |SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score FROM sc
+       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
   }
 
   private def autoPlanesOracleError: String =

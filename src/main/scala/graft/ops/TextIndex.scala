@@ -229,4 +229,54 @@ object TextIndex {
     val keepN = math.floor(total * fraction).toLong
     indexed.filter(col("__dsir_idx") < keepN).drop("__dsir_idx")
   }
+
+  /** Okapi BM25 ranking of the corpus for a FIXED query term set — the
+    * standard retrieval scorer (Robertson & Zaragoza 2009), over the same
+    * engine-portable tokenization as [[invertedIndex]]. Lucene's
+    * always-positive idf form: ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: tf comes from the codegen'd `token_counts` map — a pure
+    * projection, no explode and no corpus-keyed shuffle; the corpus
+    * statistics (N, Σdl, per-term df) reduce to ONE broadcast row; scoring
+    * is a projection over the scan and the top-N is TakeOrdered. The
+    * query-term list is static, so per-term scores are separate columns
+    * summed in QUERY ORDER — with every float input integral (tf, dl, df,
+    * N; Σdl of integral doubles is exact at any reduction order) the chain
+    * is bit-reproducible and the SQL oracle replays it term by term.
+    * Zero-scoring docs (no query term) are excluded, retrieval semantics.
+    * Output: (doc_id, score 6-dp), topN by unrounded score, id tiebreak. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topN: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: query terms required")
+    require(topN >= 1, s"topN=$topN must be >= 1")
+    val spark = df.sparkSession
+    val toks = tokensExpr(textCol)
+    val counts = graft.functions.TokenCountsExpression.tokenCounts(spark, toks)
+    val base = df.select(col(idCol).as("doc_id"), counts.as("__tc"),
+      size(toks).cast("double").as("__dl"))
+    val withTf = query.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf$i",
+        coalesce(element_at(col("__tc"), lit(t)), lit(0L)).cast("double"))
+    }
+    val aggs = Seq(count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl")) ++
+      query.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("__sumdl") / col("__n")
+    val bTerm = lit(1.0 - b) + lit(b) * col("__dl") / avgdl
+    val score = query.indices.map { i =>
+      val tf = col(s"__tf$i"); val dfT = col(s"__df$i")
+      val idf = log(lit(1.0) + (col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * bTerm)
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("__score", score)
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"),
+        (floor(col("__score") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+  }
 }

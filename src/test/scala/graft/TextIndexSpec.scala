@@ -271,6 +271,35 @@ class TextIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("__dsir_idx"))
   }
 
+  test("bm25TopK: hand-computed scores on the micro fixture, zero-score docs excluded") {
+    // docs fixture (tokenized): 1=[alpha beta alpha gamma] 2=[beta gamma
+    // beta] 3=[alpha beta] 4=[gamma alpha] — query [alpha]: df=3, N=4,
+    // avgdl=(4+3+2+2)/4=2.75
+    val got = TextIndex.bm25TopK(docs, "doc_id", "text", query = Seq("alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bm25(tf: Double, dl: Double, dfT: Double, n: Double, avgdl: Double,
+             k1: Double = 1.2, b: Double = 0.75): Double = {
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.keySet == Set(1L, 3L, 4L), "doc 2 has no 'alpha' and must be excluded")
+    assert(got(1L) == r6(bm25(2, 4, 3, 4, 2.75)))
+    assert(got(3L) == r6(bm25(1, 2, 3, 4, 2.75)))
+    assert(got(4L) == r6(bm25(1, 2, 3, 4, 2.75)))
+    // multi-term: scores add per term; length normalization (b=0.75) puts
+    // the SHORT doc 3 [alpha beta] above the long doc 1 [alpha beta alpha
+    // gamma] despite doc 1's double alpha — the classic BM25 behavior,
+    // pinned against the hand formula (df_beta = 3 too)
+    val two = TextIndex.bm25TopK(docs, "doc_id", "text",
+        query = Seq("alpha", "beta"), topN = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val d1 = bm25(2, 4, 3, 4, 2.75) + bm25(1, 4, 3, 4, 2.75)
+    val d3 = bm25(1, 2, 3, 4, 2.75) + bm25(1, 2, 3, 4, 2.75)
+    assert(d3 > d1)
+    assert(two.toSeq == Seq(3L -> r6(d3), 1L -> r6(d1)))
+  }
+
   // independent reference implementation of the entropy formula (same
   // ascending-symbol summation order the expressions promise)
   private def refEntropy(counts: Seq[Long]): Double = {
