@@ -1128,7 +1128,7 @@ object SparkEntry {
     "d74_embed_neardup_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planes = Similarity.autoPlanes(e.count())
-      autoPlanesUsed = Some(planes)
+      autoPlanesUsed = Some((dir, planes))
       Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.35,
           planes = planes, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
@@ -1147,7 +1147,7 @@ object SparkEntry {
     "p92_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planes = Similarity.autoPlanes(e.count())
-      autoPlanesUsed = Some(planes)
+      autoPlanesUsed = Some((dir, planes))
       val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
           threshold = 0.35, planes = planes, tables = 2, dim = 64)
         .select(col("id_a"), col("id_b"))
@@ -2013,7 +2013,7 @@ object SparkEntry {
       val cb = Similarity.pqCodebook(8, 16, 8)
       val cbt = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
         m = 8, k = 16, subDim = 8)
-      trainedPqCodebook = Some(cbt)
+      trainedPqCodebook = Some((dir, cbt))
       val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,
         codebook = cb, expand = 4)
       val lshpq = Similarity.lshPqTopK(e, q, "vec_id", "embedding", k = 10,
@@ -2332,15 +2332,20 @@ object SparkEntry {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_x148")
-      Similarity.writeAnnIndex(emb, "vec_id", "embedding",
-        Similarity.pqCodebook(8, 16, 8), planes = 3, dim = 64, path.toString)
-      val n = path.toFile.listFiles().count(_.getName.startsWith("bucket="))
-      // reclaim before returning — a 3-rep bench run must not litter /tmp
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      rm(path.toFile)
-      Seq(n.toLong).toDF("n_buckets")
+      // reclaim in finally — a throwing rep must not litter /tmp either.
+      // The timed rep thus includes listing + deleting the fresh layout: a
+      // bounded, deliberate bias (the metric answers "what does a build
+      // cost end to end", and a production rebuild pays the old layout's
+      // teardown too)
+      try {
+        Similarity.writeAnnIndex(emb, "vec_id", "embedding",
+          Similarity.pqCodebook(8, 16, 8), planes = 3, dim = 64, path.toString)
+        val n = path.toFile.listFiles().count(_.getName.startsWith("bucket="))
+        Seq(n.toLong).toDF("n_buckets")
+      } finally rm(path.toFile)
     })
   )
 
@@ -2352,16 +2357,30 @@ object SparkEntry {
     * pqt tier's replay inlines the constants of the SAME run Verify just
     * dumped. Verify's flow guarantees the ordering (all queries run, THEN
     * oracle SQL is dumped); if the query has not run in this JVM the
-    * oracle emits a loud error() instead of silently-wrong SQL. */
-  @volatile private[graft] var trainedPqCodebook: Option[Array[Array[Array[Double]]]] = None
+    * oracle emits a loud error() instead of silently-wrong SQL.
+    *
+    * Each stash carries the DIR it was derived from, checked against
+    * [[oracleScope]] (set by Verify to its sfDir before dumping): a stash
+    * left by a run at a DIFFERENT scale would otherwise generate
+    * silently-wrong SQL — the exact failure the error() form exists to
+    * prevent. Callers that read oracleSql without a scope (specs) accept
+    * whatever stash is present. */
+  @volatile private[graft] var trainedPqCodebook: Option[(String, Array[Array[Array[Double]]])] = None
 
-  /** d74/p92's auto-sized planes stash, same lifecycle as
+  /** d74/p92's auto-sized planes stash, same scoped lifecycle as
     * [[trainedPqCodebook]]: the query fns record the count-derived knob
     * the run ACTUALLY used, and the oracle replays that value — so the
     * auto contract is verified hash-exact at every scale instead of
     * pinning the gate-scale constant (the r9-r14 "permanent" d74/p92
     * cross-scale divergence dissolves into the stash). */
-  @volatile private[graft] var autoPlanesUsed: Option[Int] = None
+  @volatile private[graft] var autoPlanesUsed: Option[(String, Int)] = None
+
+  /** The dir oracle SQL is being generated FOR (Verify sets it to its
+    * sfDir); stashes from a different dir then fail loudly. */
+  @volatile private[graft] var oracleScope: Option[String] = None
+
+  private def scoped[T](stash: Option[(String, T)]): Option[T] =
+    stash.filter { case (dir, _) => oracleScope.forall(_ == dir) }.map(_._2)
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3035,13 +3054,13 @@ object SparkEntry {
     // planes comes from the stash the query run wrote (the s143 pqt
     // technique), so the oracle replays the auto contract at the RUN's own
     // scale — exact at every SF, not just the gate where autoPlanes(500)=4
-    "d74_embed_neardup_lsh" -> autoPlanesUsed
+    "d74_embed_neardup_lsh" -> scoped(autoPlanesUsed)
       .map(p => nearDupLshOracle(planes = p, tables = 2, dim = 64, threshold = 0.35))
       .getOrElse(autoPlanesOracleError),
 
     // d74's bucket/verify CTE chained into d73's recursive-CTE components:
     // one oracle for the full semantic-dedup pass, planes from the stash
-    "p92_semantic_dedup" -> autoPlanesUsed
+    "p92_semantic_dedup" -> scoped(autoPlanesUsed)
       .map(p => semanticDedupOracle(planes = p, tables = 2, dim = 64, threshold = 0.35))
       .getOrElse(autoPlanesOracleError),
 
@@ -3854,7 +3873,7 @@ object SparkEntry {
 
     "s142_ann_recall" -> annRecallOracle(planes = 6, tables = 2, dim = 64, k = 10),
     "s143_pq_recall" -> pqRecallOracle(m = 8, kc = 16, subDim = 8,
-      planes = 3, dim = 64, kTop = 10, expand = 4, cbT = trainedPqCodebook),
+      planes = 3, dim = 64, kTop = 10, expand = 4, cbT = scoped(trainedPqCodebook)),
 
     // m107's frame derivation + m113's pHash grid per FRAME (composite
     // frame id = doc·4 + idx), Hamming ≤ 2 pairs, video-pair counts
@@ -4369,12 +4388,21 @@ object SparkEntry {
       s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${num(k1 + 1.0)} / " +
         s"(tf$i + ${num(k1)} * (${num(1.0 - b)} + ${num(b)} * dl / (sumdl / n)))"
     }.mkString(" + ")
+    // terms are interpolated into SQL string literals — keep the guard in
+    // lockstep with the tokenizer's alphabet so no escaping is ever needed
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"bm25Oracle terms must be [a-z0-9]+ tokens: $terms")
+    // the top-N select keeps the UNROUNDED score (s0) as its sort key at
+    // every level: in DuckDB an ORDER BY on the rounded output alias would
+    // bind to the alias, silently diverging from the operator's
+    // unrounded-score ordering whenever two scores differ by < 1e-6
     s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
        |d AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfCols FROM tk),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl, $dfCols FROM d),
-       |sc AS (SELECT doc_id, $scoreExpr AS score FROM d, st)
-       |SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score FROM sc
-       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+       |sc AS (SELECT doc_id, $scoreExpr AS s0 FROM d, st),
+       |top AS (SELECT doc_id, s0 FROM sc WHERE s0 > 0 ORDER BY s0 DESC, doc_id LIMIT $topN)
+       |SELECT doc_id, floor(s0 * 1e6 + 0.5) / 1e6 AS score FROM top
+       |ORDER BY s0 DESC, doc_id""".stripMargin
   }
 
   private def autoPlanesOracleError: String =

@@ -30,6 +30,10 @@ object Verify {
     // an order-preserving sorted-glob read (DuckDB default) sees the same
     // row order the single file would have. The driver path is unchanged.
     val noCoalesce = sys.env.get("SPARK_GRAFT_VERIFY_NO_COALESCE").contains("1")
+    // the dump below generates stash-backed oracle SQL (s143 pqt, d74/p92
+    // auto planes) — scope it to THIS run's dir so a stale stash from a
+    // different scale fails loudly instead of emitting wrong SQL
+    SparkEntry.oracleScope = Some(sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

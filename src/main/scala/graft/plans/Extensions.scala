@@ -67,9 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** The graft natives exposed to SQL (the Column-API constructors in
     * [[graft.functions]] remain the primary surface). */
+  private def unary(name: String, mk: Expression => Expression): Seq[Expression] => Expression =
+    es => {
+      // a plain es.head would silently DROP extra arguments (a
+      // plausible-looking wrong result) and throw a bare
+      // NoSuchElementException on zero — name the function and arity
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${es.length}")
+      mk(es.head)
+    }
+
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "char_entropy" -> (es => graft.functions.CharEntropy(es.head)),
-    "token_entropy" -> (es => graft.functions.TokenEntropy(es.head))
+    "char_entropy" -> unary("char_entropy", graft.functions.CharEntropy(_)),
+    "token_entropy" -> unary("token_entropy", graft.functions.TokenEntropy(_))
   )
 
   /** Arm [[StrictPlanGuard]] on an EXISTING session (no rebuild needed):

@@ -579,13 +579,18 @@ class ScaleJoinsSpec extends SparkSpec {
     // lshpq may prune below k but never to a missing query row)
     val nq = rows.map(_.getLong(1)).distinct.length
     assert(rows.groupBy(_.getString(0)).forall(_._2.length == nq))
-    val cbt = SparkEntry.trainedPqCodebook
+    val cbt = SparkEntry.trainedPqCodebook.map(_._2)
     assert(cbt.nonEmpty, "query run must stash the trained codebook")
     val sql = SparkEntry.oracleSql("s143_pq_recall")
     assert(!sql.contains("error("), "post-run oracle must be the real replay")
     // the stashed constants are inlined verbatim (shortest-roundtrip form)
     assert(sql.contains(s"CAST('${java.lang.Double.toString(cbt.get(0)(0)(0))}' AS DOUBLE)"))
     assert(sql.contains("AS T)") && sql.contains("rep_pt"))
+    // a stash from a DIFFERENT dir than the oracle's scope fails loudly
+    // instead of emitting another scale's constants (the Verify contract)
+    SparkEntry.oracleScope = Some("/some/other/dir")
+    try assert(SparkEntry.oracleSql("s143_pq_recall").contains("error("))
+    finally SparkEntry.oracleScope = None
     // refit at the same dir reproduces the stash bit-for-bit (the
     // determinism the oracle's exactness rests on)
     val refit = ops.Similarity.pqCodebookTrained(
@@ -605,7 +610,12 @@ class ScaleJoinsSpec extends SparkSpec {
     val n = core.Tables.embeddings(spark, sf("sf0.001")).count()
     val expected = ops.Similarity.autoPlanes(n)
     val rows = SparkEntry.queries("d74_embed_neardup_lsh")(spark, sf("sf0.001")).collect()
-    assert(SparkEntry.autoPlanesUsed.contains(expected))
+    assert(SparkEntry.autoPlanesUsed.map(_._2).contains(expected))
+    // scope check: a mismatched oracle scope turns the stash back into the
+    // loud error() form
+    SparkEntry.oracleScope = Some("/some/other/dir")
+    try assert(SparkEntry.oracleSql("d74_embed_neardup_lsh").contains("error("))
+    finally SparkEntry.oracleScope = None
     val sql = SparkEntry.oracleSql("d74_embed_neardup_lsh")
     assert(!sql.contains("error("))
     // the bucket expression carries exactly `expected` CASE terms per table
