@@ -1637,6 +1637,26 @@ object SparkEntry {
         .orderBy(col("slice_a"), col("slice_b"))
     }),
 
+    // AUTO-sized bucket-pruned PQ serving (round 15): lshPqTopKAuto's
+    // contract as a driver row — autoServingPlanes picks the largest
+    // plane count keeping expected bucket occupancy over 4·k·expand, so
+    // per-query coarse cost stays flat while the prune ratio tracks the
+    // corpus. The run's derived knob is stashed (the d74/p92 technique),
+    // so the oracle replays the auto contract exactly at ANY scale —
+    // retiring the r15 rationale that a count-derived serving knob cannot
+    // be a SQL constant (sf0.01: planes=1; sf0.1: planes=3 — the
+    // ScaleJoinsSpec-pinned picks)
+    "s151_lshpq_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.autoServingPlanes(emb.count(), k = 10, expand = 4)
+      autoServingPlanesUsed = Some((dir, planes))
+      Similarity.lshPqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10,
+          codebook = Similarity.pqCodebook(8, 16, 8),
+          planes = planes, dim = 64, expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // Okapi BM25 retrieval ranking (round 15): the standard scorer over
     // the t84 tokenization — tf from the codegen'd token_counts map (pure
     // projection, no corpus shuffle), corpus stats (N, Σdl, per-term df)
@@ -2374,6 +2394,10 @@ object SparkEntry {
     * pinning the gate-scale constant (the r9-r14 "permanent" d74/p92
     * cross-scale divergence dissolves into the stash). */
   @volatile private[graft] var autoPlanesUsed: Option[(String, Int)] = None
+
+  /** s151's serving twin of [[autoPlanesUsed]]: the autoServingPlanes
+    * knob the run derived, scoped the same way. */
+  @volatile private[graft] var autoServingPlanesUsed: Option[(String, Int)] = None
 
   /** The dir oracle SQL is being generated FOR (Verify sets it to its
     * sfDir); stashes from a different dir then fail loudly. */
@@ -3792,6 +3816,12 @@ object SparkEntry {
     "s148_ann_partitioned" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
       planes = 3, dim = 64, kTop = 10, expand = 4),
 
+    // the auto-serving row: same chain, planes from the run's stash
+    "s151_lshpq_auto" -> scoped(autoServingPlanesUsed)
+      .map(p => lshPqOracle(m = 8, kc = 16, subDim = 8,
+        planes = p, dim = 64, kTop = 10, expand = 4))
+      .getOrElse(autoPlanesOracleError),
+
     // the streaming emission is exactly the batch history's CLOSED rows
     "q124_stream_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
@@ -4406,8 +4436,9 @@ object SparkEntry {
   }
 
   private def autoPlanesOracleError: String =
-    "SELECT error('d74/p92 auto-planes oracle: run the query first to stash " +
-      "the run''s plane count (Verify dumps oracle SQL after the queries run)')"
+    "SELECT error('auto-knob oracle (d74/p92/s151): run the query first to stash " +
+      "the run''s derived plane count for this dir (Verify dumps oracle SQL " +
+      "after the queries run)')"
 
   /** s143 oracle: ALL THREE PQ serving tiers replayed in SQL — the s120
     * ADC chain (full-scan coarse pass) and the s123 bucket-pruned chain

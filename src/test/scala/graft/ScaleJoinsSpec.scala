@@ -630,6 +630,26 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(rows.toSeq.map(_.toSeq) == fixed.toSeq.map(_.toSeq))
   }
 
+  test("s151 auto-serving: the run's knob is stashed, scoped, and replayed") {
+    SparkEntry.autoServingPlanesUsed = None
+    assert(SparkEntry.oracleSql("s151_lshpq_auto").contains("error("))
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val expected = ops.Similarity.autoServingPlanes(e.count(), k = 10, expand = 4)
+    val rows = SparkEntry.queries("s151_lshpq_auto")(spark, sf("sf0.001")).collect()
+    assert(SparkEntry.autoServingPlanesUsed.map(_._2).contains(expected))
+    assert(!SparkEntry.oracleSql("s151_lshpq_auto").contains("error("))
+    // scope mismatch regenerates the loud error()
+    SparkEntry.oracleScope = Some("/some/other/dir")
+    try assert(SparkEntry.oracleSql("s151_lshpq_auto").contains("error("))
+    finally SparkEntry.oracleScope = None
+    // and the row equals the fixed-knob serving form at the same planes
+    val fixed = ops.Similarity.lshPqTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, codebook = ops.Similarity.pqCodebook(8, 16, 8),
+        planes = expected, dim = 64, expand = 4)
+      .orderBy(col("query_id"), col("neighbor_id")).collect()
+    assert(rows.toSeq.map(_.toSeq) == fixed.toSeq.map(_.toSeq))
+  }
+
   test("q125: MIN/MAX/COUNT answered from parquet footer statistics (PushedAggregation)") {
     val s = spark.newSession()
     // aggregate pushdown exists only in the V2 parquet reader; the scoped
