@@ -153,15 +153,23 @@ private[graft] object BenchUtil {
     * sub-second prior and burn requeue budget on an honest floor.) */
   def hostGap(crossHost: Boolean): Double = if (crossHost) 1.0 else 0.3
 
-  /** Same-host decision for judging priors: raw hostnames win when both
+  /** Same-host decision for judging priors: raw hostnames decide when both
     * sides recorded one (role labels drift with env vars — the same
     * machine must never be reclassified cross-host because one round set
-    * SPARK_GRAFT_BENCH_HOST and the other didn't); otherwise fall back
-    * to the "host" field, where empty = pre-r15 unattributed = cross. */
+    * SPARK_GRAFT_BENCH_HOST and the other didn't); when EITHER side lacks
+    * a hostname, provenance is UNKNOWN → cross-host. (r16, r15 advice:
+    * the previous fallback compared role labels, so a pre-r15.1 prior
+    * recording role "builder" matched the same label on a *different*
+    * machine and got the narrow 0.3 s same-host gap — the r14
+    * false-positive class, persisting for legacy priors. A role label is
+    * not a machine identity; only a raw-hostname match earns the narrow
+    * gap, and the cost of widening a genuinely-same-host legacy prior's
+    * gap to 1.0 s is a less sensitive watch band for one round, not a
+    * wrong number.) */
   def isCrossHost(priorHost: String, priorHostName: String,
                   host: String, hostName: String): Boolean =
     if (priorHostName.nonEmpty && hostName.nonEmpty) priorHostName != hostName
-    else priorHost.isEmpty || priorHost != host
+    else true
 
   /** Rep policy: fat queries (same-scale prior min ≥ cutoff) run one fewer
     * rep — but never MORE than the configured count (at reps=1 a naive

@@ -1128,7 +1128,7 @@ object SparkEntry {
     "d74_embed_neardup_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planes = Similarity.autoPlanes(e.count())
-      autoPlanesUsed = Some((dir, planes))
+      autoPlanesUsed(dir) = planes
       Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.35,
           planes = planes, tables = 2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
@@ -1147,7 +1147,7 @@ object SparkEntry {
     "p92_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planes = Similarity.autoPlanes(e.count())
-      autoPlanesUsed = Some((dir, planes))
+      autoPlanesUsed(dir) = planes
       val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
           threshold = 0.35, planes = planes, tables = 2, dim = 64)
         .select(col("id_a"), col("id_b"))
@@ -1649,7 +1649,7 @@ object SparkEntry {
     "s151_lshpq_auto" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val planes = Similarity.autoServingPlanes(emb.count(), k = 10, expand = 4)
-      autoServingPlanesUsed = Some((dir, planes))
+      autoServingPlanesUsed(dir) = planes
       Similarity.lshPqTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 10,
           codebook = Similarity.pqCodebook(8, 16, 8),
@@ -1695,7 +1695,14 @@ object SparkEntry {
     // replays this result bit-for-bit too
     "s148_ann_partitioned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = graft.ops.Similarity.pqCodebook(8, 16, 8)
+      // the layout knobs, declared ONCE: the cache fingerprint below and
+      // the write/query calls interpolate these same vals (r15 advice —
+      // detached string literals in the key meant a knob edit could serve
+      // a stale on-disk index silently, the exact failure the key exists
+      // to prevent)
+      val planes = 3
+      val (cbM, cbK, cbSub) = (8, 16, 8)
+      val cb = graft.ops.Similarity.pqCodebook(cbM, cbK, cbSub)
       // cache key = data fingerprint (q50's rule) PLUS every parameter the
       // on-disk layout was derived under (planes, codebook spec, a layout
       // version) — a knob edit must invalidate the index, or stale
@@ -1705,16 +1712,16 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
         val st = p.getFileSystem(conf).getFileStatus(p)
         val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}|planes=3|cb=grid-8-16-8|v1"
+        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}|planes=$planes|cb=grid-$cbM-$cbK-$cbSub|v1"
             .getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
       }
       val path = s"spark-warehouse/graft_ann_$sfx"
       if (!new java.io.File(s"$path/_SUCCESS").exists())
         graft.ops.Similarity.writeAnnIndex(emb, "vec_id", "embedding", cb,
-          planes = 3, dim = 64, path = path)
+          planes = planes, dim = 64, path = path)
       graft.ops.Similarity.queryAnnIndex(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 10, codebook = cb, planes = 3, dim = 64,
+          "vec_id", "embedding", k = 10, codebook = cb, planes = planes, dim = 64,
           path = path, expand = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
@@ -2033,7 +2040,7 @@ object SparkEntry {
       val cb = Similarity.pqCodebook(8, 16, 8)
       val cbt = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
         m = 8, k = 16, subDim = 8)
-      trainedPqCodebook = Some((dir, cbt))
+      trainedPqCodebook(dir) = cbt
       val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,
         codebook = cb, expand = 4)
       val lshpq = Similarity.lshPqTopK(e, q, "vec_id", "embedding", k = 10,
@@ -2379,32 +2386,44 @@ object SparkEntry {
     * oracle SQL is dumped); if the query has not run in this JVM the
     * oracle emits a loud error() instead of silently-wrong SQL.
     *
-    * Each stash carries the DIR it was derived from, checked against
-    * [[oracleScope]] (set by Verify to its sfDir before dumping): a stash
-    * left by a run at a DIFFERENT scale would otherwise generate
-    * silently-wrong SQL — the exact failure the error() form exists to
-    * prevent. Callers that read oracleSql without a scope (specs) accept
-    * whatever stash is present. */
-  @volatile private[graft] var trainedPqCodebook: Option[(String, Array[Array[Array[Double]]])] = None
+    * DIR-KEYED since round 16 (r15 advice): the previous single-slot
+    * globals were order-dependent — a spec run at another dir, or any
+    * second same-JVM consumer, could clobber the slot between a Verify
+    * run and its oracle dump. Each stash is now a concurrent map
+    * dir → derived constant; [[oracleScope]] (set by Verify to its
+    * sfDir before dumping) selects the entry, so runs at different
+    * scales coexist instead of racing. With NO scope set (spec
+    * callers), a stash resolves only when exactly ONE dir holds an
+    * entry — an ambiguous multi-dir state yields the loud error() form
+    * rather than an arbitrary winner. */
+  private[graft] val trainedPqCodebook =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]
 
-  /** d74/p92's auto-sized planes stash, same scoped lifecycle as
+  /** d74/p92's auto-sized planes stash, same dir-keyed lifecycle as
     * [[trainedPqCodebook]]: the query fns record the count-derived knob
     * the run ACTUALLY used, and the oracle replays that value — so the
     * auto contract is verified hash-exact at every scale instead of
     * pinning the gate-scale constant (the r9-r14 "permanent" d74/p92
     * cross-scale divergence dissolves into the stash). */
-  @volatile private[graft] var autoPlanesUsed: Option[(String, Int)] = None
+  private[graft] val autoPlanesUsed = new scala.collection.concurrent.TrieMap[String, Int]
 
   /** s151's serving twin of [[autoPlanesUsed]]: the autoServingPlanes
     * knob the run derived, scoped the same way. */
-  @volatile private[graft] var autoServingPlanesUsed: Option[(String, Int)] = None
+  private[graft] val autoServingPlanesUsed = new scala.collection.concurrent.TrieMap[String, Int]
 
   /** The dir oracle SQL is being generated FOR (Verify sets it to its
-    * sfDir); stashes from a different dir then fail loudly. */
+    * sfDir); stashes resolve against it, and a missing entry for the
+    * scoped dir fails loudly. */
   @volatile private[graft] var oracleScope: Option[String] = None
 
-  private def scoped[T](stash: Option[(String, T)]): Option[T] =
-    stash.filter { case (dir, _) => oracleScope.forall(_ == dir) }.map(_._2)
+  private def scoped[T](stash: scala.collection.concurrent.TrieMap[String, T]): Option[T] =
+    oracleScope match {
+      case Some(dir) => stash.get(dir)
+      // unscoped (spec) callers: unambiguous single-dir stashes resolve;
+      // two dirs in flight means nobody can say which run is being
+      // replayed — fail closed to the error() form
+      case None => if (stash.size == 1) stash.headOption.map(_._2) else None
+    }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

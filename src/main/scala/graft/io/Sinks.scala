@@ -14,7 +14,10 @@ object Sinks {
   /** Column-oriented JSON, the reference's serde shape: one key per column,
     * values in row order, NULL → null. Collects to the driver — a
     * display/interchange sink for SMALL results (the reference is
-    * driver-only by construction); big outputs go through [[writeJson]]. */
+    * driver-only by construction); big outputs go through [[writeJson]].
+    * NOT a production export path: the `maxRows` cap bounds the driver
+    * collect for its test-oracle/display purpose — a corpus-sized export
+    * must use the distributed writers below. */
   def toColumnarJson(df: DataFrame, maxRows: Int = 100000): String = {
     val rows = df.limit(maxRows).collect()
     val cols = df.columns

@@ -655,11 +655,15 @@ object Similarity {
     * verbatim: per-query ADC against the once-evaluated distance table,
     * k·expand candidates, exact cosine re-rank from the corpus floats —
     * bit-for-bit the same result as the in-memory composition. */
-  def queryAnnIndex(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def queryAnnIndex(corpus0: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int,
                     codebook: Array[Array[Array[Double]]], planes: Int,
                     dim: Int, path: String, expand: Int = 4): DataFrame = {
     require(k >= 1 && expand >= 1, s"k=$k expand=$expand must be >= 1")
+    // widen the re-rank corpus exactly as the in-memory twin (lshPqTopK)
+    // does — without it the persisted-index path's exact re-rank ran at the
+    // scan's native parallelism (r15 advice; results were unaffected)
+    val corpus = graft.core.Par.widen(corpus0)
     val m = codebook.length; val kc = codebook(0).length
     val spark = corpus.sparkSession
     val qb = queries.select(lshBucket(col(vecCol), planes, dim).as("__b"))

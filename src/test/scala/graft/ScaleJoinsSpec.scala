@@ -570,7 +570,7 @@ class ScaleJoinsSpec extends SparkSpec {
     // the oracle's pqt tier can only be generated AFTER the query runs in
     // this JVM (Verify's flow: all queries, then the SQL dump) — before
     // the run it must fail LOUDLY, never emit silently-wrong SQL
-    SparkEntry.trainedPqCodebook = None
+    SparkEntry.trainedPqCodebook.clear()
     assert(SparkEntry.oracleSql("s143_pq_recall").contains("error("),
       "pre-run oracle must be the loud error() form")
     val rows = SparkEntry.queries("s143_pq_recall")(spark, sf("sf0.001")).collect()
@@ -579,7 +579,7 @@ class ScaleJoinsSpec extends SparkSpec {
     // lshpq may prune below k but never to a missing query row)
     val nq = rows.map(_.getLong(1)).distinct.length
     assert(rows.groupBy(_.getString(0)).forall(_._2.length == nq))
-    val cbt = SparkEntry.trainedPqCodebook.map(_._2)
+    val cbt = SparkEntry.trainedPqCodebook.get(sf("sf0.001"))
     assert(cbt.nonEmpty, "query run must stash the trained codebook")
     val sql = SparkEntry.oracleSql("s143_pq_recall")
     assert(!sql.contains("error("), "post-run oracle must be the real replay")
@@ -604,18 +604,25 @@ class ScaleJoinsSpec extends SparkSpec {
     // any run the oracle is the loud error() form; after a run it inlines
     // the plane count the run ACTUALLY derived from its corpus — so the
     // former permanent gate-scale pin verifies exact at every SF
-    SparkEntry.autoPlanesUsed = None
+    SparkEntry.autoPlanesUsed.clear()
     assert(SparkEntry.oracleSql("d74_embed_neardup_lsh").contains("error("))
     assert(SparkEntry.oracleSql("p92_semantic_dedup").contains("error("))
     val n = core.Tables.embeddings(spark, sf("sf0.001")).count()
     val expected = ops.Similarity.autoPlanes(n)
     val rows = SparkEntry.queries("d74_embed_neardup_lsh")(spark, sf("sf0.001")).collect()
-    assert(SparkEntry.autoPlanesUsed.map(_._2).contains(expected))
+    assert(SparkEntry.autoPlanesUsed.get(sf("sf0.001")).contains(expected))
     // scope check: a mismatched oracle scope turns the stash back into the
     // loud error() form
     SparkEntry.oracleScope = Some("/some/other/dir")
     try assert(SparkEntry.oracleSql("d74_embed_neardup_lsh").contains("error("))
     finally SparkEntry.oracleScope = None
+    // ambiguity check (round 16, dir-keyed stashes): with TWO dirs stashed
+    // and no scope set, nobody can say which run is being replayed — the
+    // oracle must fail closed, not pick an arbitrary winner
+    SparkEntry.autoPlanesUsed("/some/other/dir") = expected + 1
+    try assert(SparkEntry.oracleSql("d74_embed_neardup_lsh").contains("error("),
+      "unscoped multi-dir stash must yield the error() form")
+    finally SparkEntry.autoPlanesUsed.remove("/some/other/dir")
     val sql = SparkEntry.oracleSql("d74_embed_neardup_lsh")
     assert(!sql.contains("error("))
     // the bucket expression carries exactly `expected` CASE terms per table
@@ -631,12 +638,12 @@ class ScaleJoinsSpec extends SparkSpec {
   }
 
   test("s151 auto-serving: the run's knob is stashed, scoped, and replayed") {
-    SparkEntry.autoServingPlanesUsed = None
+    SparkEntry.autoServingPlanesUsed.clear()
     assert(SparkEntry.oracleSql("s151_lshpq_auto").contains("error("))
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val expected = ops.Similarity.autoServingPlanes(e.count(), k = 10, expand = 4)
     val rows = SparkEntry.queries("s151_lshpq_auto")(spark, sf("sf0.001")).collect()
-    assert(SparkEntry.autoServingPlanesUsed.map(_._2).contains(expected))
+    assert(SparkEntry.autoServingPlanesUsed.get(sf("sf0.001")).contains(expected))
     assert(!SparkEntry.oracleSql("s151_lshpq_auto").contains("error("))
     // scope mismatch regenerates the loud error()
     SparkEntry.oracleScope = Some("/some/other/dir")
