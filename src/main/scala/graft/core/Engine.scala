@@ -38,6 +38,20 @@ object Engine {
       // only the consumer knows). Context-level conf: applies when this
       // builder creates the context.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // Session-artifact isolation OFF (round 16 — the streaming-family
+      // JIT fix): Spark 4's codegen cache is keyed by (classloader,
+      // source), and with isolation on, every session UUID gets its own
+      // artifact classloader which task threads adopt — a started
+      // streaming query runs on a CLONED session, so each run re-Janino'd
+      // every generated class (q94: 25 compiles/rep, 23 byte-identical
+      // to the previous rep's; 6.80 s driver vs 2.77 s builder warm at
+      // one HEAD — four rounds of incidents). graft adds no session
+      // artifacts (addArtifact is a Spark Connect multi-tenancy surface),
+      // so isolation buys nothing here and costs the whole codegen cache
+      // per streaming run; with it off, warm q94 reps compile only the 2
+      // unavoidable fresh-lambda-id serde projections. Must be set at
+      // session creation — a runtime conf.set is documented to no-op.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def session(master: String = "local[32]", cpus: Int = 32): SparkSession = {

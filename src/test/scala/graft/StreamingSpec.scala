@@ -286,4 +286,30 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming reruns hit the codegen cache (the r16 JIT-class fix)") {
+    // Four rounds of bench incidents (d22 r10, q94 r13, s131/q127 r14,
+    // q94 r15) traced to one cause: Spark 4 keys its codegen cache by
+    // (classloader, source), a started streaming query runs on a CLONED
+    // session, and with session-artifact isolation on every clone carries
+    // a fresh artifact classloader — so each run re-Janino'd every
+    // generated class (q94: 25/rep, 23 byte-identical to the prior rep's).
+    // The fix is two-part: Engine.builder sets
+    // spark.sql.artifact.isolation.enabled=false (graft adds no session
+    // artifacts), and SparkEntry's conf-scoped queries reuse ONE memoized
+    // child session instead of newSession() per run. This pin runs a real
+    // AvailableNow streaming query twice and asserts the second run
+    // compiles at most the 2 unavoidable fresh-lambda-id serde
+    // projections (bound 6 for slack) — if either half of the fix
+    // regresses, the second run recompiles ~25 classes and this fails.
+    assert(spark.conf.get("spark.sql.artifact.isolation.enabled") == "false")
+    val fn = SparkEntry.queries("q68_stream_dedup")
+    fn(spark, sf("sf0.001")).count() // warm: compile + populate the cache
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    val c0 = cg.METRIC_COMPILATION_TIME.getCount
+    fn(spark, sf("sf0.001")).count()
+    val compiles = cg.METRIC_COMPILATION_TIME.getCount - c0
+    assert(compiles <= 6,
+      s"second streaming run Janino-compiled $compiles classes — codegen cache not reused")
+  }
 }
