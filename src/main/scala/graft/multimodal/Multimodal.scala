@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction / frame-sampling as per-partition batch
   * transforms.
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] is a deterministic fake standing in for e.g. a
-  * JPEG decoder. Everything around it — schema, batch shape, partition-level
-  * execution, column wiring — is real Spark and tested. Swapping the stub for
-  * a real codec changes one function.
+  * IMAGE decode is REAL since round 16: PNG/JPEG/GIF/BMP payloads go
+  * through the JDK's javax.imageio ([[readImage]] → [[pHashImage]] /
+  * [[imageFeatures]]) with zero added dependencies. AUDIO/VIDEO codecs the
+  * JDK lacks remain stubbed ([[decodeStub]], a deterministic fake), as do
+  * non-decodable payloads — including the driver's text-byte oracle corpus,
+  * whose rows are therefore unchanged by the image path. Everything around
+  * the decode — schema, batch shape, partition-level execution, column
+  * wiring — is real Spark and tested either way.
   */
 object Multimodal {
 
@@ -59,7 +62,7 @@ object Multimodal {
   // productionize; the signature (bytes in, fixed-dim float vector out) is
   // the real contract.
   // ==========================================================================
-  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val seed = md.digest(bytes).map("%02x".format(_)).mkString
     Array.tabulate(dim) { d =>
@@ -70,9 +73,111 @@ object Multimodal {
     }
   }
 
-  /** Per-media feature extraction: one `mapPartitions` pass so a real decoder
-    * would amortize per-partition init (model load, codec context) across the
-    * whole batch — the standard shape for expensive per-row UDF work. Output:
+  // ==========================================================================
+  // REAL image decode (round 16): the JDK's javax.imageio reads PNG, JPEG,
+  // GIF and BMP with zero added dependencies — so for those formats the
+  // decode step is no longer a stand-in. Payloads ImageIO cannot read
+  // (including the driver's text-byte oracle corpus, which no image magic
+  // matches) keep the deterministic fallback, so every existing oracle row
+  // is byte-identical. All pixel math below is INTEGER (BT.601 luma via
+  // cross-multiplication, nearest-neighbor grid sampling): no Graphics2D
+  // rendering, no float rounding — the same bytes decode to the same
+  // numbers on any JVM.
+  // ==========================================================================
+  private[graft] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Integer BT.601 luma (0..255) of one pixel. */
+  private[graft] def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+  }
+
+  /** ImageIO-decoded perceptual hash: [[PHashBits]] grayscale samples on a
+    * fixed 10×6 grid (nearest-neighbor over the full image — the size
+    * normalization a real pHash needs: any clean upscale of the same image
+    * samples the same source pixels), thresholded against their own mean
+    * with integer cross-multiplication, folded to one 60-bit long —
+    * band-compatible with [[graft.ops.Dedup.simHashPairs]] unchanged. */
+  private[graft] def pHashImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val s = Array.tabulate(PHashBits) { i =>
+      gray(img, (w - 1) * (i % 10) / 9, (h - 1) * (i / 10) / 5)
+    }
+    val sum = s.sum
+    var sig = 0L; var i = 0
+    while (i < PHashBits) { if (s(i) * PHashBits > sum) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  /** Per-strip mean grayscale features of a decoded image: `dim` vertical
+    * strips, integer-summed luma per strip, scaled to [0,1]. O(w·h) per
+    * image — the full-decode cost a real feature extractor pays anyway. */
+  private[graft] def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(dim) { d =>
+      val x0 = (w.toLong * d / dim).toInt
+      val x1 = math.max((w.toLong * (d + 1) / dim).toInt, x0 + 1)
+      var s = 0L; var n = 0L; var x = x0
+      while (x < x1 && x < w) {
+        var y = 0
+        while (y < h) { s += gray(img, x, y); y += 1; n += 1 }
+        x += 1
+      }
+      (s.toDouble / n / 255.0).toFloat
+    }
+  }
+
+  /** The byte-level fallback of [[pHash60Images]] — the same sampling rule
+    * as [[pHash60]]'s expression (evenly spaced chars in the `cropBytes`
+    * prefix of the UTF-8 decode, mean-thresholded by cross-multiplication),
+    * computed in Scala so the image path and the opaque-byte path share one
+    * operator. PipelineSpec pins it bit-equal to the expression form. */
+  private[graft] def pHashBytesFallback(bytes: Array[Byte], cropBytes: Int): Option[Long] = {
+    val t = new String(bytes, "UTF-8")
+    if (t.length < cropBytes) return None
+    val n = PHashBits
+    val s = Array.tabulate(n)(i => t.charAt((cropBytes - 1) * i / (n - 1)).toInt)
+    val sum = s.sum
+    var sig = 0L; var i = 0
+    while (i < n) { if (s(i) * n > sum) sig |= 1L << i; i += 1 }
+    Some(sig)
+  }
+
+  /** Perceptual hashes over a MIXED media column: payloads that decode as
+    * real images (PNG/JPEG/GIF/BMP via javax.imageio) get the
+    * grayscale-grid [[pHashImage]]; everything else falls back to the
+    * byte-level rule of [[pHash60]] (or drops when shorter than
+    * `cropBytes`). One `mapPartitions` pass — the per-partition codec-init
+    * shape — over the widened payload stream; zero exchange at any corpus
+    * size. Output (id, phash), band-compatible with simHashPairs. */
+  def pHash60Images(df0: DataFrame, cropBytes: Int = 120): DataFrame = {
+    require(cropBytes >= PHashBits, s"cropBytes=$cropBytes must be >= $PHashBits")
+    val df = graft.core.Par.widen(df0)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val sig = readImage(bytes) match {
+            case Some(img) => Some(pHashImage(img))
+            case None => pHashBytesFallback(bytes, cropBytes)
+          }
+          sig.map(Row(r.getLong(0), _))
+        }
+      }(enc)
+  }
+
+  /** Per-media feature extraction: one `mapPartitions` pass so the decoder
+    * amortizes per-partition init (model load, codec context) across the
+    * whole batch — the standard shape for expensive per-row UDF work.
+    * Since round 16 the decode is REAL for image payloads: PNG/JPEG/GIF/BMP
+    * bytes go through javax.imageio → [[imageFeatures]] (per-strip mean
+    * luma); only non-image payloads (audio/video formats the JDK lacks
+    * codecs for, and the text-byte test corpus) use [[decodeStub]]. Output:
     * (media_id, features array<float>). */
   def extractFeatures(df0: DataFrame, dim: Int = 8): DataFrame = {
     val df = graft.core.Par.widen(df0)
@@ -85,7 +190,11 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would go here (codec/model handle)
         rows.map { r =>
-          val feats = decodeStub(r.getAs[Array[Byte]]("media"), dim)
+          val bytes = r.getAs[Array[Byte]]("media")
+          val feats = readImage(bytes) match {
+            case Some(img) => imageFeatures(img, dim)
+            case None => decodeStub(bytes, dim)
+          }
           Row(r.getLong(0), feats.toSeq)
         }
       }(enc)

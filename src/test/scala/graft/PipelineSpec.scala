@@ -1310,6 +1310,70 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pHash60Images: REAL ImageIO decode on generated PNGs; text fallback ≡ pHash60") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def g(v: Int) = (v << 16) | (v << 8) | v
+    val grad = png(20, 12)((x, _) => g(x * 255 / 19))        // horizontal ramp
+    val grad2x = png(40, 24)((x, _) => g((x / 2) * 255 / 19)) // its clean 2× upscale
+    val inv = png(20, 12)((x, _) => g(255 - x * 255 / 19))   // inverted ramp
+    val txt = ("the quick brown fox " * 8).getBytes("UTF-8") // 160 ASCII bytes
+    val rows = Seq(1L -> grad, 2L -> grad2x, 3L -> inv, 4L -> txt,
+      5L -> "short".getBytes("UTF-8"))
+    val media = rows.toDF("media_id", "media")
+    val got = graft.multimodal.Multimodal.pHash60Images(media, cropBytes = 120)
+      .as[(Long, Long)].collect().toMap
+    // the sub-crop non-image payload drops; everything else hashes
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // driver-side reference of the image rule on the decoded fixture
+    val ref = graft.multimodal.Multimodal.readImage(grad)
+      .map(graft.multimodal.Multimodal.pHashImage).get
+    assert(got(1L) == ref, "executor-side pHash must equal the driver-side decode")
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a clean upscale of the same image is a NEAR-dup (grid sampling is the
+    // size normalization); the inverted image is far
+    assert(dist(got(1L), got(2L)) <= 4,
+      s"2x upscale drifted ${dist(got(1L), got(2L))} bits")
+    assert(dist(got(1L), got(3L)) >= 20,
+      s"inverted image only ${dist(got(1L), got(3L))} bits away")
+    // non-image payloads fall back to pHash60's byte rule, bit-for-bit
+    val textOnly = graft.multimodal.Multimodal.pHash60(
+      Seq(4L -> new String(txt, "UTF-8")).toDF("doc_id", "text")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("media")),
+      cropBytes = 120).as[(Long, Long)].collect().toMap
+    assert(got(4L) == textOnly(4L), "byte fallback must equal the expression path")
+  }
+
+  test("extractFeatures: PNG payloads use the real decoder, text keeps the stub") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(32, 8, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 8) {
+      val v = x * 255 / 31
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val txt = "plain text payload".getBytes("UTF-8")
+    val media = Seq(1L -> png, 2L -> txt).toDF("media_id", "media")
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    // image row: per-strip means of a left-to-right ramp increase monotonically
+    val f1 = feats(1L)
+    assert(f1.length == 8 && f1.sliding(2).forall(p => p(0) < p(1)),
+      s"ramp strips must increase: $f1")
+    assert(f1 == graft.multimodal.Multimodal.readImage(png)
+      .map(graft.multimodal.Multimodal.imageFeatures(_, 8)).get.toSeq)
+    // text row: unchanged deterministic stub (the oracle corpus contract)
+    assert(feats(2L) == graft.multimodal.Multimodal.decodeStub(txt, 8).toSeq)
+  }
+
   test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "unrelated")
