@@ -47,16 +47,21 @@ object Diagnostics {
     // tying at the topN boundary would select different rows per engine —
     // pin nulls-last explicitly on the tie-break (oracle says NULLS LAST)
     val ord = Window.orderBy(col("cnt").desc, col("key").asc_nulls_last)
+    // "__skew_rank"/"__skew_cum": DIRECT window aliases (the rank's cast
+    // moves to the final projection — a nested cast would hide the window
+    // behind a synthetic `_we0` alias) doubling as StrictPlanGuard
+    // allowlist tokens (audited pre-reduced site: ≤ topN rows)
     counts
       .orderBy(col("cnt").desc, col("key").asc_nulls_last).limit(topN)
-      .withColumn("rank", row_number().over(ord).cast("long"))
-      .withColumn("cum_cnt", sum(col("cnt")).over(
+      .withColumn("__skew_rank", row_number().over(ord))
+      .withColumn("__skew_cum", sum(col("cnt")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(stats))
       .select(
-        col("rank"), col("key").cast("string").as("key"), col("cnt"),
+        col("__skew_rank").cast("long").as("rank"),
+        col("key").cast("string").as("key"), col("cnt"),
         r6(col("cnt") / col("total_rows")).as("share"),
-        r6(col("cum_cnt") / col("total_rows")).as("cum_share"),
+        r6(col("__skew_cum") / col("total_rows")).as("cum_share"),
         col("n_keys"), col("total_rows"),
         // max_cnt·n_keys in doubles: the long product overflows at
         // plausible (hot key × high cardinality) combinations under ANSI

@@ -59,11 +59,13 @@ object Events {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
     def safeDiv(n: Column, d: Column): Column =
       when(d === 0L, lit(0.0)).otherwise(r6(n / d))
+    // "__funnel_prev": direct window alias = StrictPlanGuard allowlist
+    // token (audited pre-reduced site: one row per funnel step)
     counts
-      .withColumn("prev_users", lag(col("users"), 1).over(w))
+      .withColumn("__funnel_prev", lag(col("users"), 1).over(w))
       .crossJoin(broadcast(first))
       .select(col("step"), col("event_type"), col("users"),
-        safeDiv(col("users"), coalesce(col("prev_users"), col("users")))
+        safeDiv(col("users"), coalesce(col("__funnel_prev"), col("users")))
           .as("conv_from_prev"),
         safeDiv(col("users"), col("first_users")).as("conv_from_first"))
       .orderBy(col("step"))
@@ -206,8 +208,14 @@ object Events {
     val counted = withLeads.select(path.as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("path").asc).limit(topN)
-    counted.withColumn("rank",
-      row_number().over(Window.orderBy(col("n_occurrences").desc, col("path").asc))
-        .cast("long"))
+    // the window is aliased DIRECTLY ("__path_rank") and cast in a separate
+    // projection: a nested cast would make Catalyst extract the window as a
+    // synthetic `_we0` alias, hiding the site from StrictPlanGuard's
+    // name-keyed allowlist (audited pre-reduced site: ≤ topN rows)
+    counted
+      .withColumn("__path_rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("path").asc)))
+      .select(col("path"), col("n_occurrences"),
+        col("__path_rank").cast("long").as("rank"))
   }
 }

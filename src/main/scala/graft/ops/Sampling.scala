@@ -248,12 +248,17 @@ object Sampling {
     // the row_number window then runs over ≤ vocab rows, a trivial partition.
     val topTf = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(vocab)
+    // "__vocab_rank": the DIRECT window alias doubles as the per-site
+    // opt-in token for StrictPlanGuard's allowlist (this is one of the
+    // four audited pre-reduced partitionless windows — it ranks ≤ vocab
+    // rows, never the corpus)
     val ranked = topTf
-      .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
-      .select(col("w"), col("r"))
+      .withColumn("__vocab_rank",
+        row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .select(col("w"), col("__vocab_rank"))
     toks.join(broadcast(ranked), Seq("w"), "left")
       .groupBy(col("id"))
-      .agg(round(sum(coalesce(col("r"), lit(vocab + 1))).cast("double") /
+      .agg(round(sum(coalesce(col("__vocab_rank"), lit(vocab + 1))).cast("double") /
         count(lit(1)), 4).as("rarity"))
   }
 

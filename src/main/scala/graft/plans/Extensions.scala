@@ -37,19 +37,42 @@ import org.apache.spark.sql.internal.SQLConf
 object StrictPlanGuard extends Rule[LogicalPlan] {
   val confKey = "spark.graft.strictPlans"
 
+  /** Per-site opt-in (round 16, r15 verdict #4): comma-separated window
+    * ALIAS names. A partitionless window passes the guard iff EVERY one of
+    * its window expressions is aliased to a name in this list — so an
+    * honest pre-reduced site opts in by giving its window a distinctive
+    * direct alias and naming it here, while every unnamed partitionless
+    * window still fails fast. (A window nested inside a bigger expression
+    * is extracted by Catalyst under a synthetic `_weN` alias, which can
+    * never match — opting in REQUIRES the direct alias, which is the
+    * point: the site must be deliberate.) */
+  val allowKey = "spark.graft.strictPlans.allow"
+
+  /** The library's own four audited pre-reduced partitionless windows
+    * (see PlanFingerprintSpec's CI sweep, which asserts this exact set in
+    * both directions): each windows over an input already bounded by
+    * orderBy+limit or per-step aggregates. */
+  val graftPreReducedSites: Seq[String] =
+    Seq("__vocab_rank", "__funnel_prev", "__path_rank", "__skew_rank", "__skew_cum")
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (SQLConf.get.getConfString(confKey, "false") == "true")
+    if (SQLConf.get.getConfString(confKey, "false") == "true") {
+      val allowed = SQLConf.get.getConfString(allowKey, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
       plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty =>
+        case w: Window if w.partitionSpec.isEmpty &&
+            !w.windowExpressions.forall(e => allowed.contains(e.name)) =>
           throw new IllegalStateException(
             s"[graft strict plans] partitionless window (ORDER BY with no PARTITION BY) " +
               s"over ${w.windowExpressions.map(_.name).mkString(", ")}: this plans a " +
               "single-partition stage that serializes the whole relation through one task " +
               "at cluster scale. Partition the window, or use the distributed forms " +
               "(Relational.globalNtile for NTILE, terasort row-index machinery for ranks); " +
-              s"unset $confKey to allow it on pre-reduced tiny inputs.")
+              s"for a genuinely pre-reduced input, alias the window directly and add the " +
+              s"alias to $allowKey (or unset $confKey).")
         case _ => ()
       }
+    }
     plan
   }
 }
@@ -84,11 +107,17 @@ object GraftExtensions {
 
   /** Arm [[StrictPlanGuard]] on an EXISTING session (no rebuild needed):
     * registers the rule through `experimental.extraOptimizations` (public,
-    * session-scoped) and flips the conf the rule keys on. Idempotent. */
-  def enableStrictPlans(spark: SparkSession): Unit = {
+    * session-scoped) and flips the conf the rule keys on. Idempotent.
+    * `allow` opts in named pre-reduced window sites (see
+    * [[StrictPlanGuard.allowKey]]); pass
+    * [[StrictPlanGuard.graftPreReducedSites]] to run the graft surface
+    * itself under the guard. */
+  def enableStrictPlans(spark: SparkSession, allow: Seq[String] = Nil): Unit = {
     if (!spark.experimental.extraOptimizations.contains(StrictPlanGuard))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ StrictPlanGuard
     spark.conf.set(StrictPlanGuard.confKey, "true")
+    if (allow.nonEmpty)
+      spark.conf.set(StrictPlanGuard.allowKey, allow.mkString(","))
   }
 }

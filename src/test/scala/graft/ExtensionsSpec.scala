@@ -34,6 +34,71 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.withColumn("r", row_number().over(Window.orderBy(col("x")))).count() == 10L)
   }
 
+  test("allowlist: named pre-reduced windows pass; unnamed still fail; nested alias can't opt in") {
+    val s = spark.newSession()
+    GraftExtensions.enableStrictPlans(s, allow = Seq("__ok_rank"))
+    val df = s.range(10).toDF("x")
+    // the allowlisted DIRECT alias passes
+    assert(df.withColumn("__ok_rank", row_number().over(Window.orderBy(col("x"))))
+      .count() == 10L)
+    // an unlisted alias still fails fast
+    val ex = intercept[Throwable] {
+      df.withColumn("r", row_number().over(Window.orderBy(col("x")))).collect()
+    }
+    assert(messages(ex).exists(_.contains("partitionless window")), s"got: $ex")
+    // a NESTED window (cast outside) is extracted under a synthetic _weN
+    // alias — it cannot ride an allowlisted outer name; the opt-in must be
+    // the direct alias, deliberately
+    val ex2 = intercept[Throwable] {
+      df.withColumn("__ok_rank",
+        row_number().over(Window.orderBy(col("x"))).cast("long")).collect()
+    }
+    assert(messages(ex2).exists(_.contains("partitionless window")), s"got: $ex2")
+    // a window with ANY unlisted expression alongside a listed one fails
+    val ex3 = intercept[Throwable] {
+      df.select(col("x"),
+        row_number().over(Window.orderBy(col("x"))).as("__ok_rank"),
+        sum(col("x")).over(Window.orderBy(col("x"))).as("sneak")).collect()
+    }
+    assert(messages(ex3).exists(_.contains("partitionless window")), s"got: $ex3")
+  }
+
+  test("the FULL driver surface plan-builds under strict plans + the graft allowlist") {
+    // r15 verdict #4: the guard was spec-tested in isolation while the
+    // shipped queries ran non-strict. This sweep arms the guard on a child
+    // session with exactly StrictPlanGuard.graftPreReducedSites allowlisted
+    // and forces ANALYSIS + OPTIMIZATION of every driver query there —
+    // proving the runtime guard and PlanFingerprintSpec's CI sweep enforce
+    // the same property over the same surface: the four audited
+    // pre-reduced sites pass BY NAME, everything else has zero
+    // partitionless windows. (Streaming queries route their stateful run
+    // through SparkEntry's memoized stream child session, which this
+    // strict child does not arm — their plans are covered by the CI
+    // sweep's physical walk; every batch plan here builds strict.)
+    val s = spark.newSession()
+    GraftExtensions.enableStrictPlans(s, allow = StrictPlanGuard.graftPreReducedSites)
+    val dir = sf("sf0.001")
+    // the graft native-function registries are PER-SESSION and the Column
+    // constructors register into SparkSession.active — point it at the
+    // strict child for the sweep (restored after)
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    try
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try {
+          fn(s, dir).queryExecution.optimizedPlan
+          ()
+        } catch {
+          case e: Throwable if messages(e).exists(_.contains("partitionless window")) =>
+            fail(s"$name trips the strict guard: ${messages(e).mkString(" | ")}")
+        } finally s.catalog.clearCache()
+      }
+    finally {
+      SparkSession.clearActiveSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("extended session: spark.sql reaches the graft natives; guard rides along") {
     // building WITH extensions needs a fresh SparkSession over the shared
     // SparkContext — clear the default/active slots and restore after
