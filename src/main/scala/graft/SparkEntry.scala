@@ -1709,6 +1709,32 @@ object SparkEntry {
       graft.ops.Sketches.thetaNovelty(snapA, snapB, "text", n = 3, lgK = 20)
     }),
 
+    // unigram-LM tokenizer, stage 1 (round 16): the substring seed
+    // vocabulary — every ≤4-char substring of the distinct words,
+    // corpus-frequency-weighted, top-500 + all single chars. Pure
+    // codegen'd flatten/explode + one aggregate + TakeOrdered; fully
+    // SQL-replayable, so this stage carries the family's hash-exact
+    // oracle row (the EM stage below is the rows-only one)
+    "t152_unigram_seed" -> ((s, dir) => {
+      graft.ops.Unigram.seedVocab(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedSize = 500)
+        .orderBy(col("freq").desc, col("piece").asc)
+    }),
+
+    // unigram-LM tokenizer, stage 2 (round 16): hard-EM training over the
+    // distinct-word relation (Kudo 2018 in its Viterbi-EM form) with
+    // EXACT-INTEGER segmentation scoring (BigInt cross-multiplication —
+    // no float anywhere, so the output is a deterministic integer
+    // function of the corpus; UnigramSpec pins golden fixtures and
+    // cross-run equality). rows-only at the gate: the per-word DP has no
+    // SQL replay (the s36 precedent) — the seed stage above is the
+    // family's oracle-exact row and the spec carries the EM bound
+    "t153_unigram_lm" -> ((s, dir) => {
+      graft.ops.Unigram.train(t(s, dir, "documents"), "text",
+          vocabSize = 256, maxPieceLen = 4, seedSize = 500, emIters = 2)
+        .orderBy(col("rank"))
+    }),
+
     // PERSISTED PQ serving index (round 15): s123's composition with the
     // LSH bucket as the STORAGE partition key. writeAnnIndex lays out
     // (id, pq_codes) partitionBy(bucket) once per (JVM, dir, data
@@ -2828,6 +2854,29 @@ object SparkEntry {
         |SELECT na.n AS n_a, nb.n AS n_b, nov.n AS n_novel,
         |  floor(CAST(nov.n AS DOUBLE) / nb.n * 1e6 + 0.5) / 1e6 AS novelty
         |FROM na, nb, nov""".stripMargin,
+
+    // t152: the unigram-LM substring seed — lateral unnest(range) replays
+    // the flatten(transform(sequence…)) expansion position for position;
+    // top-500 by (freq desc, piece asc) unioned with every single char,
+    // deduped by max (a char inside the top keeps one row). t153 (the EM
+    // stage) is rows-only by design: a per-word Viterbi DP has no SQL
+    // form — UnigramSpec carries its bound (golden fixtures, exact-integer
+    // determinism, coverage).
+    "t152_unigram_seed" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |  ) WHERE length(w) >= 1 AND length(w) <= 48 GROUP BY w),
+        |subs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, c
+        |  FROM words,
+        |       unnest(range(1, length(w) + 1)) AS u(i),
+        |       unnest(range(1, least(4, length(w) - i + 1) + 1)) AS v(l)),
+        |agg AS (SELECT piece, sum(c) AS freq FROM subs GROUP BY piece),
+        |top AS (SELECT * FROM agg ORDER BY freq DESC, piece ASC LIMIT 500),
+        |un AS (SELECT * FROM top UNION ALL SELECT * FROM agg WHERE length(piece) = 1)
+        |SELECT piece, CAST(max(freq) AS BIGINT) AS freq FROM un GROUP BY piece
+        |ORDER BY freq DESC, piece ASC""".stripMargin,
 
     // d22's chain with the containment denominator (least set size)
     "d109_containment_pairs" ->
