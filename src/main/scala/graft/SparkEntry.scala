@@ -865,6 +865,45 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.1 XML source/sink roundtrip (round 16 — the LAST source family on
+    // the reference's FUTURE.md wishlist with a Spark-native form: Spark 4
+    // ships the former spark-xml as a built-in format): write a slice as
+    // XML, reload with an explicit schema, verify against the parquet-born
+    // oracle (the q60 pattern)
+    "q154_xml_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      val slice = t(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      slice.coalesce(1).write.mode("overwrite")
+        .option("rowTag", "row").format("xml").save(tmp)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType)))
+      s.read.schema(schema).option("rowTag", "row").format("xml").load(tmp)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.1 JDBC source/sink roundtrip (round 16 — FUTURE.md's other listed
+    // source family), against an EMBEDDED Derby database (on the unmanaged
+    // classpath): write the supplier table through spark.write.jdbc, read
+    // it back with spark.read.jdbc, verify against the parquet-born
+    // oracle. At cluster scale the same API shards reads by a partition
+    // column (numPartitions/lowerBound/upperBound) — exercised in the spec;
+    // the driver row keeps the single-partition form Derby's file lock
+    // requires locally
+    "q155_jdbc_roundtrip" -> ((s, dir) => {
+      val db = java.nio.file.Files.createTempDirectory("graft_derby")
+        .resolve("db").toString
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").jdbc(url, "GRAFT_SUPPLIER", props)
+      s.read.jdbc(url, "GRAFT_SUPPLIER", props)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // HLL++ sketch vs exact distinct (approx column has no portable oracle →
     // rows-only gate check; the ScaleJoinsSpec bounds its error vs exact)
     "q57_approx_distinct" -> ((s, dir) => {
@@ -3154,6 +3193,16 @@ object SparkEntry {
     "q60_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // the XML/JDBC roundtrips write and re-read the slice byte-faithfully;
+    // the oracle is the parquet-born slice itself
+    "q154_xml_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q155_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     // The simhash fingerprint is md5-derived (Dedup.SimHashBits = 60), so the
     // oracle recomputes the IDENTICAL fingerprint and takes naive O(n²)

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,15 +9,12 @@ object Verify {
     // comma-list restricts the dump for fast single-query oracle iteration
     val only = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the library's own session factory (r16): previously a hand-rolled
+    // builder that duplicated Engine's confs MINUS the newer ones — it
+    // missed spark.sql.artifact.isolation.enabled=false, so the driver's
+    // correctness runs re-paid the full streaming codegen-cache loss the
+    // JIT fix removed. One factory, one configuration.
+    val spark = core.Engine.session(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // coalesce(1) gives the driver one tidy file per query, and at the
     // driver's sf0.01 it is free. But coalesce inserts NO exchange — it

@@ -179,4 +179,34 @@ class CsvSpec extends SparkSpec {
     assert(back.select("doc_id").as[Long].collect().toSet ==
       docs.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("XML roundtrip: markup-significant chars escape and survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = Seq((1L, "a < b & c > d"), (2L, "\"quoted\" 'text'"), (3L, "plain"))
+    val dir = Files.createTempDirectory("graft_xml_spec").toString
+    rows.toDF("id", "s").coalesce(1).write.mode("overwrite")
+      .option("rowTag", "row").format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val back = spark.read.schema(schema).option("rowTag", "row")
+      .format("xml").load(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == rows)
+  }
+
+  test("JDBC (embedded Derby): sharded partition-column read equals the table") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_spec").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+    df.write.mode("overwrite").jdbc(url, "T", props)
+    // the cluster-scale read shape: 4 bound-sharded partitions over the
+    // partition column — each executor issues its own ranged query
+    val sharded = spark.read.jdbc(url, "T", "id", 1L, 100L, 4, props)
+    assert(sharded.rdd.getNumPartitions == 4)
+    assert(sharded.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      df.orderBy("id").as[(Long, String, Double)].collect().toSeq)
+  }
 }
