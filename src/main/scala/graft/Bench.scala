@@ -165,9 +165,10 @@ private[graft] object BenchUtil {
     * not a machine identity; only a raw-hostname match earns the narrow
     * gap, and the cost of widening a genuinely-same-host legacy prior's
     * gap to 1.0 s is a less sensitive watch band for one round, not a
-    * wrong number.) */
-  def isCrossHost(priorHost: String, priorHostName: String,
-                  host: String, hostName: String): Boolean =
+    * wrong number. The role "host" fields stayed in the ARTIFACT for
+    * provenance display, but no longer feed this decision — hence the
+    * hostname-only signature.) */
+  def isCrossHost(priorHostName: String, hostName: String): Boolean =
     if (priorHostName.nonEmpty && hostName.nonEmpty) priorHostName != hostName
     else true
 
@@ -357,11 +358,11 @@ object Bench {
       if (hostName.isEmpty) "unknown" else hostName)
     val (orderSource, priorSf, priorHost, priorHostName, prior) = priorMins()
     // raw hostnames decide when both sides carry one (role labels drift
-    // with env vars; the machine doesn't); else the "host" field, where
-    // empty = pre-r15 artifact = UNKNOWN provenance, which gets the wide
-    // cross-host gap — unattributed priors are exactly how the r14
-    // false-positive watch entries happened
-    val crossHost = BenchUtil.isCrossHost(priorHost, priorHostName, host, hostName)
+    // with env vars; the machine doesn't); ANY missing hostname = unknown
+    // provenance = cross-host — unattributed priors are exactly how the
+    // r14 false-positive watch entries happened, and a matching role
+    // label proves nothing about the machine (r16)
+    val crossHost = BenchUtil.isCrossHost(priorHostName, hostName)
     // a prior from another scale — or one whose scale is UNKNOWN (missing/
     // unparsed "sf": e.g. a hand-pointed SPARK_GRAFT_BENCH_ORDER file) —
     // orders the schedule (relative costs are stable) but must not judge

@@ -135,10 +135,16 @@ object Multimodal {
     * computed in Scala so the image path and the opaque-byte path share one
     * operator. PipelineSpec pins it bit-equal to the expression form. */
   private[graft] def pHashBytesFallback(bytes: Array[Byte], cropBytes: Int): Option[Long] = {
-    val t = new String(bytes, "UTF-8")
-    if (t.length < cropBytes) return None
+    // CODEPOINTS, not UTF-16 chars (r16 review): Spark's length()/substr()/
+    // ascii() over the binary→string cast count and index codepoints, so a
+    // non-BMP payload (4-byte UTF-8 = one codepoint = TWO Java chars) would
+    // diverge from pHash60 under charAt/String.length — exactly the
+    // non-ASCII class this fallback exists to share an operator with.
+    // (Invalid UTF-8 is undefined in both engines and stays out of scope.)
+    val cps = new String(bytes, "UTF-8").codePoints().toArray
+    if (cps.length < cropBytes) return None
     val n = PHashBits
-    val s = Array.tabulate(n)(i => t.charAt((cropBytes - 1) * i / (n - 1)).toInt)
+    val s = Array.tabulate(n)(i => cps((cropBytes - 1) * i / (n - 1)))
     val sum = s.sum
     var sig = 0L; var i = 0
     while (i < n) { if (s(i) * n > sum) sig |= 1L << i; i += 1 }

@@ -66,9 +66,14 @@ object Unigram {
     * Pure expression work: flatten(transform(sequence…)) is codegen'd;
     * one aggregate; TakeOrdered for the cut. */
   def seedVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 8,
-                seedSize: Int = 2000, maxWordLen: Int = 48): DataFrame = {
+                seedSize: Int = 2000, maxWordLen: Int = 48): DataFrame =
+    seedFromWords(wordFreq(docs, textCol, maxWordLen), maxPieceLen, seedSize)
+
+  /** [[seedVocab]] over an ALREADY-BUILT `(w, c)` word relation — the form
+    * [[train]] uses so the corpus is scanned exactly once (the staged word
+    * relation feeds both the seed and every EM round; r16 review). */
+  def seedFromWords(words: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame = {
     require(maxPieceLen >= 1 && seedSize >= 1, "maxPieceLen/seedSize must be >= 1")
-    val words = wordFreq(docs, textCol, maxWordLen)
     val subs = words.select(explode(flatten(expr(
         s"""transform(sequence(1, char_length(w)), i ->
            |  transform(sequence(1, least($maxPieceLen, char_length(w) - i + 1)), l ->
@@ -160,9 +165,10 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = Checkpointing.stage(wordFreq(docs, textCol, maxWordLen))
-    // seed table, driver-side from here on (≤ seedSize + |alphabet| rows)
+    // seed table, driver-side from here on (≤ seedSize + |alphabet| rows);
+    // seeded from the STAGED word relation — the corpus is scanned once
     var pieces: Map[String, Long] =
-      seedVocab(docs, textCol, maxPieceLen, seedSize, maxWordLen)
+      seedFromWords(words, maxPieceLen, seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val chars = pieces.keySet.filter(_.length == 1)
     for (round <- 1 to emIters) {
@@ -210,7 +216,11 @@ object Unigram {
         powT(0) = BigInt(1)
         for (k <- 1 to maxWordLen + 1) powT(k) = powT(k - 1) * t
         rows.map { r =>
-          val ps = r.getString(1).split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          // NULL text encodes to zero pieces (wordFreq's explode likewise
+          // drops nulls at training — the two paths must tolerate the same
+          // corpus; r16 review)
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val ps = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
             if (w.length > maxWordLen) Seq(w)
             else viterbi(w, v, powT, maxPieceLen).getOrElse(List(w))
           }.toSeq

@@ -48,10 +48,14 @@ object StrictPlanGuard extends Rule[LogicalPlan] {
     * point: the site must be deliberate.) */
   val allowKey = "spark.graft.strictPlans.allow"
 
-  /** The library's own four audited pre-reduced partitionless windows
-    * (see PlanFingerprintSpec's CI sweep, which asserts this exact set in
-    * both directions): each windows over an input already bounded by
-    * orderBy+limit or per-step aggregates. */
+  /** The library's own four audited pre-reduced partitionless windows:
+    * each windows over an input already bounded by orderBy+limit or
+    * per-step aggregates. PlanFingerprintSpec's CI sweep pins WHICH
+    * queries may carry a partitionless window (both directions, by query
+    * name); ExtensionsSpec pins that the ALIAS set below equals exactly
+    * the window aliases those queries produce (both directions too — a
+    * renamed or removed site must be pruned here, or a stale entry would
+    * let an unrelated future window ride its name through the guard). */
   val graftPreReducedSites: Seq[String] =
     Seq("__vocab_rank", "__funnel_prev", "__path_rank", "__skew_rank", "__skew_cum")
 

@@ -67,19 +67,18 @@ class BenchUtilSpec extends AnyFunSuite {
   test("isCrossHost: raw hostnames decide; anything less = cross") {
     // same machine, role label drift (env set one round, unset the next):
     // NOT cross-host — the r15.1 fix
-    assert(!BenchUtil.isCrossHost("builder", "vm-a", "vm-a", "vm-a"))
-    assert(!BenchUtil.isCrossHost("driver", "vm-a", "builder", "vm-a"))
-    // different machines, same role label: cross-host
-    assert(BenchUtil.isCrossHost("builder", "vm-a", "builder", "vm-b"))
-    // hostname missing on either side: provenance UNKNOWN = cross-host,
-    // even when role labels match (r16, r15 advice: a role label is not a
-    // machine identity — "builder" on two different machines matched under
-    // the old host-field fallback and got the narrow same-host gap)
-    assert(BenchUtil.isCrossHost("builder", "", "builder", "vm-b"))
-    assert(BenchUtil.isCrossHost("driver", "", "builder", "vm-b"))
-    assert(BenchUtil.isCrossHost("builder", "vm-a", "builder", ""))
+    assert(!BenchUtil.isCrossHost("vm-a", "vm-a"))
+    // different machines: cross-host (role labels play no part anymore —
+    // the signature is hostname-only since r16)
+    assert(BenchUtil.isCrossHost("vm-a", "vm-b"))
+    // hostname missing on either side: provenance UNKNOWN = cross-host
+    // (r15 advice: a role label is not a machine identity — "builder" on
+    // two different machines matched under the old host-field fallback
+    // and got the narrow same-host gap)
+    assert(BenchUtil.isCrossHost("", "vm-b"))
+    assert(BenchUtil.isCrossHost("vm-a", ""))
     // pre-r15 prior (both empty): unknown provenance = cross-host
-    assert(BenchUtil.isCrossHost("", "", "builder", "vm-b"))
+    assert(BenchUtil.isCrossHost("", ""))
   }
 
   test("hostGap feeds BOTH the watch band and the storm guard's riser gap") {

@@ -63,6 +63,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(messages(ex3).exists(_.contains("partitionless window")), s"got: $ex3")
   }
 
+  test("graftPreReducedSites equals exactly the four sites' window aliases (both directions)") {
+    // rot-proofing for the allowlist itself (r16 review): a renamed or
+    // removed site must be pruned from graftPreReducedSites, or a stale
+    // entry would let some unrelated future window ride its name through
+    // the guard. Collect every partitionless LOGICAL window alias across
+    // the four allowlisted queries and assert set equality.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val dir = sf("sf0.001")
+    val sites = Seq("t66_token_rarity", "e103_funnel", "e118_event_paths",
+      "q101_skew_profile")
+    val found = scala.collection.mutable.Set[String]()
+    sites.foreach { name =>
+      val plan: LogicalPlan =
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          w.windowExpressions.foreach(e => found += e.name)
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
+    assert(found == StrictPlanGuard.graftPreReducedSites.toSet,
+      s"allowlist drift: found=$found declared=${StrictPlanGuard.graftPreReducedSites}")
+  }
+
   test("the FULL driver surface plan-builds under strict plans + the graft allowlist") {
     // r15 verdict #4: the guard was spec-tested in isolation while the
     // shipped queries ran non-strict. This sweep arms the guard on a child
