@@ -1814,6 +1814,31 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("piece").asc)
     }),
 
+    // bigram collocations by PMI ratio (round 16): how much more often two
+    // adjacent tokens co-occur than independence predicts — phrase mining /
+    // multi-word-expression detection for tokenizer seeding. Log-free
+    // score (the t75/t89 discipline): the PMI-monotone ratio n_ab·T²/(B·
+    // n_a·n_b) from exact integer counts in fixed-order double arithmetic,
+    // floor-rounded — the oracle replays it bit-for-bit
+    "t156_pmi_collocations" -> ((s, dir) => {
+      graft.ops.TextIndex.pmiCollocations(t(s, dir, "documents"), "text",
+          topK = 50, minCount = 5)
+        .orderBy(col("pmi_ratio").desc, col("a"), col("b"))
+    }),
+
+    // sparse "more-like-this" (round 16): document pairs by TF-IDF cosine
+    // over a word-TRIGRAM inverted-index self-join — the sparse complement
+    // of the dense ANN family (near-dup = verbatim copies, embedding ANN =
+    // semantic neighbors, this = exact explainable vocabulary neighbors).
+    // Integer milli-unit weights, DECIMAL-exact dots/norms, IEEE-exact
+    // sqrt/divide, floor-rounded output; the d22 df-cap bounds the pair
+    // generator
+    "s157_sparse_mlt" -> ((s, dir) => {
+      graft.ops.TextIndex.sparseCosinePairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5, maxDf = 500, ngram = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // unigram-LM tokenizer, stage 2 (round 16): hard-EM training over the
     // distinct-word relation (Kudo 2018 in its Viterbi-EM form) with
     // EXACT-INTEGER segmentation scoring (BigInt cross-multiplication —
@@ -2972,6 +2997,54 @@ object SparkEntry {
         |un AS (SELECT * FROM top UNION ALL SELECT * FROM agg WHERE length(piece) = 1)
         |SELECT piece, CAST(max(freq) AS BIGINT) AS freq FROM un GROUP BY piece
         |ORDER BY freq DESC, piece ASC""".stripMargin,
+
+    // t156: unigram/bigram counts from the same [^a-z0-9]+ token rule; the
+    // PMI-monotone ratio in the SAME double operand order the operator
+    // uses, floor-rounded; top-50 by (ratio desc, a, b)
+    "t156_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni2 AS (SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |bi0 AS (SELECT p.a AS wa, p.b AS wb, count(*) AS n_ab FROM (
+        |         SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))]) AS p
+        |         FROM toks WHERE len(t) >= 2) GROUP BY 1, 2),
+        |bi AS (SELECT * FROM bi0 WHERE n_ab >= 5),
+        |tot AS (SELECT (SELECT sum(n) FROM uni2) AS tt, (SELECT sum(n_ab) FROM bi0) AS tb),
+        |sc AS (SELECT wa, wb, n_ab,
+        |  (CAST(n_ab AS DOUBLE) * tot.tt * tot.tt) / (CAST(tot.tb AS DOUBLE) * ua.n * ub.n) AS r
+        |  FROM bi, tot
+        |  JOIN uni2 ua ON ua.w = bi.wa
+        |  JOIN uni2 ub ON ub.w = bi.wb),
+        |top AS (SELECT * FROM sc ORDER BY r DESC, wa, wb LIMIT 50)
+        |SELECT wa AS a, wb AS b, n_ab, floor(r * 1e6 + 0.5) / 1e6 AS pmi_ratio
+        |FROM top ORDER BY pmi_ratio DESC, a, b""".stripMargin,
+
+    // s157: trigram-term tf-idf cosine pairs — integer milli-unit weights
+    // (floor form), exact integer dots/norms (DuckDB sums BIGINT into
+    // HUGEINT; the engine carries DECIMAL(38,0)), IEEE sqrt/divide in the
+    // operator's operand order, floor-rounded
+    "s157_sparse_mlt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |terms AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS w
+        |          FROM toks WHERE len(t) >= 3),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |wq AS (SELECT doc_id, tf.w, CAST(floor(tf * (n.n - df + 0.5) / (df + 0.5) * 1e3 + 0.5) AS BIGINT) AS wq, df
+        |       FROM tf JOIN dfq ON dfq.w = tf.w CROSS JOIN n),
+        |norms AS (SELECT doc_id, sum(wq * wq) AS norm2 FROM wq GROUP BY doc_id),
+        |posts AS (SELECT * FROM wq WHERE df <= 500),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wq * b.wq) AS dot
+        |         FROM posts a JOIN posts b ON a.w = b.w AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |cosv AS (SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS c
+        |  FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM cosv WHERE c >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // d22's chain with the containment denominator (least set size)
     "d109_containment_pairs" ->

@@ -279,4 +279,132 @@ object TextIndex {
       .select(col("doc_id"),
         (floor(col("__score") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
   }
+
+  /** Top-k bigram COLLOCATIONS by a PMI-monotone ratio (round 16): how
+    * much more often two adjacent tokens co-occur than independence
+    * predicts — the classic corpus-analysis signal for multi-word
+    * expressions ("new york"), used in tokenizer seeding and phrase
+    * mining. The score is the pointwise-mutual-information RATIO
+    * n_ab·T² / (B·n_a·n_b) (PMI = log₂ of it; log-free per the t75/t89
+    * discipline, so the oracle replays it exactly): numerator and
+    * denominator are exact integer products evaluated in DOUBLE in a
+    * fixed operand order, and the published score is floor-rounded to
+    * 6 dp — pure IEEE arithmetic any engine reproduces bit-for-bit.
+    *
+    * Scale shape: the bigram stream is a projection + explode (zero
+    * exchange); ONE map-side-combined hash aggregate each for bigram and
+    * unigram counts (vocab-sized shuffles); unigram counts and the two
+    * scalar totals broadcast back; top-k via TakeOrdered. `minCount`
+    * prunes the hapax pair tail before the join. */
+  def pmiCollocations(df: DataFrame, textCol: String, topK: Int = 50,
+                      minCount: Long = 5L): DataFrame = {
+    require(topK >= 1 && minCount >= 1, "topK/minCount must be >= 1")
+    // widen first: the corpus arrives as few scan partitions and the
+    // per-row token/bigram work would serialize on them
+    val toks = graft.core.Par.widen(df).select(tokensExpr(textCol).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val biAll = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val bi = biAll.filter(col("n_ab") >= minCount)
+    // B = ALL bigram occurrences: minCount prunes which pairs are
+    // PUBLISHED, it must not bias the probability denominator (ranking is
+    // invariant — B is a constant factor — but the value is the honest PMI)
+    val totals = broadcast(uni.agg(sum(col("n")).as("__t"))
+      .crossJoin(biAll.agg(sum(col("n_ab")).as("__b"))))
+    val ratio = (col("n_ab").cast("double") * col("__t") * col("__t")) /
+      (col("__b").cast("double") * col("n_a") * col("n_b"))
+    bi.join(broadcast(uni.select(col("w").as("a"), col("n").as("n_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("n").as("n_b"))), Seq("b"))
+      .crossJoin(totals)
+      .withColumn("__r", ratio)
+      .orderBy(col("__r").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("n_ab"),
+        (floor(col("__r") * lit(1e6) + lit(0.5)) / lit(1e6)).as("pmi_ratio"))
+  }
+
+  /** Sparse "more-like-this": document pairs by TF-IDF COSINE over the
+    * inverted-index join (round 16) — the sparse-vector complement of the
+    * dense ANN family: near-dup finds verbatim copies, embedding ANN finds
+    * semantic neighbors, this finds VOCABULARY neighbors with exact,
+    * explainable weights and no model.
+    *
+    * Weights use the log-free rational idf of the t75 family,
+    * tf·(N−df+0.5)/(df+0.5), QUANTIZED to integer milli-units
+    * (floor(w·1e3+0.5) as BIGINT — the portable floor form), so the dot
+    * products and norms are sums of exact integer products carried in
+    * DECIMAL(38,0): order-independent, engine-exact. The published cosine
+    * divides through IEEE doubles (sqrt is correctly rounded by the
+    * standard in every engine) and floor-rounds to 6 dp.
+    *
+    * Scale shape: d22's inverted-index discipline — the pair generator is
+    * a postings SELF-JOIN on `token` with `maxDf` capping the posting
+    * lists that may pair (a stopword shared by 10^9 documents generates
+    * no pairs; it carries ~no cosine information and would be the one
+    * quadratic blowup), so candidates are Σ_t df_t² over rare terms only;
+    * norms include EVERY term (they are per-doc aggregates, no join). One
+    * hash exchange builds tf, one the pair aggregate. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, maxDf: Long = 1000L,
+                        ngram: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0,1]")
+    require(ngram >= 1, s"ngram=$ngram must be >= 1")
+    // terms are word n-GRAMS (default 3), not unigrams: on a
+    // small-vocabulary corpus every unigram is shared and cosine
+    // degenerates toward all-pairs; n-gram terms are rarer, so the
+    // df-capped postings join stays sparse (the d22 shingle discipline)
+    // while the weights stay tf-idf cosine
+    // n-gram construction through the codegen'd WordShingles kernel over
+    // the space-rejoined normalized token stream — the composable
+    // transform/slice/concat_ws form runs through CodegenFallback
+    // higher-order lambdas and measured 4-6 s alone at sf0.1 (the d22
+    // lesson, re-learned); the kernel is one whole-stage-codegen call.
+    // Documents shorter than ngram tokens yield an empty shingle array
+    // (they can never pair) and explode drops them.
+    val spark = df.sparkSession
+    val wide = graft.core.Par.widen(df) // CPU-heavy per-row shingling
+    val base =
+      if (ngram == 1) wide.select(col(idCol).as("id"), tokensExpr(textCol).as("__terms"))
+      else wide.select(col(idCol).as("id"),
+        graft.functions.ShingleExpression.wordShingles(spark,
+          array_join(tokensExpr(textCol), " "), ngram).as("__terms"))
+    val toks = base.select(col("id"), explode(col("__terms")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    // integer milli-unit weight: exact in both engines (floor form)
+    // staged ONCE (localCheckpoint): three consumers below — both sides of
+    // the pair join and the norms — would otherwise each re-run the whole
+    // explode→tf→df lineage (measured 3× the query cost at sf0.1)
+    val wq = Checkpointing.stage(tf.join(dfq, Seq("w")).crossJoin(n)
+      .withColumn("wq", floor(col("tf") * (col("__n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) * lit(1e3) + lit(0.5)).cast("long"))
+      .select(col("id"), col("w"), col("wq"), col("df")))
+    val norms = wq.groupBy(col("id"))
+      .agg(sum((col("wq") * col("wq")).cast("decimal(38,0)")).as("norm2"))
+    val posts = wq.filter(col("df") <= maxDf)
+    // same-lineage self-join: per-side toDF renames (fresh attribute ids)
+    // keep the key predicate real
+    val a = posts.toDF("id_a", "w", "wq_a", "df_a")
+    val b = posts.toDF("id_b", "w", "wq_b", "df_b")
+    val dots = a.hint("shuffle_hash").join(b, Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("wq_a").cast("decimal(19,0)") * col("wq_b").cast("decimal(19,0)")).cast("decimal(38,0)")).as("dot"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), Seq("id_b"))
+      .withColumn("__cos", cos)
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("__cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cosine"))
+  }
 }

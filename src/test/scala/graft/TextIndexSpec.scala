@@ -357,4 +357,62 @@ class TextIndexSpec extends SparkSpec {
       .head().getDouble(0)
     assert(one == refEntropy(Seq(2L, 1L)))
   }
+
+  test("pmiCollocations: glued pair outranks independent pair; minCount prunes") {
+    // "x y" always adjacent (perfectly glued); "p"/"q" co-occur adjacently
+    // only sometimes; "rare once" appears once (under minCount)
+    val docs = (1 to 10).map(_ => "x y p m q").mkString(" rare once ", " ", "") ::
+      (1 to 10).map(_ => "p q x y").mkString(" ", " ", "") :: Nil
+    val got = ops.TextIndex.pmiCollocations(
+        docs.toDF("text"), "text", topK = 10, minCount = 5)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair.contains(("x", "y")), s"got ${got.toSeq}")
+    // x→y is deterministic (every x is followed by y); p→q is diluted by
+    // the "p m q" form — the glued pair must score strictly higher
+    assert(byPair(("x", "y")) > byPair.getOrElse(("p", "q"), 0.0))
+    // sub-minCount pairs are absent
+    assert(!got.exists(r => r._1 == "rare" || r._2 == "once"))
+    // driver-side reference of the ratio for one pair
+    val toks = docs.flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = docs.flatMap { d =>
+      val t = d.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }
+    val nab = bis.count(_ == ("x", "y")).toLong
+    val tt = toks.size.toDouble; val tb = bis.size.toDouble
+    val ref = math.floor(nab.toDouble * tt * tt / (tb * uni("x") * uni("y")) * 1e6 + 0.5) / 1e6
+    assert(byPair(("x", "y")) == ref)
+  }
+
+  test("sparseCosinePairs: identical docs at 1.0, disjoint absent, df cap excludes hot terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // identical to 1 → cosine 1.0
+      (3L, "zeta eta theta iota kappa"),        // disjoint from 1/2
+      (4L, "alpha beta gamma something else entirely")) // partial overlap
+      .toDF("doc_id", "text")
+    // doc 4 shares ONE trigram with doc 1 out of 3x4 — cosine ~0.03, so the
+    // inclusive threshold must sit below that
+    val got = ops.TextIndex.sparseCosinePairs(docs, "doc_id", "text",
+        threshold = 0.02, maxDf = 100, ngram = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0, s"identical docs must hit 1.0: $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    assert(got.contains((1L, 4L)) && got((1L, 4L)) < 0.1)
+    // df cap: with maxDf = 1 every trigram shared by docs 1/2 (df = 2) is
+    // barred from pairing — no candidates at all
+    val capped = ops.TextIndex.sparseCosinePairs(docs, "doc_id", "text",
+        threshold = 0.02, maxDf = 1, ngram = 3)
+    assert(capped.count() == 0)
+    // threshold filters: near 1.0 only the identical pair survives (the
+    // filter compares the RAW cosine, where sqrt(n)·sqrt(n) can land one
+    // ulp either side of n — an exact-1.0 threshold is a float edge by
+    // design, so the strict case pins 0.999)
+    val strict = ops.TextIndex.sparseCosinePairs(docs, "doc_id", "text",
+        threshold = 0.999, maxDf = 100, ngram = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(strict.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+  }
 }
