@@ -1895,6 +1895,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // INCREMENTAL index growth (round 16): the s148 layout built from 80%
+    // of the corpus, then GROWN by appendAnnIndex with the remaining 20% —
+    // the daily-ingest maintenance path (append cost is O(batch), the
+    // existing layout is never touched). Queries over the grown layout
+    // must equal lshPqTopK over the full corpus, so the oracle is s148's
+    // verbatim — hash-exact proves the append path loses nothing
+    "s158_ann_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planes = 3
+      val (cbM, cbK, cbSub) = (8, 16, 8)
+      val cb = graft.ops.Similarity.pqCodebook(cbM, cbK, cbSub)
+      val path = roundtripDir("annincr", dir) { tmp =>
+        graft.ops.Similarity.writeAnnIndex(
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cb,
+          planes = planes, dim = 64, path = s"$tmp/idx")
+        graft.ops.Similarity.appendAnnIndex(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", cb,
+          planes = planes, dim = 64, path = s"$tmp/idx")
+      }
+      graft.ops.Similarity.queryAnnIndex(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, codebook = cb, planes = planes,
+          dim = 64, path = s"$path/idx", expand = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // max-containment near-dup pairs — the ASYMMETRIC dedup metric: a short
     // doc fully pasted inside a long one has tiny Jaccard but containment
     // ~1.0; same candidate/skew machinery as d22 (df cap on the numerator,
@@ -4083,6 +4108,12 @@ object SparkEntry {
     // the persisted-index path is lshPqTopK's math over a partitionBy
     // layout — same oracle chain as s123
     "s148_ann_partitioned" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
+      planes = 3, dim = 64, kTop = 10, expand = 4),
+
+    // the incrementally-GROWN layout must serve the identical result over
+    // the unioned corpus — s148's oracle verbatim; a hash match proves
+    // append-maintenance loses nothing
+    "s158_ann_index_append" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
       planes = 3, dim = 64, kTop = 10, expand = 4),
 
     // the auto-serving row: same chain, planes from the run's stash

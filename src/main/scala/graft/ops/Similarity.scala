@@ -629,9 +629,11 @@ object Similarity {
     * column is only ever scanned for the winners). Write once, serve
     * many: at 100 TB the index is the only thing the coarse path ever
     * opens, and each query opens 1/2^planes of it. */
-  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    codebook: Array[Array[Array[Double]]], planes: Int,
-                    dim: Int, path: String): Unit = {
+  /** The layout's row encoding, shared by [[writeAnnIndex]] and
+    * [[appendAnnIndex]]: (neighbor_id, bucket, pq_codes). */
+  private def encodeIndexRows(corpus: DataFrame, idCol: String, vecCol: String,
+                              codebook: Array[Array[Array[Double]]], planes: Int,
+                              dim: Int): DataFrame = {
     val m = codebook.length; val kc = codebook(0).length
     val ctbl = graft.functions.PqExpressions.pqDistTable(
       corpus.sparkSession, col(vecCol), codebook)
@@ -642,8 +644,33 @@ object Similarity {
     corpus.withColumn("__ctbl", ctbl)
       .select(col(idCol).as("neighbor_id"),
         lshBucket(col(vecCol), planes, dim).as("bucket"), codes.as("pq_codes"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
+
+  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    codebook: Array[Array[Array[Double]]], planes: Int,
+                    dim: Int, path: String): Unit =
+    encodeIndexRows(corpus, idCol, vecCol, codebook, planes, dim)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Incrementally GROW a [[writeAnnIndex]] layout (round 16): encode only
+    * the new vectors and append their files into the existing `bucket=`
+    * directories (a vector landing in a previously-unseen bucket creates
+    * its directory). The layout is maintenance-friendly by construction —
+    * bucket is a pure function of the vector, so an append never has to
+    * touch, rewrite, or even LIST the existing data: cost is
+    * O(|new batch|) however large the index has grown, the property that
+    * makes a serving index sustainable under a daily-crawl ingest at
+    * 100 TB (a full [[writeAnnIndex]] rebuild is x148's measured cost,
+    * paid once per codebook/planes revision instead of per batch).
+    * Same-id re-ingestion is the caller's contract to avoid (the layout
+    * is append-only, like the d93 signature store); [[queryAnnIndex]]
+    * over the grown layout is bit-for-bit [[lshPqTopK]] over the unioned
+    * corpus (spec-pinned and oracle-checked by s158). */
+  def appendAnnIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                     codebook: Array[Array[Array[Double]]], planes: Int,
+                     dim: Int, path: String): Unit =
+    encodeIndexRows(newVectors, idCol, vecCol, codebook, planes, dim)
+      .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** Query a [[writeAnnIndex]] layout. The query set's bucket VALUES are
     * derived up front (queries are the broadcast-sized side everywhere in

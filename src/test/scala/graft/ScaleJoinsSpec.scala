@@ -566,6 +566,40 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(rows(got8) == rows(mem8))
   }
 
+  test("appendAnnIndex: grown layout ≡ full rebuild ≡ in-memory; existing files untouched") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val cb = ops.Similarity.pqCodebook(8, 16, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_incr").toString
+    // base = 80% of the corpus; batch = the remaining 20%
+    ops.Similarity.writeAnnIndex(e.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", cb, planes = 2, dim = 64, path = dir)
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    ops.Similarity.appendAnnIndex(e.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", cb, planes = 2, dim = 64, path = dir)
+    val after = files()
+    // append-only maintenance: every pre-existing file survives byte-
+    // untouched (same path, same mtime); the batch only ADDS files
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append must not rewrite existing index files")
+    assert(after.size > before.size, "append must add files")
+    // the grown layout serves the identical result as the in-memory
+    // composition over the UNIONED corpus (and hence as a full rebuild)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("neighbor_id")).collect().toSeq.map(_.toSeq)
+    val q8 = e.filter(col("vec_id") < 8)
+    val got = ops.Similarity.queryAnnIndex(e, q8, "vec_id", "embedding", k = 10,
+      codebook = cb, planes = 2, dim = 64, path = dir, expand = 4)
+    val mem = ops.Similarity.lshPqTopK(e, q8, "vec_id", "embedding", 10, cb,
+      planes = 2, dim = 64, expand = 4)
+    assert(rows(got) == rows(mem))
+  }
+
   test("s143 pqt tier: the query run stashes the trained codebook; the oracle inlines it") {
     // the oracle's pqt tier can only be generated AFTER the query runs in
     // this JVM (Verify's flow: all queries, then the SQL dump) — before
