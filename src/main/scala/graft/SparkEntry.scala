@@ -1895,6 +1895,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // SEMANTIC decontamination (round 16): corpus vectors embedding-close
+    // to the held-out eval slice — the paraphrase leaks the LEXICAL passes
+    // (shingle d61, phrase d135) cannot see; completes the contamination
+    // family across both modalities. Same %25 split convention as d61;
+    // md5-derived hyperplanes, so the oracle recomputes identical buckets
+    // and the identical cross-join candidates
+    "d159_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.crossNearDup(
+          e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", threshold = 0.35, planes = 4, tables = 2, dim = 64)
+        .orderBy(col("id"), col("probe_id"))
+    }),
+
     // INCREMENTAL index growth (round 16): the s148 layout built from 80%
     // of the corpus, then GROWN by appendAnnIndex with the remaining 20% —
     // the daily-ingest maintenance path (append cost is O(batch), the
@@ -4116,6 +4130,10 @@ object SparkEntry {
     "s158_ann_index_append" -> lshPqOracle(m = 8, kc = 16, subDim = 8,
       planes = 3, dim = 64, kTop = 10, expand = 4),
 
+    // d74's bucket chain as a CROSS equi-join between the %25 split sides
+    "d159_semantic_decontam" -> crossNearDupOracle(planes = 4, tables = 2,
+      dim = 64, threshold = 0.35),
+
     // the auto-serving row: same chain, planes from the run's stash
     "s151_lshpq_auto" -> scoped(autoServingPlanesUsed)
       .map(p => lshPqOracle(m = 8, kc = 16, subDim = 8,
@@ -4866,6 +4884,35 @@ object SparkEntry {
        |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Cross-relation decontamination oracle (d159): [[nearDupLshOracle]]'s
+    * bucket/verify chain with the two sides drawn from the %25 split —
+    * candidates are the cross equi-join per table (no id_a < id_b
+    * orientation: the sides are disjoint relations), UNION-deduped. */
+  private def crossNearDupOracle(planes: Int, tables: Int, dim: Int,
+                                 threshold: Double): String = {
+    val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
+    def lst(a: Array[Double]): String =
+      a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
+    def bucketExpr(tbl: Int): String = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum([e[i] * (${lst(mat(tbl * planes + p))})[i] for i in range(1, len(e)+1)]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map(tb =>
+      s"SELECT c.vec_id AS id, p2.vec_id AS probe_id FROM bc c JOIN bp p2 ON c.b$tb = p2.b$tb")
+      .mkString(" UNION ")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |bc AS (SELECT vec_id, e, $bucketCols FROM v WHERE vec_id % 25 <> 0),
+       |bp AS (SELECT vec_id, e, $bucketCols FROM v WHERE vec_id % 25 = 0),
+       |cand AS ($cand),
+       |p AS (SELECT id, probe_id,
+       |  list_sum([vc.e[i]*vp.e[i] for i in range(1, len(vc.e)+1)]) /
+       |  (sqrt(list_sum([vc.e[i]*vc.e[i] for i in range(1, len(vc.e)+1)])) *
+       |   sqrt(list_sum([vp.e[i]*vp.e[i] for i in range(1, len(vp.e)+1)]))) AS cosine
+       |  FROM cand JOIN v vc ON vc.vec_id = id JOIN v vp ON vp.vec_id = probe_id)
+       |SELECT id, probe_id, round(cosine, 4) AS cosine FROM p WHERE cosine >= $threshold
+       |ORDER BY id, probe_id""".stripMargin
   }
 
   /** Semantic-dedup oracle (p92): the [[nearDupLshOracle]] candidate/verify

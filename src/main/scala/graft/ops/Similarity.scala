@@ -213,6 +213,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Cross-relation embedding near-dup (round 16): corpus rows within
+    * cosine `threshold` of ANY probe row — SEMANTIC DECONTAMINATION (flag
+    * training documents embedding-close to an eval/benchmark set: the
+    * paraphrase leaks that the lexical passes, shingle d61 and phrase
+    * d135, cannot see) and its duals (blocklist dedup, targeted recall
+    * sets). Candidates come from the same OR-amplified md5-derived
+    * hyperplane buckets as [[nearDupPairs]], as an EQUI-JOIN between the
+    * two relations' bucket projections — never corpus × probes; the probe
+    * side (eval sets are small by nature) broadcasts. Exact cosine
+    * verifies every candidate. Output: (id, probe_id, cosine) for every
+    * pair at or above threshold — aggregate over `id` for the flag set.
+    *
+    * Scale shape at 100 TB: one projection pass over the corpus for
+    * buckets (ids only on the exchange — vectors never shuffle with the
+    * candidates), probe buckets broadcast, candidate-sized verify joins.
+    * Recall follows the nearDupPairs table math; size `planes` ~log₂(n)
+    * via [[autoPlanes]] when the corpus grows. */
+  def crossNearDup(corpus0: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, threshold: Double, planes: Int = 4,
+                   tables: Int = 2, dim: Int = -1): DataFrame = {
+    val corpus = graft.core.Par.widen(corpus0)
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).head().getInt(0)
+    def bucketed(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
+      posexplode(lshBucketTables(spark, col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
+    val cand = bucketed(corpus, "id")
+      .join(broadcast(bucketed(probes, "probe_id")), Seq("tbl", "bucket"))
+      .dropDuplicates("id", "probe_id")
+      .select(col("id"), col("probe_id"))
+    val withC = corpus0.select(col(idCol).as("id"), col(vecCol).as("e_c")).join(cand, "id")
+    probes.select(col(idCol).as("probe_id"), col(vecCol).as("e_p"))
+      .join(withC, "probe_id")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        spark, col("e_c"), col("e_p")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id"), col("probe_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Corpus-size-aware hyperplane count for [[nearDupPairs]] — the smallest
     * `planes` holding the EXPECTED per-table bucket-mate count per row,
     * n / 2^planes, at or below `targetMates`. Per-table candidate volume is

@@ -597,6 +597,32 @@ class PipelineSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length == 1), "sf0.001 must contain singletons")
   }
 
+  test("crossNearDup: exact-verified subset of cross all-pairs; identical vector always found") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = e.filter(col("vec_id") % 25 =!= 0)
+    val probes = e.filter(col("vec_id") % 25 === 0)
+    val got = ops.Similarity.crossNearDup(corpus, probes, "vec_id", "embedding",
+        threshold = 0.35, planes = 4, tables = 2, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    // every reported pair verifies against the exact cross computation
+    val exact = corpus.select(col("vec_id").as("id"), col("embedding").as("ec"))
+      .crossJoin(probes.select(col("vec_id").as("probe_id"), col("embedding").as("ep")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        spark, col("ec"), col("ep")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id"), col("probe_id"), round(col("cosine"), 4))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(3)}")
+    assert(got.nonEmpty)
+    // a probe that IS a corpus vector lands in the same bucket in every
+    // table — candidacy is guaranteed at any plane count, cosine 1.0
+    val copy = corpus.filter(col("vec_id") === corpus.agg(min("vec_id")).as[Long].head())
+    val planted = ops.Similarity.crossNearDup(corpus, copy, "vec_id", "embedding",
+        threshold = 0.999, planes = 8, tables = 1, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(planted.exists(r => r._1 == r._2 && r._3 == 1.0))
+  }
+
   test("nearDupPairsAuto: identical pairs to the fixed form at the derived planes") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val n = e.count()
