@@ -3074,9 +3074,9 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM documents),
         |wq AS (SELECT doc_id, tf.w, CAST(floor(tf * (n.n - df + 0.5) / (df + 0.5) * 1e3 + 0.5) AS BIGINT) AS wq, df
         |       FROM tf JOIN dfq ON dfq.w = tf.w CROSS JOIN n),
-        |norms AS (SELECT doc_id, sum(wq * wq) AS norm2 FROM wq GROUP BY doc_id),
+        |norms AS (SELECT doc_id, sum(CAST(wq AS HUGEINT) * wq) AS norm2 FROM wq GROUP BY doc_id),
         |posts AS (SELECT * FROM wq WHERE df <= 500),
-        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wq * b.wq) AS dot
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
         |         FROM posts a JOIN posts b ON a.w = b.w AND a.doc_id < b.doc_id
         |         GROUP BY 1, 2),
         |cosv AS (SELECT id_a, id_b,

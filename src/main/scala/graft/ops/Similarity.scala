@@ -656,17 +656,6 @@ object Similarity {
     lshPqTopK(corpus, queries, idCol, vecCol, k, codebook, planes, dim, expand)
   }
 
-  /** Persist the [[lshPqTopK]] serving index with the bucket as the
-    * STORAGE partition key: one parquet layout `partitionBy(bucket)` of
-    * (id, pq_codes) rows — the "production layout" the [[lshPqTopK]]
-    * scaladoc promises, where pruning happens at the directory level
-    * before a single byte of the corpus is read. The codes are 32×
-    * smaller than the float32 vectors and the vectors themselves are NOT
-    * in the index (the exact re-rank joins them from the corpus by
-    * candidate id — a broadcast of k·expand ids per query, so the float
-    * column is only ever scanned for the winners). Write once, serve
-    * many: at 100 TB the index is the only thing the coarse path ever
-    * opens, and each query opens 1/2^planes of it. */
   /** The layout's row encoding, shared by [[writeAnnIndex]] and
     * [[appendAnnIndex]]: (neighbor_id, bucket, pq_codes). */
   private def encodeIndexRows(corpus: DataFrame, idCol: String, vecCol: String,
@@ -684,6 +673,17 @@ object Similarity {
         lshBucket(col(vecCol), planes, dim).as("bucket"), codes.as("pq_codes"))
   }
 
+  /** Persist the [[lshPqTopK]] serving index with the bucket as the
+    * STORAGE partition key: one parquet layout `partitionBy(bucket)` of
+    * (id, pq_codes) rows — the "production layout" the [[lshPqTopK]]
+    * scaladoc promises, where pruning happens at the directory level
+    * before a single byte of the corpus is read. The codes are 32×
+    * smaller than the float32 vectors and the vectors themselves are NOT
+    * in the index (the exact re-rank joins them from the corpus by
+    * candidate id — a broadcast of k·expand ids per query, so the float
+    * column is only ever scanned for the winners). Write once, serve
+    * many: at 100 TB the index is the only thing the coarse path ever
+    * opens, and each query opens 1/2^planes of it. */
   def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     codebook: Array[Array[Array[Double]]], planes: Int,
                     dim: Int, path: String): Unit =

@@ -318,8 +318,13 @@ object TextIndex {
       .crossJoin(biAll.agg(sum(col("n_ab")).as("__b"))))
     val ratio = (col("n_ab").cast("double") * col("__t") * col("__t")) /
       (col("__b").cast("double") * col("n_a") * col("n_b"))
-    bi.join(broadcast(uni.select(col("w").as("a"), col("n").as("n_a"))), Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("n").as("n_b"))), Seq("b"))
+    // NO forced broadcast on the unigram table (r16 second review): a
+    // web-scale vocabulary is hundreds of millions of rows — past the
+    // broadcast limit; AQE broadcasts it from runtime stats when it IS
+    // small (every local plan unchanged), and degrades to a shuffle join
+    // gracefully when it is not (the nearDupPairs rule)
+    bi.join(uni.select(col("w").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n").as("n_b")), Seq("b"))
       .crossJoin(totals)
       .withColumn("__r", ratio)
       .orderBy(col("__r").desc, col("a"), col("b"))
@@ -386,13 +391,20 @@ object TextIndex {
       .withColumn("wq", floor(col("tf") * (col("__n") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) * lit(1e3) + lit(0.5)).cast("long"))
       .select(col("id"), col("w"), col("wq"), col("df")))
+    // operands cast to DECIMAL(19,0) BEFORE the multiply (the same
+    // discipline as the dots below — r16 second review): a Long-typed
+    // wq*wq overflows int64 once wq passes ~3e9, reachable at
+    // million-doc corpora where a doc-unique term's idf ratio ~ 2N
     val norms = wq.groupBy(col("id"))
-      .agg(sum((col("wq") * col("wq")).cast("decimal(38,0)")).as("norm2"))
-    val posts = wq.filter(col("df") <= maxDf)
+      .agg(sum((col("wq").cast("decimal(19,0)") * col("wq").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("norm2"))
+    // df served its purpose at the filter — dropping it BEFORE the rename
+    // keeps the postings self-join (the widest exchange here) narrow
+    val posts = wq.filter(col("df") <= maxDf).select(col("id"), col("w"), col("wq"))
     // same-lineage self-join: per-side toDF renames (fresh attribute ids)
     // keep the key predicate real
-    val a = posts.toDF("id_a", "w", "wq_a", "df_a")
-    val b = posts.toDF("id_b", "w", "wq_b", "df_b")
+    val a = posts.toDF("id_a", "w", "wq_a")
+    val b = posts.toDF("id_b", "w", "wq_b")
     val dots = a.hint("shuffle_hash").join(b, Seq("w"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
