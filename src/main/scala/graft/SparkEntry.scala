@@ -1895,6 +1895,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // reciprocal-rank FUSION across serving tiers (round 16): the s120
+    // full-scan ADC ranking and the s123 bucket-pruned ranking fused by
+    // RRF — the standard multi-tier serving ensemble (only ranks enter,
+    // so incomparable tier scores fuse robustly; n_lists surfaces
+    // cross-tier agreement). Exact integer micro-unit contributions, so
+    // the oracle replays the fusion over its own replays of both tiers
+    "s160_rank_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val cb = graft.ops.Similarity.pqCodebook(8, 16, 8)
+      val pq = graft.ops.Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        k = 10, codebook = cb, expand = 4)
+      val lshpq = graft.ops.Similarity.lshPqTopK(emb, q, "vec_id", "embedding",
+        k = 10, codebook = cb, planes = 3, dim = 64, expand = 4)
+      graft.ops.Similarity.rrfFuse(Seq(pq, lshpq), k = 10, rrfK = 60)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // SEMANTIC decontamination (round 16): corpus vectors embedding-close
     // to the held-out eval slice — the paraphrase leaks the LEXICAL passes
     // (shingle d61, phrase d135) cannot see; completes the contamination
@@ -4134,6 +4152,13 @@ object SparkEntry {
     "d159_semantic_decontam" -> crossNearDupOracle(planes = 4, tables = 2,
       dim = 64, threshold = 0.35),
 
+    // both tier replays embedded as subqueries, fused by the exact
+    // integer-micro-unit RRF rule over their published rankings
+    "s160_rank_fusion" -> rrfOracle(Seq(
+      pqOracle(m = 8, kc = 16, subDim = 8, kTop = 10, expand = 4),
+      lshPqOracle(m = 8, kc = 16, subDim = 8, planes = 3, dim = 64,
+        kTop = 10, expand = 4)), kTop = 10, rrfK = 60),
+
     // the auto-serving row: same chain, planes from the run's stash
     "s151_lshpq_auto" -> scoped(autoServingPlanesUsed)
       .map(p => lshPqOracle(m = 8, kc = 16, subDim = 8,
@@ -4884,6 +4909,31 @@ object SparkEntry {
        |  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** RRF fusion oracle (s160): both tier SQLs embedded as subqueries, each
+    * re-ranked over its PUBLISHED (cosine desc, neighbor_id) order, exact
+    * integer micro-unit contributions floor(1e6/(rrfK+rank)), summed and
+    * top-k'd exactly as [[graft.ops.Similarity.rrfFuse]] does. */
+  private def rrfOracle(tierSql: Seq[String], kTop: Int, rrfK: Int): String = {
+    val tiers = tierSql.zipWithIndex.map { case (sql, i) =>
+      s"t$i AS (SELECT * FROM ($sql))"
+    }
+    val ranks = tierSql.indices.map { i =>
+      s"""r$i AS (SELECT query_id, neighbor_id,
+         |  CAST(floor(1e6 / ($rrfK + row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id))) AS BIGINT) AS pts
+         |  FROM t$i)""".stripMargin
+    }
+    val unioned = tierSql.indices.map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH ${(tiers ++ ranks).mkString(",\n")},
+       |u AS ($unioned),
+       |g AS (SELECT query_id, neighbor_id, CAST(sum(pts) AS BIGINT) AS rrf_score,
+       |  count(*) AS n_lists FROM u GROUP BY 1, 2),
+       |f AS (SELECT *, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rk FROM g)
+       |SELECT query_id, neighbor_id, rrf_score, n_lists FROM f
+       |WHERE rk <= $kTop ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   /** Cross-relation decontamination oracle (d159): [[nearDupLshOracle]]'s

@@ -656,6 +656,45 @@ object Similarity {
     lshPqTopK(corpus, queries, idCol, vecCol, k, codebook, planes, dim, expand)
   }
 
+  /** Reciprocal-rank fusion (round 16) of ranked candidate lists — the
+    * standard ensemble rule for serving stacks that run several retrieval
+    * tiers (dense ANN variants, a sparse ranker, a recency index):
+    * RRF(d) = Σ_lists 1/(rrfK + rank_list(d)), robust to incomparable
+    * per-list scores because only RANKS enter. Inputs are the tiers'
+    * published (query_id, neighbor_id, cosine) relations; rank within
+    * each list is (cosine desc, neighbor_id) over the PUBLISHED values —
+    * deterministic and replayable by any engine holding the same lists.
+    * Contributions are exact integer micro-units,
+    * floor(1e6/(rrfK + rank)) — IEEE double division + floor, identical
+    * everywhere — summed as longs (max rank contribution 1e6/(rrfK+1);
+    * thousands of lists would still sit far under int64).
+    *
+    * Scale shape: each list is already k·|queries| rows (tiny by
+    * construction); per-list rank windows partition by query_id, one
+    * union + one hash aggregate on (query, neighbor), TakeOrdered-style
+    * top-k per query. Output: (query_id, neighbor_id, rrf_score,
+    * n_lists) — n_lists surfaces the agreement count. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k >= 1 && rrfK >= 0,
+      s"need >=1 list, k=$k >= 1, rrfK=$rrfK >= 0")
+    val ranked = lists.map { df =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      df.select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("__pts",
+          floor(lit(1e6) / (lit(rrfK) + row_number().over(w))).cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("__pts"))
+    }
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    ranked.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pts")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("__rk", row_number().over(wF))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_score"), col("n_lists"))
+  }
+
   /** The layout's row encoding, shared by [[writeAnnIndex]] and
     * [[appendAnnIndex]]: (neighbor_id, bucket, pq_codes). */
   private def encodeIndexRows(corpus: DataFrame, idCol: String, vecCol: String,

@@ -597,6 +597,29 @@ class PipelineSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length == 1), "sf0.001 must contain singletons")
   }
 
+  test("rrfFuse: hand-computed scores, agreement boost, per-query k bound") {
+    // two tiers over two queries; ranks are by (cosine desc, neighbor_id)
+    val t1 = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (2L, 20L, 0.9)).toDF("query_id", "neighbor_id", "cosine")
+    val t2 = Seq((1L, 11L, 0.95), (1L, 13L, 0.85),
+      (2L, 21L, 0.5)).toDF("query_id", "neighbor_id", "cosine")
+    def pts(rank: Int) = math.floor(1e6 / (60 + rank)).toLong
+    val got = ops.Similarity.rrfFuse(Seq(t1, t2), k = 10, rrfK = 60)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // 11 appears in both lists (rank 2 in t1, rank 1 in t2): boosted above
+    // t1's own rank-1 doc
+    assert(got((1L, 11L)) == (pts(2) + pts(1), 2L))
+    assert(got((1L, 10L)) == (pts(1), 1L))
+    assert(got((1L, 11L))._1 > got((1L, 10L))._1, "agreement must outrank a single rank-1")
+    assert(got((1L, 12L)) == (pts(3), 1L) && got((1L, 13L)) == (pts(2), 1L))
+    assert(got((2L, 20L)) == (pts(1), 1L) && got((2L, 21L)) == (pts(1), 1L))
+    // k bounds per query: k=1 keeps only the fused winner
+    val top1 = ops.Similarity.rrfFuse(Seq(t1, t2), k = 1, rrfK = 60)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(top1 == Map(1L -> 11L, 2L -> 20L)) // q2 tie (20 vs 21) → min id
+  }
+
   test("crossNearDup: exact-verified subset of cross all-pairs; identical vector always found") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val corpus = e.filter(col("vec_id") % 25 =!= 0)
