@@ -81,8 +81,14 @@ object Multimodal {
   // matches) keep the deterministic fallback, so every existing oracle row
   // is byte-identical. All pixel math below is INTEGER (BT.601 luma via
   // cross-multiplication, nearest-neighbor grid sampling): no Graphics2D
-  // rendering, no float rounding — the same bytes decode to the same
-  // numbers on any JVM.
+  // rendering, no float rounding — so for LOSSLESS formats (PNG, BMP, GIF),
+  // whose decode is bit-exact by spec, the same bytes produce the same
+  // numbers on any JVM. JPEG decode output (ImageIO getRGB) is NOT
+  // guaranteed identical across JDK versions/vendors (IDCT implementations
+  // may differ within the JPEG spec's tolerance), so JPEG-derived
+  // hashes/features are deterministic per JVM but not portable across
+  // them; PipelineSpec pins a fixed JPEG fixture's hash to DETECT decoder
+  // drift when the JDK changes (r16 advice).
   // ==========================================================================
   private[graft] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))

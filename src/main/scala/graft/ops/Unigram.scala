@@ -170,14 +170,23 @@ object Unigram {
     var pieces: Map[String, Long] =
       seedFromWords(words, maxPieceLen, seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val chars = pieces.keySet.filter(_.length == 1)
+    // "single char" = ONE CODEPOINT, not one UTF-16 unit (r16 advice):
+    // seedFromWords seeds pieces by Spark's codepoint semantics, so a
+    // supplementary-plane character arrives as a 1-codepoint/2-Java-char
+    // piece — classifying by String.length would deny it the count-1
+    // retention floor, let it be pruned, and silently drop every word
+    // containing it from the EM counts (viterbi None). The DP still
+    // reaches it: viterbi tries all UTF-16 substring lengths ≤
+    // maxPieceLen, and a surrogate pair is length 2.
+    def isOneCodepoint(s: String): Boolean = s.codePointCount(0, s.length) == 1
+    val chars = pieces.keySet.filter(isOneCodepoint)
     for (round <- 1 to emIters) {
       val counts = emCounts(words, pieces, maxPieceLen, maxWordLen)
       // single chars always survive (count floor 1: a char shadowed by
       // longer pieces must stay encodable); multi-char pieces live on
       // their expected counts
       val charRows = chars.iterator.map(c => c -> counts.getOrElse(c, 0L).max(1L)).toMap
-      val multi = counts.view.filterKeys(p => p.length > 1).toSeq
+      val multi = counts.view.filterKeys(p => !isOneCodepoint(p)).toSeq
         .sortBy { case (p, n) => (-n, p) }
       // shrink toward the target: each round keeps `shrink` of the
       // multi-piece set, never fewer than the target leaves room for

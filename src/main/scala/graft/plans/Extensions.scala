@@ -121,7 +121,9 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ StrictPlanGuard
     spark.conf.set(StrictPlanGuard.confKey, "true")
-    if (allow.nonEmpty)
-      spark.conf.set(StrictPlanGuard.allowKey, allow.mkString(","))
+    // the call's argument IS the full allowlist state (r16 advice): always
+    // overwrite — re-arming with allow = Nil must CLEAR any allowlist a
+    // previous enable left in the session conf, not silently inherit it
+    spark.conf.set(StrictPlanGuard.allowKey, allow.mkString(","))
   }
 }

@@ -63,6 +63,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(messages(ex3).exists(_.contains("partitionless window")), s"got: $ex3")
   }
 
+  test("re-arming with allow = Nil CLEARS a previously-set allowlist (r16 advice)") {
+    val s = spark.newSession()
+    GraftExtensions.enableStrictPlans(s, allow = Seq("__ok_rank"))
+    val df = s.range(10).toDF("x")
+    assert(df.withColumn("__ok_rank", row_number().over(Window.orderBy(col("x"))))
+      .count() == 10L)
+    // strict-with-no-allowances must be exactly that: the second call's
+    // argument IS the full allowlist state, not a merge with the first's
+    GraftExtensions.enableStrictPlans(s)
+    val ex = intercept[Throwable] {
+      df.withColumn("__ok_rank", row_number().over(Window.orderBy(col("x")))).collect()
+    }
+    assert(messages(ex).exists(_.contains("partitionless window")), s"got: $ex")
+  }
+
   test("graftPreReducedSites equals exactly the four sites' window aliases (both directions)") {
     // rot-proofing for the allowlist itself (r16 review): a renamed or
     // removed site must be pruned from graftPreReducedSites, or a stale

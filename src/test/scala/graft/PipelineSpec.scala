@@ -1399,6 +1399,41 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == textOnly(4L), "byte fallback must equal the expression path")
   }
 
+  test("JPEG decoder drift canary: fixed fixture pins pHashImage + features (r16 advice)") {
+    // A FIXED JPEG payload (796 bytes, 20×12 gradient, encoded once by the
+    // JDK-17 ImageIO writer and embedded as a literal). Lossless formats
+    // decode bit-exactly by spec; JPEG's IDCT output may differ across JDK
+    // versions/vendors within the codec's tolerance — so the portability
+    // claim on the integer pixel math is scoped to lossless formats, and
+    // THIS pin exists to make any JPEG decoder drift loud when the JDK
+    // changes (the hash/features here were computed by THIS repo's code on
+    // the pinned bytes; a failure means re-adjudicate JPEG-derived hashes,
+    // not a code bug).
+    val b64 =
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a" +
+      "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIy" +
+      "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAAMABQDASIA" +
+      "AhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA" +
+      "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3" +
+      "ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm" +
+      "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEA" +
+      "AwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSEx" +
+      "BhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElK" +
+      "U1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3" +
+      "uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwCnbWXg" +
+      "jw+g3X0eoT7FdYdOUTlgWx98fICOSQWBwPcZvrrOu30rweHNJg021OBHPNGJbjhs7sH5FyuAVIbH" +
+      "OGPBHT+FvCWj/J/o9eXW3xA8Qa9GsS3EemQMiq0enJ5RJDZ3bzlwegOGAwMY5OQDrbm11TT5cav4" +
+      "7nsLqfM3kzat9nyGJ5VNwAXIIGAAMYHSis228M6bdRtcXCSTTyuXkkkfczseSSTySTzmigD/2Q=="
+    val jpg = java.util.Base64.getDecoder.decode(b64)
+    val img = graft.multimodal.Multimodal.readImage(jpg)
+    assert(img.isDefined, "JDK ImageIO must decode the pinned JPEG fixture")
+    val hash = graft.multimodal.Multimodal.pHashImage(img.get)
+    val feats = graft.multimodal.Multimodal.imageFeatures(img.get, 4).toSeq
+    assert(hash == 593895574536840128L, s"pinned JPEG pHash drifted: got $hash")
+    assert(feats == Seq(0.4482353f, 0.54588234f, 0.50640523f, 0.48686275f),
+      s"pinned JPEG features drifted: got $feats")
+  }
+
   test("extractFeatures: PNG payloads use the real decoder, text keeps the stub") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(32, 8, BufferedImage.TYPE_INT_RGB)

@@ -61,6 +61,27 @@ class UnigramSpec extends SparkSpec {
     assert(got == Seq((1L, "abab", 2L), (2L, "a", 1L), (3L, "ab", 1L), (4L, "b", 1L)))
   }
 
+  test("train: supplementary-plane char keeps the count-1 floor (codepoint semantics, r16 advice)") {
+    // U+1D11E (musical G clef): ONE codepoint, TWO Java chars. The seed
+    // stage counts codepoints (Spark char_length/substring), so the clef
+    // arrives as a 1-codepoint piece; train's retention set must classify
+    // it as a single char — a String.length test would deny it the
+    // count-1 floor, prune it, and every word containing it would then
+    // silently vanish from EM (viterbi None), breaking coverage.
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = Seq(s"abab abab x$clef").toDF("text")
+    val got = Unigram.train(docs, "text", vocabSize = 4, maxPieceLen = 2,
+        seedSize = 100, emIters = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    val pieces = got.map(_._2).toSet
+    assert(pieces.contains(clef), s"clef pruned from vocab: $pieces")
+    // the clef word stays encodable end-to-end
+    val enc = Unigram.encode(Seq((1L, s"x$clef")).toDF("doc_id", "text"),
+        "doc_id", "text", got.map(r => r._2 -> r._3).toMap, maxPieceLen = 2)
+      .as[(Long, Seq[String], Long)].collect().head
+    assert(enc._2.mkString == s"x$clef", s"encode lost the clef: ${enc._2}")
+  }
+
   test("train: deterministic across runs; every corpus char kept; size bounded") {
     val docs = core.Tables.documents(spark, sf("sf0.001")).limit(60)
     def run() = Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4,
