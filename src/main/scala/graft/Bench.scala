@@ -93,6 +93,29 @@ package graft
   *    array while "failed" stays empty by design (the scheduled rep-set
   *    already passed), and the null needs an in-artifact explanation.
   *
+  * Round 17 additions (r16 verdict #1 — the surface outgrew the schedule;
+  * BENCH_r16 was the first incomplete driver artifact since r10, with six
+  * queries never measured and seven storm-suspect mins published without
+  * the guard's second window):
+  *  - SCHEDULE-AWARE REP PLANNING: before the first query, the whole
+  *    schedule's cost is projected from the priors (min × repsFor, 0.5 s
+  *    for unknowns) and the sub-fat tier's reps degrade globally (3→2)
+  *    until the projection fits deadline − reserve with 15% headroom
+  *    (BenchUtil.planReps). "planned_reps"/"eff_reps" in the artifact.
+  *  - MID-RUN DEGRADE RE-CHECK: the plan assumes a host; the run measures
+  *    it. After each query the observed inflation (elapsed vs projected-
+  *    so-far, BenchUtil.hostScale) re-prices the remaining schedule; an
+  *    overrun drops the REMAINING queries to 2 reps while the decision
+  *    still buys coverage ("degraded_at_s").
+  *  - EXPLICIT REQUEUE RESERVE: planning targets deadline − reserve_s
+  *    (default 45 s, SPARK_GRAFT_BENCH_RESERVE_S), so the guard's second
+  *    windows have a protected budget — guard_skipped can only be
+  *    nonempty when storms exceed the reserve, not whenever the schedule
+  *    is tight. First measurements still gate on the FULL deadline.
+  *  - SELF-ARMING TAIL-FIRST: queries the PRIOR artifact's deadline never
+  *    measured ("skipped") auto-rotate to the front of this schedule —
+  *    the starved tail cannot starve two rounds in a row.
+  *
   * The stdout line is a COMPACT summary (total, counts, slowest-10) —
   * the full 141-query line exceeded the driver's ~2.2 KB stdout-tail
   * capture in r8 AND r9 (`parsed: null`); per-query detail lives in the
@@ -180,6 +203,64 @@ private[graft] object BenchUtil {
   def repsFor(prior: Option[Double], fatCutoff: Double, reps: Int): Int =
     if (prior.exists(_ >= fatCutoff)) (reps - 1).max(2).min(reps) else reps
 
+  /** The prior artifact's own "skipped" list — the queries ITS deadline
+    * never measured. Round 17 (r16 verdict #1c): these auto-rotate to the
+    * FRONT of this run's schedule, so cheapest-first + a binding deadline
+    * cannot starve the same expensive tail two rounds in a row (r16's six
+    * never-measured queries were exactly r15's... fully measured tail —
+    * the surface grew past the schedule and the deadline landed on
+    * whoever ran last; self-arming tail-first makes the starvation
+    * rotate instead of stick). Anchored on the ',' the artifact writer
+    * always emits before "skipped" so the regex cannot cross-match
+    * "guard_skipped" (an object, not an array, but belt and braces). */
+  def parseSkipped(txt: String): Seq[String] =
+    "[,{]\"skipped\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+
+  /** Prior-projected wall cost of running `priors` at `reps` (each query
+    * min × its rep count; unknown priors at the scheduler's 0.5 s
+    * mid-cost estimate). The projection UNDERESTIMATES wall clock — reps
+    * cost more than the warm min (rep 1 pays JIT) and a slow host
+    * inflates everything — which is exactly why [[planReps]] takes a
+    * headroom factor and the mid-run [[hostScale]] re-check exists. */
+  def projectedCostS(priors: Seq[Option[Double]], fatCutoff: Double, reps: Int): Double =
+    priors.map(p => p.getOrElse(0.5) * repsFor(p, fatCutoff, reps)).sum
+
+  /** SCHEDULE-AWARE REP PLANNING (round 17, r16 verdict #1a): the largest
+    * rep count in [2, reps] whose headroom-inflated projection fits
+    * `budgetS` (the deadline MINUS the explicit requeue reserve). 159
+    * queries × 3 reps no longer fit 420 s on a stormy host — r16's driver
+    * run was the first incomplete one since r10, with six queries never
+    * measured and seven storm mins published unverified. Degrading the
+    * sub-fat tier 3→2 globally (the fat tier already runs 2) trades the
+    * third warm rep — which buys ~nothing on a stable min — for complete
+    * coverage. With no projectable priors the configured count stands
+    * (nothing to plan from); if even 2 reps do not fit, 2 is still the
+    * answer (a warm min needs two successful reps — below that the
+    * numbers stop meaning anything; the deadline machinery handles the
+    * overflow as before, now with the tail rotated front). */
+  def planReps(priors: Seq[Option[Double]], fatCutoff: Double, reps: Int,
+               budgetS: Double, headroom: Double = 1.15): Int =
+    if (priors.forall(_.isEmpty) || reps <= 2) reps
+    else (reps to 2 by -1)
+      .find(r => projectedCostS(priors, fatCutoff, r) * headroom <= budgetS)
+      .getOrElse(2)
+
+  /** Observed wall-clock inflation of THIS run vs its prior-projected cost
+    * so far (floored at 1): the empirical correction for everything the
+    * projection cannot know — rep-1 JIT, interleaved guard work, a host
+    * slower than the prior's. Drives the MID-RUN degrade re-check. */
+  def hostScale(elapsedS: Double, predictedSoFarS: Double): Double =
+    if (predictedSoFarS > 0) math.max(elapsedS / predictedSoFarS, 1.0) else 1.0
+
+  /** Mid-run degrade decision (round 17): true when the host-scaled
+    * projection of the remaining schedule no longer fits the budget —
+    * the upfront plan assumed a host; the run measures it. */
+  def shouldDegrade(elapsedS: Double, scale: Double, remainingProjectedS: Double,
+                    budgetS: Double): Boolean =
+    elapsedS + scale * remainingProjectedS > budgetS
+
   /** Mid-schedule requeue eligibility for a storm-flagged suspect: the
     * re-run must land in a DIFFERENT host window than the reps that
     * triggered the flag (≥ gapS seconds since flagging — an immediate
@@ -263,7 +344,7 @@ object Bench {
     * absolute mins must not feed the variance guard or the fat-rep
     * cutoff — a 10× run judged against sf0.1 priors would spuriously
     * requeue every query whose honest scale ratio exceeds guardRatio. */
-  private def priorMins(): (String, String, String, String, Map[String, Double]) = {
+  private def priorMins(): (String, String, String, String, Map[String, Double], Seq[String]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_ORDER").map(Paths.get(_))
     val chosen = explicit.orElse {
@@ -289,8 +370,9 @@ object Bench {
         // silently (order falls back to names, guard + fat cutoff disarm)
         if (txt.trim.nonEmpty && mins.isEmpty)
           System.err.println(s"[bench] prior $p is non-empty but parsed to ZERO mins — format drift? (name order, no variance guard)")
-        (p.toString, priorSf, priorHost, priorHostName, mins)
-      case _ => ("none", "", "", "", Map.empty)
+        (p.toString, priorSf, priorHost, priorHostName, mins,
+          BenchUtil.parseSkipped(txt))
+      case _ => ("none", "", "", "", Map.empty, Seq.empty)
     }
   }
 
@@ -356,7 +438,7 @@ object Bench {
       try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "" }
     val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST",
       if (hostName.isEmpty) "unknown" else hostName)
-    val (orderSource, priorSf, priorHost, priorHostName, prior) = priorMins()
+    val (orderSource, priorSf, priorHost, priorHostName, prior, priorSkipped) = priorMins()
     // raw hostnames decide when both sides carry one (role labels drift
     // with env vars; the machine doesn't); ANY missing hostname = unknown
     // provenance = cross-host — unattributed priors are exactly how the
@@ -385,9 +467,22 @@ object Bench {
     val cheapFirst = pool.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (prior.getOrElse(name, 0.5), name) }
-    val queryList =
+    val explicitTail =
       if (tailFirst <= 0) cheapFirst
       else cheapFirst.takeRight(tailFirst).reverse ++ cheapFirst.dropRight(tailFirst)
+    // SELF-ARMING TAIL-FIRST (round 17, r16 verdict #1c): queries the PRIOR
+    // run's deadline never measured rotate to the front of this one — the
+    // starved tail gets first claim on the budget instead of starving
+    // again. No-op when the prior was complete (skipped empty).
+    val starved = priorSkipped.toSet
+    val queryList =
+      if (starved.isEmpty) explicitTail
+      else {
+        val (front, rest) = explicitTail.partition { case (n, _) => starved.contains(n) }
+        if (front.nonEmpty)
+          System.err.println(s"[bench] prior run skipped ${front.size} queries — auto-rotated to the front: ${front.map(_._1).mkString(", ")}")
+        front ++ rest
+      }
     // a throwing query must surface as a FAILURE, not masquerade as a fast
     // timing — its failed rep is recorded as null (excluded from min/total)
     // and the process exits non-zero
@@ -416,10 +511,40 @@ object Bench {
     // and the documented invariant "a null pass implies an entry in
     // failed" needs an in-band explanation, not just a stderr line
     val watchRepFailed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // EXPLICIT REQUEUE RESERVE (round 17, r16 verdict #1b): the schedule
+    // plans against deadline − reserve, leaving the variance guard's
+    // second windows a protected budget — guard_skipped can then only be
+    // nonempty when storms EXCEED the reserve, not whenever the schedule
+    // is merely tight. The deadline gate on first measurements stays the
+    // FULL deadline: coverage first — the reserve shapes planning, it
+    // never truncates a first measurement that still fits.
+    val reserveS = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESERVE_S", "45").toDouble
+    val scheduleBudgetS = (deadlineS - reserveS).max(0.0)
+    // SCHEDULE-AWARE REP PLANNING (round 17, r16 verdict #1a): project the
+    // whole schedule's cost from the priors BEFORE the first query and
+    // degrade the sub-fat tier's reps (3→2) until it fits with ~15%
+    // headroom — r16's driver run (159 queries × 3 reps on a stormy host)
+    // consumed the 420 s deadline with six queries never measured. Only a
+    // same-scale prior can project; without one the configured count
+    // stands, as before.
+    val plannedReps =
+      if (priorComparable)
+        BenchUtil.planReps(queryList.map { case (n, _) => judgePrior.get(n) },
+          fatCutoff, reps, scheduleBudgetS)
+      else reps
+    // effective reps may degrade AGAIN mid-run when the measured host is
+    // slower than the projection assumed (BenchUtil.hostScale re-check)
+    var effReps = plannedReps
+    var degradedAtS: Option[Double] = None
+    if (plannedReps < reps)
+      System.err.println(f"[bench] rep planning: ${queryList.size} queries at $reps reps project past ${scheduleBudgetS}%.0f s (deadline ${deadlineS}%.0f − reserve ${reserveS}%.0f) — degraded to $plannedReps reps upfront")
+    // prior-projected cost of the queries measured SO FAR, at the reps they
+    // were actually assigned — the denominator of the host-scale estimate
+    var projectedSoFarS = 0.0
     // rep policy (see BenchUtil.repsFor): fat cutoff judged against
     // same-scale priors only
     def repsFor(name: String): Int =
-      BenchUtil.repsFor(judgePrior.get(name), fatCutoff, reps)
+      BenchUtil.repsFor(judgePrior.get(name), fatCutoff, effReps)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -455,7 +580,7 @@ object Bench {
       val watchRepFailedJson = watchRepFailed.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"planned_reps":$plannedReps,"eff_reps":$effReps,"degraded_at_s":${degradedAtS.map(fmt).getOrElse("null")},"reserve_s":${fmt(reserveS)},"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -527,7 +652,7 @@ object Bench {
     // SAME remaining-schedule cost, so the expression must not fork
     def remainingReserve(): Double = BenchUtil.scheduledReserveS(
       queryList.map(_._1).filterNot(results.contains).map(judgePrior.get),
-      fatCutoff, reps)
+      fatCutoff, effReps)
     // between scheduled queries: requeue every suspect whose gap has passed
     // and whose (storm-inflated) cost estimate fits the budget LEFT AFTER
     // reserving the rest of the schedule's prior-estimated cost — a
@@ -596,7 +721,26 @@ object Bench {
         val nWarm = results.count { case (_, ts) => isWarm(ts) }
         System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
       } else {
-        runReps(name, fn, repsFor(name))
+        val assigned = repsFor(name)
+        runReps(name, fn, assigned)
+        projectedSoFarS += judgePrior.get(name).getOrElse(0.5) * assigned
+        // MID-RUN DEGRADE RE-CHECK (round 17): the upfront plan projected a
+        // host; the run measures it. When the observed inflation (elapsed
+        // vs projected-so-far — rep-1 JIT, guard work, a slow window) says
+        // the remaining schedule no longer fits the reserve-protected
+        // budget, drop the remaining queries to 2 reps — complete coverage
+        // over a third warm rep, decided while it still changes something.
+        if (effReps > 2 && priorComparable) {
+          val remainingProjected = BenchUtil.projectedCostS(
+            queryList.collect { case (n, _) if !results.contains(n) => judgePrior.get(n) },
+            fatCutoff, effReps)
+          val scale = BenchUtil.hostScale(elapsed, projectedSoFarS)
+          if (BenchUtil.shouldDegrade(elapsed, scale, remainingProjected, scheduleBudgetS)) {
+            effReps = 2
+            degradedAtS = Some(elapsed)
+            System.err.println(f"[bench] mid-run degrade at $elapsed%.1f s: host scale $scale%.2fx × remaining projection $remainingProjected%.1f s overruns budget ${scheduleBudgetS}%.0f s — remaining queries at 2 reps")
+          }
+        }
         flagIfSuspect(name)
         watchIfRiser(name, fn)
         drainEligible()

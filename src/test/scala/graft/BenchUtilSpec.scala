@@ -183,4 +183,45 @@ class BenchUtilSpec extends AnyFunSuite {
     // (gap 1.1 s > 1.0, ratio 3.2× under the storm trigger the guard owns)
     assert(BenchUtil.watchBand(1.6, 0.5, 1.75, 3.5, crossHost = true))
   }
+
+  test("parseSkipped: prior skipped list extracted; guard_skipped cannot cross-match") {
+    val art = """{"sf":"x","failed":[],"skipped":["q94_stream_neardup","t144_dsir_resample"],""" +
+      """"requeued":{},"guard_skipped":{"t112_token_budget":16.8},"queries":{}}"""
+    assert(BenchUtil.parseSkipped(art) == Seq("q94_stream_neardup", "t144_dsir_resample"))
+    // empty list, missing key, malformed input → empty, never an error
+    assert(BenchUtil.parseSkipped("""{"skipped":[]}""").isEmpty)
+    assert(BenchUtil.parseSkipped("""{"queries":{}}""").isEmpty)
+    assert(BenchUtil.parseSkipped("not json").isEmpty)
+    // guard_skipped alone (an object value) must not masquerade as skipped
+    assert(BenchUtil.parseSkipped("""{"guard_skipped":{"a":2.0}}""").isEmpty)
+  }
+
+  test("planReps: degrade 3→2 only when the projection overruns the budget") {
+    val tight = Seq.fill(100)(Some(0.6)) // 100 queries at 0.6 s prior
+    // at 3 reps (sub-fat, cutoff 1.2): 100·0.6·3 = 180 s; ×1.15 = 207
+    assert(BenchUtil.planReps(tight, 1.2, 3, budgetS = 250.0) == 3)
+    assert(BenchUtil.planReps(tight, 1.2, 3, budgetS = 200.0) == 2)
+    // even 2 reps overrunning still answers 2 — the warm-min floor
+    assert(BenchUtil.planReps(tight, 1.2, 3, budgetS = 50.0) == 2)
+    // fat queries already run reps−1; the projection must price that
+    val fat = Seq.fill(50)(Some(2.0)) // 50·2.0·2 = 200 s at reps=3
+    assert(BenchUtil.planReps(fat, 1.2, 3, budgetS = 240.0) == 3)
+    // no priors to project from → the configured count stands
+    assert(BenchUtil.planReps(Seq.fill(10)(None), 1.2, 3, budgetS = 1.0) == 3)
+    // reps ≤ 2 has nothing to degrade
+    assert(BenchUtil.planReps(tight, 1.2, 2, budgetS = 1.0) == 2)
+  }
+
+  test("hostScale + shouldDegrade: measured inflation re-prices the remaining schedule") {
+    // run is 2× slower than its projection so far
+    assert(BenchUtil.hostScale(elapsedS = 60.0, predictedSoFarS = 30.0) == 2.0)
+    // faster-than-projected floors at 1 (never deflate the remaining cost)
+    assert(BenchUtil.hostScale(20.0, 30.0) == 1.0)
+    // nothing measured yet → neutral scale, no div-by-zero
+    assert(BenchUtil.hostScale(5.0, 0.0) == 1.0)
+    // r16's shape: 150 s elapsed, host at 1.7×, 180 s of projection left,
+    // 375 s budget — 150 + 1.7·180 = 456 > 375 → degrade NOW, not at 420
+    assert(BenchUtil.shouldDegrade(150.0, 1.7, 180.0, 375.0))
+    assert(!BenchUtil.shouldDegrade(150.0, 1.0, 180.0, 375.0))
+  }
 }
