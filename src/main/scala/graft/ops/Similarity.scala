@@ -220,16 +220,21 @@ object Similarity {
     * d135, cannot see) and its duals (blocklist dedup, targeted recall
     * sets). Candidates come from the same OR-amplified md5-derived
     * hyperplane buckets as [[nearDupPairs]], as an EQUI-JOIN between the
-    * two relations' bucket projections — never corpus × probes; the probe
-    * side (eval sets are small by nature) broadcasts. Exact cosine
-    * verifies every candidate. Output: (id, probe_id, cosine) for every
-    * pair at or above threshold — aggregate over `id` for the flag set.
+    * two relations' bucket projections — never corpus × probes. Exact
+    * cosine verifies every candidate. Output: (id, probe_id, cosine) for
+    * every pair at or above threshold — aggregate over `id` for the flag
+    * set.
     *
     * Scale shape at 100 TB: one projection pass over the corpus for
     * buckets (ids only on the exchange — vectors never shuffle with the
-    * candidates), probe buckets broadcast, candidate-sized verify joins.
-    * Recall follows the nearDupPairs table math; size `planes` ~log₂(n)
-    * via [[autoPlanes]] when the corpus grows. */
+    * candidates), candidate-sized verify joins. The probe side is NOT
+    * force-broadcast (r16 advice): eval sets are usually small and AQE
+    * broadcasts them on its own measured size, but nothing in this
+    * signature bounds |probes| — a caller decontaminating against a
+    * corpus-sized blocklist must not drag it through the driver, so the
+    * join degrades to a shuffle exactly like [[nearDupPairs]]'s. Recall
+    * follows the nearDupPairs table math; size `planes` ~log₂(n) via
+    * [[autoPlanes]] when the corpus grows. */
   def crossNearDup(corpus0: DataFrame, probes: DataFrame, idCol: String,
                    vecCol: String, threshold: Double, planes: Int = 4,
                    tables: Int = 2, dim: Int = -1): DataFrame = {
@@ -239,7 +244,7 @@ object Similarity {
     def bucketed(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
       posexplode(lshBucketTables(spark, col(vecCol), planes, tables, d)).as(Seq("tbl", "bucket")))
     val cand = bucketed(corpus, "id")
-      .join(broadcast(bucketed(probes, "probe_id")), Seq("tbl", "bucket"))
+      .join(bucketed(probes, "probe_id"), Seq("tbl", "bucket"))
       .dropDuplicates("id", "probe_id")
       .select(col("id"), col("probe_id"))
     val withC = corpus0.select(col(idCol).as("id"), col(vecCol).as("e_c")).join(cand, "id")
@@ -868,6 +873,132 @@ object Similarity {
     pairs.join(mi, "i").join(mj, "j")
       .select(col("i"), col("j"),
         r6(col("__exy") - col("__mi") * col("__mj")).as("cov"))
+  }
+
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric matrix
+    * — the dim²-bounded driver-side solve behind [[whitenModel]] (the
+    * pqCodebookTrained precedent: bounded driver math is fine when the
+    * input is dimension-, not corpus-, sized; a 64×64 solve is ~4M flops).
+    * Determinism contract: FIXED cyclic rotation order (p<q row-major),
+    * FIXED sweep count (no convergence-dependent early exit), and
+    * StrictMath (fdlibm — bit-exact on every JVM, unlike java.lang.Math's
+    * 2-ulp licence) for every transcendental — so the same matrix yields
+    * the same eigenpairs on any machine, which is what lets the oracle
+    * replay a projection from stashed constants.
+    *
+    * Returns (eigenvalues, eigenvectors-as-rows), sorted by eigenvalue
+    * DESC with index-order tie-break; each vector sign-normalized (its
+    * largest-|entry| component made positive) so the basis is unique. */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]],
+                                 sweeps: Int = 16): (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = Array.tabulate(n, n)((i, j) => sym(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            // rotation angle zeroing a_pq: θ = ½·atan2(2a_pq, a_pp − a_qq)
+            val theta = 0.5 * StrictMath.atan2(2.0 * apq, a(p)(p) - a(q)(q))
+            val c = StrictMath.cos(theta); val s = StrictMath.sin(theta)
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp + s * akq
+              a(k)(q) = -s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk + s * aqk
+              a(q)(k) = -s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp + s * vkq
+              v(k)(q) = -s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(n)(r => v(r)(i))
+      // unique sign: the largest-|entry| component (first on ties) positive
+      var best = 0; var r = 1
+      while (r < n) { if (StrictMath.abs(col(r)) > StrictMath.abs(col(best))) best = r; r += 1 }
+      if (col(best) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Fit a PCA-whitening model over the embedding corpus: component means
+    * + the top-`k` eigenvectors of [[covarianceUpper]]'s matrix, each
+    * scaled by 1/√(λ+eps) — y = W·(x − μ) then has ~identity covariance,
+    * the preprocessing every production embedding pipeline runs before
+    * its quantizers (IVF/PQ train measurably better on decorrelated
+    * axes; SemDeDup thresholds transfer across corpora). The moments are
+    * the DECIMAL-quantized, floor-rounded corpus statistics (deterministic
+    * and engine-portable); the eigensolve is [[jacobiEigen]]'s
+    * deterministic driver artifact — so the model is a pure function of
+    * the corpus, and an oracle can replay the PROJECTION from the model's
+    * stashed constants (the s143 trained-codebook precedent).
+    *
+    * Scale shape: two corpus passes (means, second moments) whose shuffles
+    * carry dimension-sized groups; the driver holds d² doubles. Returns
+    * (mu, w) with w's k rows already whitening-scaled. */
+  def whitenModel(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                  eps: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val v = graft.core.Par.widen(df)
+      .select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
+    val mu = new Array[Double](dim)
+    v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("x").cast("double").cast("decimal(27,7)")).as("__s"))
+      .select(col("i"), r6(col("__s").cast("double") / col("__n")).as("mu"))
+      .collect().foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val cov = Array.ofDim[Double](dim, dim)
+    covarianceUpper(df, vecCol, dim).collect().foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val w = Array.tabulate(k) { c =>
+      val scale = 1.0 / StrictMath.sqrt(StrictMath.max(vals(c), 0.0) + eps)
+      vecs(c).map(_ * scale)
+    }
+    (mu, w)
+  }
+
+  /** Apply a [[whitenModel]]: project every vector onto the model's k
+    * whitened components — one codegen'd zip_with/aggregate chain per
+    * component over LITERAL model arrays (no UDF, no shuffle; the same
+    * higher-order-expression discipline as [[dot]]), outputs
+    * floor-rounded through the portable 1e6 form. Returns
+    * (id, y0 … y{k−1}). */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+             mu: Array[Double], w: Array[Array[Double]]): DataFrame = {
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val centered = zip_with(xd, lit(mu), (x, m) => x - m)
+    val ys = w.zipWithIndex.map { case (row, c) =>
+      r6(aggregate(zip_with(centered, lit(row), (a, b) => a * b),
+        lit(0.0), (s, t) => s + t)).as(s"y$c")
+    }
+    graft.core.Par.widen(df).filter(size(col(vecCol)) === mu.length)
+      .select(col(idCol).as("id") +: ys.toSeq: _*)
   }
 
   /** Recall@k evaluation of an approximate ANN result against the exact

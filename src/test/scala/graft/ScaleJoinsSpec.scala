@@ -1016,6 +1016,58 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(cov2 == cov)
   }
 
+  test("jacobiEigen: golden 2×2 and 3×3 eigenpairs, unique sign, sorted desc") {
+    // [[2,1],[1,2]] → λ = 3, 1; vectors (1,1)/√2 and (1,−1)/√2 — the
+    // sign rule makes the largest-|entry| component positive
+    val (vals, vecs) = ops.Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val s2 = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(s2, s2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(math.abs(vecs(1)(0)) - s2) < 1e-12 &&
+      vecs(1)(0) * vecs(1)(1) < 0)
+    // a diagonal matrix is already solved: eigenvalues sorted desc,
+    // eigenvectors the (sign-normalized) axes
+    val (dv, dV) = ops.Similarity.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(dv.toSeq == Seq(5.0, 3.0, 1.0))
+    assert(dV(0).toSeq == Seq(0.0, 1.0, 0.0) && dV(1).toSeq == Seq(0.0, 0.0, 1.0))
+    // V diagonalizes A: ‖A·v − λ·v‖ small for a dense symmetric case
+    val a = Array(Array(4.0, 1.0, 0.5), Array(1.0, 3.0, 0.25), Array(0.5, 0.25, 2.0))
+    val (ev, eV) = ops.Similarity.jacobiEigen(a)
+    for (c <- 0 until 3; r <- 0 until 3) {
+      val av = (0 until 3).map(k => a(r)(k) * eV(c)(k)).sum
+      assert(math.abs(av - ev(c) * eV(c)(r)) < 1e-10, s"residual at ($r,$c)")
+    }
+  }
+
+  test("whiten: output covariance ≈ identity on the real corpus; deterministic fit") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val (mu, w) = ops.Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
+    assert(mu.length == 64 && w.length == 8 && w.forall(_.length == 64))
+    // the fit is a pure function of the corpus (decimal moments +
+    // fixed-order StrictMath Jacobi): two fits are bit-identical
+    val (mu2, w2) = ops.Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
+    assert(mu.sameElements(mu2) && w.zip(w2).forall { case (a, b) => a.sameElements(b) })
+    // THE whitening property: cov(y) ≈ I — diagonals ~1, off-diagonals ~0
+    val y = ops.Similarity.whiten(e, "vec_id", "embedding", mu, w)
+    val rows = y.orderBy("id").collect()
+      .map(r => (1 to 8).map(i => r.getDouble(i)).toArray)
+    val n = rows.length.toDouble
+    val ymu = (0 until 8).map(c => rows.map(_(c)).sum / n)
+    for (i <- 0 until 8; j <- i until 8) {
+      val cij = rows.map(v => v(i) * v(j)).sum / n - ymu(i) * ymu(j)
+      if (i == j) assert(math.abs(cij - 1.0) < 0.05, s"var($i)=$cij not ~1")
+      else assert(math.abs(cij) < 0.05, s"cov($i,$j)=$cij not ~0")
+    }
+    // wrong-width vectors are excluded, not mis-projected
+    import spark.implicits._
+    val mixed = e.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    assert(ops.Similarity.whiten(mixed, "vec_id", "embedding", mu, w).count() ==
+      y.count())
+  }
+
   test("recallAtK: hand-built overlaps exact, empty-approx query reported as 0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
