@@ -2611,6 +2611,33 @@ object SparkEntry {
     *    equality + tight-expand recall floor) and s120's hash-exact
     *    oracle stays as is. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // t144 decomposition probes (r17 — the confirmed 1.75× riser): the
+    // three stages measured alone, to localize the floor shift
+    "x144_under_only" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextIndex.bigramLogProbScoreUnder(d,
+        d.filter(col("lang") === "en"), "doc_id", "text", 0.5)
+    }),
+    "x144_corpus_only" -> ((s, dir) => {
+      graft.ops.TextIndex.bigramLogProbScore(t(s, dir, "documents"),
+        "doc_id", "text", 0.5)
+    }),
+    // the pre-r17 two-call composition, kept as the measured control for
+    // the fused dsirResample (identical numbers by construction)
+    "x144_twocall" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val underTarget = graft.ops.TextIndex.bigramLogProbScoreUnder(
+          d, d.filter(col("lang") === "en"), "doc_id", "text", 0.5)
+        .select(col("doc_id"), col("avg_logprob").as("lp_target"))
+      val underCorpus = graft.ops.TextIndex.bigramLogProbScore(
+          d, "doc_id", "text", 0.5)
+        .select(col("doc_id"), col("avg_logprob").as("lp_corpus"))
+      underTarget.join(underCorpus, Seq("doc_id"))
+        .select(col("doc_id"), col("lp_target"), col("lp_corpus"),
+          (floor((col("lp_target") - col("lp_corpus")) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("importance"))
+        .orderBy(col("importance").desc, col("doc_id").asc)
+    }),
     "x23_minhash_lsh_inrow" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, verifyThreshold = 0.8,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -198,11 +198,19 @@ object TextIndex {
     * and the denominator, exactly as the per-doc LM score family already
     * treats them.
     *
-    * Scale shape: two model estimations (each vocab²-bounded, AQE-joined)
-    * over ONE shared corpus bigram stream shape, then the keep step is the
-    * terasort form — range sort on the score + the row-index machinery
-    * (per-partition counts cross the driver as scalars), never a
-    * single-partition window or a driver-side collect of rows. */
+    * Scale shape (FUSED since r17 — the x144 decomposition measured the
+    * two-call form building the corpus bigram stream three times and
+    * aggregating per-doc twice): the corpus pair stream is STAGED once,
+    * both vocab²-bounded models (target + corpus) estimate from their own
+    * relation, and ONE scoring pass joins both models onto the shared
+    * stream and reduces both decimal sums in a single per-doc aggregate —
+    * halving the corpus explode/agg cost while producing bit-identical
+    * numbers (the lp expressions, decimal quantization, and floor
+    * rounding are verbatim the two-call form's; the t144 oracle replays
+    * them unchanged). The keep step is the terasort form — range sort on
+    * the score + the row-index machinery (per-partition counts cross the
+    * driver as scalars), never a single-partition window or a driver-side
+    * collect of rows. */
   def dsirResample(corpus: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, fraction: Double,
                    k: Double = 0.5): DataFrame = {
@@ -213,17 +221,54 @@ object TextIndex {
     // contract must not lean on that internal detail
     require(!corpus.columns.contains("__dsir_idx"),
       "dsirResample: input already has a column named __dsir_idx (reserved internal name)")
-    val underTarget = bigramLogProbScoreUnder(corpus, target, idCol, textCol, k)
-      .select(col("doc_id"), col("avg_logprob").as("lp_target"))
-    val underCorpus = bigramLogProbScore(corpus, idCol, textCol, k)
-      .select(col("doc_id"), col("avg_logprob").as("lp_corpus"))
-    // both inputs are already 6-dp floor-rounded, so the difference is a
-    // double subtraction of identical values in any engine; re-floor for a
-    // stable 6-dp output column
-    val scored = underTarget.join(underCorpus, Seq("doc_id"))
+    def pairsOf(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), tokensExpr(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the corpus stream feeds the corpus model AND the scoring pass: left
+    // LAZY deliberately — the explode is a codegen'd projection, and
+    // recomputing it for the model pass is measurably cheaper than
+    // materializing ~n·len pair rows through a persist (the r17 probe
+    // tried the staged form first: the checkpoint write ate the win)
+    val pairs = pairsOf(corpus)
+    def model(src: DataFrame, tag: String) = {
+      val counts = src.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as(s"c12$tag")).localCheckpoint()
+      val totals = counts.groupBy(col("w1")).agg(sum(col(s"c12$tag")).as(s"c1$tag"))
+      val vocab = counts.agg(countDistinct(col("w2")).as(s"v$tag"))
+      (counts, totals, vocab)
+    }
+    val (countsT, totalsT, vocabT) = model(pairsOf(target), "t")
+    // same loud guard as bigramLogProbScoreUnder: a bigram-less target
+    // cannot estimate a model (counts already materialized — cheap check)
+    require(!countsT.isEmpty,
+      "dsirResample: target yields no bigrams (every doc has < 2 tokens) — an add-k bigram model cannot be estimated from an empty stream")
+    val (countsC, totalsC, vocabC) = model(pairs, "c")
+    def lp(c12: Column, c1: Column, v: Column): Column =
+      log((coalesce(c12, lit(0L)) + lit(k)) / (coalesce(c1, lit(0L)) + lit(k) * v))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val scored = pairs
+      .join(countsT, Seq("w1", "w2"), "left").join(totalsT, Seq("w1"), "left")
+      .join(countsC, Seq("w1", "w2"), "left").join(totalsC, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabT)).crossJoin(broadcast(vocabC))
+      .withColumn("lpt", lp(col("c12t"), col("c1t"), col("vt")))
+      .withColumn("lpc", lp(col("c12c"), col("c1c"), col("vc")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lpt").cast("decimal(27,7)")).as("__st"),
+        sum(col("lpc").cast("decimal(27,7)")).as("__sc"))
+      .select(col("doc_id"),
+        r6(col("__st").cast("double") / col("n_bigrams")).as("lp_target"),
+        r6(col("__sc").cast("double") / col("n_bigrams")).as("lp_corpus"))
+      // both means are 6-dp floor-rounded, so the difference is a double
+      // subtraction of identical values in any engine; re-floor for a
+      // stable 6-dp output column
       .select(col("doc_id"), col("lp_target"), col("lp_corpus"),
-        (floor((col("lp_target") - col("lp_corpus")) * lit(1e6) + lit(0.5))
-          / lit(1e6)).as("importance"))
+        r6(col("lp_target") - col("lp_corpus")).as("importance"))
     val ordered = scored.orderBy(col("importance").desc, col("doc_id").asc)
     val (indexed, total) = Relational.withRowIndexCounted(ordered, "__dsir_idx")
     val keepN = math.floor(total * fraction).toLong
