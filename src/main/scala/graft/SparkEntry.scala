@@ -2021,6 +2021,36 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // WHITENED ANN serving (round 17): the s162 projection actually
+    // FEEDING search — corpus and queries projected onto the 8 whitened
+    // components, exact cosine top-k in the reduced space (the
+    // dimensionality-reduction serving stage every production embedding
+    // pipeline runs: 8× fewer dims per distance at recall governed by the
+    // spectrum). Chain = whiten (codegen'd literal-array projections) →
+    // the s29 exact-top-k shape; oracle replays projection + cosine +
+    // rank from the stashed model
+    "s166_whitened_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (mu, w) = graft.ops.Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
+      whitenModelStash(dir) = (mu, w)
+      val y = graft.ops.Similarity.whiten(e, "vec_id", "embedding", mu, w)
+        .select(col("id"), array((0 until 8).map(i => col(s"y$i")): _*).as("yv"))
+      val q = broadcast(y.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("yv").as("qv")))
+      val c = y.select(col("id").as("neighbor_id"), col("yv").as("cv"))
+      val scored = c.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", graft.ops.Similarity.cosine(col("qv"), col("cv")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // SEMANTIC decontamination (round 16): corpus vectors embedding-close
     // to the held-out eval slice — the paraphrase leaks the LEXICAL passes
     // (shingle d61, phrase d135) cannot see; completes the contamination
@@ -4329,6 +4359,8 @@ object SparkEntry {
     // d74's bucket chain as a CROSS equi-join between the %25 split sides
     "s162_whitening" -> whitenOracle(scoped(whitenModelStash)),
 
+    "s166_whitened_ann" -> whitenedAnnOracle(scoped(whitenModelStash), kTop = 10),
+
     "d159_semantic_decontam" -> crossNearDupOracle(planes = 4, tables = 2,
       dim = 64, threshold = 0.35),
 
@@ -5099,23 +5131,59 @@ object SparkEntry {
     * (moments + Jacobi) needs no SQL: it is a deterministic driver
     * artifact, and replaying its OUTPUT is the whole point of the stash
     * technique. */
+  /** One DuckDB expression per whitened component: the projection replayed
+    * from the stashed constants (exact-double CAST('…' AS DOUBLE) form),
+    * same index/operand order as the Spark zip_with/aggregate chain, same
+    * floor rounding. Shared by the s162 and s166 oracles. */
+  private def whitenYExprs(mu: Array[Double], w: Array[Array[Double]]): Seq[String] = {
+    def numT(d: Double) = s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+    def lst(a: Array[Double]): String = a.map(numT).mkString("[", ", ", "]")
+    val dim = mu.length
+    w.toSeq.map { row =>
+      s"floor(list_sum([ ((e[i] - (${lst(mu)})[i]) * (${lst(row)})[i]) " +
+        s"for i in range(1, ${dim + 1}) ]) * 1e6 + 0.5) / 1e6"
+    }
+  }
+
   private def whitenOracle(model: Option[(Array[Double], Array[Array[Double]])]): String = {
     if (model.isEmpty)
       return "SELECT error('s162 whitening: the fitted model is stashed by the query run; " +
         "run s162_whitening before dumping oracle SQL (Verify does)')"
     val (mu, w) = model.get
-    def numT(d: Double) = s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
-    def lst(a: Array[Double]): String = a.map(numT).mkString("[", ", ", "]")
-    val dim = mu.length
-    val ys = w.zipWithIndex.map { case (row, c) =>
-      s"floor(list_sum([ ((e[i] - (${lst(mu)})[i]) * (${lst(row)})[i]) " +
-        s"for i in range(1, ${dim + 1}) ]) * 1e6 + 0.5) / 1e6 AS y$c"
-    }.mkString(",\n  ")
+    val ys = whitenYExprs(mu, w).zipWithIndex
+      .map { case (e, c) => s"$e AS y$c" }.mkString(",\n  ")
     s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
-       |  FROM embeddings WHERE len(embedding) = $dim)
+       |  FROM embeddings WHERE len(embedding) = ${mu.length})
        |SELECT vec_id AS id,
        |  $ys
        |FROM v ORDER BY id""".stripMargin
+  }
+
+  /** Whitened-ANN oracle (s166): the s162 projection as a CTE (list-valued
+    * this time), then the s29 exact-cosine top-k chain verbatim over the
+    * whitened vectors. */
+  private def whitenedAnnOracle(model: Option[(Array[Double], Array[Array[Double]])],
+                                kTop: Int): String = {
+    if (model.isEmpty)
+      return "SELECT error('s166 whitened ANN: the fitted model is stashed by the query run; " +
+        "run s166_whitened_ann before dumping oracle SQL (Verify does)')"
+    val (mu, w) = model.get
+    val yList = whitenYExprs(mu, w).mkString("[", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       |  FROM embeddings WHERE len(embedding) = ${mu.length}),
+       |wy AS (SELECT vec_id, $yList AS yv FROM v),
+       |q AS (SELECT vec_id AS qid, yv AS qv FROM wy WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS nid, yv AS cv FROM wy),
+       |scored AS (
+       |  SELECT qid, nid,
+       |    list_sum([qv[i] * cv[i] for i in range(1, len(qv)+1)]) /
+       |    (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv)+1)])) *
+       |     sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv)+1)]))) AS cosine
+       |  FROM q, c WHERE qid <> nid),
+       |ranked AS (SELECT qid, nid, cosine,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM scored)
+       |SELECT qid AS query_id, nid AS neighbor_id, round(cosine, 4) AS cosine
+       |FROM ranked WHERE rn <= $kTop ORDER BY query_id, neighbor_id""".stripMargin
   }
 
   /** RRF fusion oracle (s160): both tier SQLs embedded as subqueries, each
