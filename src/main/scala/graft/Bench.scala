@@ -541,6 +541,15 @@ object Bench {
     // prior-projected cost of the queries measured SO FAR, at the reps they
     // were actually assigned — the denominator of the host-scale estimate
     var projectedSoFarS = 0.0
+    // the FIRST scheduled rep-set's wall + projection, excluded from the
+    // scale estimate: a fresh JVM's first query pays Spark init + first
+    // codegen regardless of host health, and cheapest-first makes its
+    // projected cost tiny — the raw cumulative ratio read 21× at 4 s
+    // elapsed on a perfectly healthy run (the r17 false degrade; wall
+    // finished at 215 s of a 375 s budget). Steady-state inflation is
+    // (elapsed − first wall) / (projected − first projection).
+    var firstWallS = 0.0
+    var firstProjS = 0.0
     // rep policy (see BenchUtil.repsFor): fat cutoff judged against
     // same-scale priors only
     def repsFor(name: String): Int =
@@ -724,21 +733,25 @@ object Bench {
         val assigned = repsFor(name)
         runReps(name, fn, assigned)
         projectedSoFarS += judgePrior.get(name).getOrElse(0.5) * assigned
+        if (firstWallS == 0.0) { firstWallS = elapsed; firstProjS = projectedSoFarS }
         // MID-RUN DEGRADE RE-CHECK (round 17): the upfront plan projected a
-        // host; the run measures it. When the observed inflation (elapsed
-        // vs projected-so-far — rep-1 JIT, guard work, a slow window) says
+        // host; the run measures it. When the observed STEADY-STATE
+        // inflation (warmup-discounted elapsed vs projected-so-far) says
         // the remaining schedule no longer fits the reserve-protected
         // budget, drop the remaining queries to 2 reps — complete coverage
         // over a third warm rep, decided while it still changes something.
-        if (effReps > 2 && priorComparable) {
+        // EVIDENCE GATE (r17.1, after the false fire above): no decision
+        // until ≥ 30 s of warmup-discounted projection has been measured —
+        // below that the ratio is JIT/noise, not the host.
+        if (effReps > 2 && priorComparable && projectedSoFarS - firstProjS >= 30.0) {
           val remainingProjected = BenchUtil.projectedCostS(
             queryList.collect { case (n, _) if !results.contains(n) => judgePrior.get(n) },
             fatCutoff, effReps)
-          val scale = BenchUtil.hostScale(elapsed, projectedSoFarS)
+          val scale = BenchUtil.hostScale(elapsed - firstWallS, projectedSoFarS - firstProjS)
           if (BenchUtil.shouldDegrade(elapsed, scale, remainingProjected, scheduleBudgetS)) {
             effReps = 2
             degradedAtS = Some(elapsed)
-            System.err.println(f"[bench] mid-run degrade at $elapsed%.1f s: host scale $scale%.2fx × remaining projection $remainingProjected%.1f s overruns budget ${scheduleBudgetS}%.0f s — remaining queries at 2 reps")
+            System.err.println(f"[bench] mid-run degrade at $elapsed%.1f s: steady-state host scale $scale%.2fx × remaining projection $remainingProjected%.1f s overruns budget ${scheduleBudgetS}%.0f s — remaining queries at 2 reps")
           }
         }
         flagIfSuspect(name)
