@@ -731,8 +731,14 @@ object Bench {
         System.err.println(f"[bench] deadline ${deadlineS}%.0f s hit after $elapsed%.1f s — ${results.size}/${queryList.size} queries measured, $nWarm warm")
       } else {
         val assigned = repsFor(name)
+        val prevReps = results.get(name).map(_.size).getOrElse(0)
         runReps(name, fn, assigned)
-        projectedSoFarS += judgePrior.get(name).getOrElse(0.5) * assigned
+        // credit the reps that actually RAN (r17 review): a failed or
+        // deadline-truncated rep-set spends less wall than `assigned`
+        // projected — crediting the full count would deflate the scale
+        // estimate and suppress the degrade on a genuinely slow host
+        val actualReps = results.get(name).map(_.size).getOrElse(0) - prevReps
+        projectedSoFarS += judgePrior.get(name).getOrElse(0.5) * actualReps
         if (firstWallS == 0.0) { firstWallS = elapsed; firstProjS = projectedSoFarS }
         // MID-RUN DEGRADE RE-CHECK (round 17): the upfront plan projected a
         // host; the run measures it. When the observed STEADY-STATE

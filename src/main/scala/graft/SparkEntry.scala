@@ -804,12 +804,8 @@ object SparkEntry {
       // triggers a fresh bucketed write instead of silently reusing stale
       // tables
       val sfx = {
-        val conf = s.sparkContext.hadoopConfiguration
-        val fp = Seq("orders", "customer").map { n =>
-          val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          s"$n:${st.getLen}:${st.getModificationTime}"
-        }.mkString("|")
+        val fp = Seq("orders", "customer")
+          .map(n => s"$n:${tableFingerprint(s, dir, n)}").mkString("|")
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(s"$dir|$fp".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
@@ -1408,10 +1404,8 @@ object SparkEntry {
     // and scanning 3
     "q78_partition_prune" -> ((s, dir) => {
       val conf = s.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val st = src.getFileSystem(conf).getFileStatus(src)
       val sfx = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|events:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+        .digest(s"$dir|events:${tableFingerprint(s, dir, "events")}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_part_$sfx"
       val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
@@ -1968,11 +1962,8 @@ object SparkEntry {
       // version) — a knob edit must invalidate the index, or stale
       // bucket=/code partitions would serve silently-wrong candidates
       val sfx = {
-        val conf = s.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-        val st = p.getFileSystem(conf).getFileStatus(p)
         val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"$dir|${st.getLen}:${st.getModificationTime}|planes=$planes|cb=grid-$cbM-$cbK-$cbSub|v1"
+        md.digest(s"$dir|${tableFingerprint(s, dir, "embeddings")}|planes=$planes|cb=grid-$cbM-$cbK-$cbSub|v1"
             .getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
       }

@@ -52,7 +52,7 @@ object Proto {
 
   // ---------------------------------------------------------------- varint
 
-  private[graft] def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+  private[graft] def writeVarint(out: java.io.OutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt & 0x7f)
@@ -189,7 +189,16 @@ object Proto {
   /** Distributed sink: one `part-NNNNN.pb` length-delimited record file per
     * partition, streamed executor-side through the Hadoop filesystem (no
     * driver funnel). Empty partitions write no file. A `_SUCCESS` marker
-    * commits the layout, parquet-style. */
+    * commits the layout, parquet-style — and [[readProto]] REQUIRES it,
+    * so a half-written layout reads loudly, not as silent truncation.
+    *
+    * Task-commit protocol (r17 review): each attempt streams to an
+    * attempt-unique `.…-attempt-N.pb.tmp` and RENAMES into place on
+    * success — rename is the atomic primitive of every Hadoop committer,
+    * so a speculative or zombie attempt of the same partition can never
+    * interleave bytes into the final file; last completed rename wins
+    * with a complete stream either way, and losing attempts' temp files
+    * are cleaned best-effort. */
   def writeProto(df: DataFrame, path: String): Unit = {
     checkSchema(df.schema)
     val schema = df.schema
@@ -201,16 +210,34 @@ object Proto {
     fs0.mkdirs(dirPath)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.pb")
-        val fs = p.getFileSystem(conf.value)
-        val out = fs.create(p, true)
-        try rows.foreach { row =>
-          val rec = encodeRow(row, schema)
-          val frame = new java.io.ByteArrayOutputStream(rec.length + 5)
-          writeVarint(frame, rec.length.toLong)
-          out.write(frame.toByteArray); out.write(rec)
-        } finally out.close()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.pb")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.pb.tmp")
+        val fs = fin.getFileSystem(conf.value)
+        val out = fs.create(tmp, true)
+        var committed = false
+        try {
+          // varint prefix written straight to the stream — no per-row
+          // buffer; one framing implementation ([[frame]] is the
+          // in-memory twin the specs pin against)
+          rows.foreach { row =>
+            val rec = encodeRow(row, schema)
+            writeVarint(out, rec.length.toLong)
+            out.write(rec)
+          }
+          out.close()
+          if (fs.exists(fin)) fs.delete(fin, false)
+          committed = fs.rename(tmp, fin)
+          if (!committed)
+            throw new java.io.IOException(s"Proto sink: rename $tmp -> $fin failed")
+        } finally {
+          if (!committed) {
+            try out.close() catch { case _: Exception => () }
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+          }
+        }
       }
     }
     fs0.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
@@ -218,9 +245,17 @@ object Proto {
 
   /** Distributed source: `binaryFile`-scan of `part-*.pb` files, each
     * file's record stream decoded to rows under `schema`. Parallelism =
-    * file count (protobuf streams are not splittable mid-file). */
+    * file count (protobuf streams are not splittable mid-file). Requires
+    * the `_SUCCESS` marker [[writeProto]] commits (r17 review): a layout
+    * whose write died mid-job must fail loudly here, not return the
+    * surviving part files as a silently truncated dataset. */
   def readProto(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     checkSchema(schema)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")),
+      s"readProto: no _SUCCESS marker under $path — the layout was never committed " +
+        "(write failed mid-job?); refusing to read a possibly-truncated record set")
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pb").load(path)
       .select("content")

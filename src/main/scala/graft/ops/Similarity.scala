@@ -848,7 +848,17 @@ object Similarity {
     * d-group pass; both group counts are dimension-, not corpus-, sized.
     * Vectors of the wrong width are excluded (the [[lshBucket]] guard
     * convention). Returns (i, j, cov) for 0 ≤ i ≤ j < dim. */
-  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    covarianceUpperWithMu(df, vecCol, dim).select(col("i"), col("j"), col("cov"))
+
+  /** [[covarianceUpper]] plus the row-i component mean (`mu_i`) on every
+    * output row — so ONE action yields both the matrix and the mean
+    * vector (read the diagonal). Split out in r17 review: whitenModel
+    * previously re-ran the identical means aggregation as a THIRD corpus
+    * pass; with mu riding the cov rows the fit is the documented two
+    * passes (means + second moments) in a single collect. */
+  private[ops] def covarianceUpperWithMu(df: DataFrame, vecCol: String,
+                                         dim: Int): DataFrame = {
     val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val v = graft.core.Par.widen(df)
       .select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
@@ -872,7 +882,8 @@ object Similarity {
     val mj = broadcast(comp.select(col("i").as("j"), col("mu").as("__mj")))
     pairs.join(mi, "i").join(mj, "j")
       .select(col("i"), col("j"),
-        r6(col("__exy") - col("__mi") * col("__mj")).as("cov"))
+        r6(col("__exy") - col("__mi") * col("__mj")).as("cov"),
+        col("__mi").as("mu_i"))
   }
 
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric matrix
@@ -959,20 +970,15 @@ object Similarity {
   def whitenModel(df: DataFrame, vecCol: String, dim: Int, k: Int,
                   eps: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
     require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
-    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val v = graft.core.Par.widen(df)
-      .select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
     val mu = new Array[Double](dim)
-    v.select(posexplode(col("__v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("x").cast("double").cast("decimal(27,7)")).as("__s"))
-      .select(col("i"), r6(col("__s").cast("double") / col("__n")).as("mu"))
-      .collect().foreach(r => mu(r.getInt(0)) = r.getDouble(1))
     val cov = Array.ofDim[Double](dim, dim)
-    covarianceUpper(df, vecCol, dim).collect().foreach { r =>
+    // ONE action: the cov rows carry mu_i, so the mean vector reads off
+    // the matrix collect (diagonal rows cover every i) — two corpus
+    // passes total, not three (r17 review)
+    covarianceUpperWithMu(df, vecCol, dim).collect().foreach { r =>
       val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
       cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mu(i) = r.getDouble(3)
     }
     val (vals, vecs) = jacobiEigen(cov)
     val w = Array.tabulate(k) { c =>

@@ -98,6 +98,15 @@ class ProtoSpec extends SparkSpec {
       assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
       // reader parallelism = file count (4 non-empty write partitions)
       assert(back.rdd.getNumPartitions >= 1)
+      // the task-commit protocol leaves no attempt temp files behind
+      assert(!new java.io.File(tmp).listFiles().exists(_.getName.endsWith(".tmp")))
+      // an UNCOMMITTED layout (no _SUCCESS) must fail loudly, not return
+      // a silently truncated dataset (r17 review)
+      assert(new java.io.File(s"$tmp/_SUCCESS").delete())
+      val ex = intercept[IllegalArgumentException] {
+        Proto.readProto(spark, tmp, schema)
+      }
+      assert(ex.getMessage.contains("_SUCCESS"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
