@@ -1080,6 +1080,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // winsorized quality normalization (round 17): t63's composite score
+    // clamped to its exact [p05, p95] band — rank-selected (type-1)
+    // thresholds, so both engines pick the identical order statistics and
+    // the clamp replays bit-for-bit; the outlier-robust step that keeps
+    // one pathological doc from stretching the scale every later
+    // threshold is calibrated against
+    "t167_winsorized_quality" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      graft.ops.Quality.winsorize(scored, "doc_id", "quality", pLo = 0.05, pHi = 0.95)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-lang quality-percentile pruning: keep the top 25% of each lang
     // by quality score — the relative-threshold curation step (stable mix
     // as quality drifts, unlike p67's absolute cutoff). Deterministic
@@ -3693,6 +3706,28 @@ object SparkEntry {
     "q64_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // t167: t63's score, thresholds re-derived INDEPENDENTLY by the same
+    // integer-rank rule (row_number is fine oracle-side — DuckDB is
+    // single-node; the Spark side uses the distributed row-index
+    // machinery), clamp = least/greatest of identical doubles
+    "t167_winsorized_quality" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |s AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |cnt AS (SELECT count(*) AS n FROM s),
+        |srt AS (SELECT quality, row_number() OVER (ORDER BY quality) - 1 AS idx FROM s),
+        |lo AS (SELECT quality AS lo FROM srt, cnt
+        |       WHERE idx = greatest(CAST(ceil(0.05 * n) AS BIGINT) - 1, 0)),
+        |hi AS (SELECT quality AS hi FROM srt, cnt
+        |       WHERE idx = greatest(CAST(ceil(0.95 * n) AS BIGINT) - 1, 0))
+        |SELECT doc_id, quality, least(greatest(quality, lo), hi) AS clamped
+        |FROM s, lo, hi ORDER BY doc_id""".stripMargin,
 
     // same quality expression as t63 wrapped in the rank window; ceil of
     // an exact small-int product is engine-identical

@@ -68,4 +68,44 @@ object Quality {
   def report(df: DataFrame, checks: Seq[(String, Column)],
              extra: Seq[DataFrame] = Nil): DataFrame =
     extra.foldLeft(rowChecks(df, checks))(_ unionByName _)
+
+  /** Winsorized score normalization (round 17): clamp `scoreCol` to its
+    * [pLo, pHi] quantile band — the outlier-robust step a pipeline runs
+    * before score-thresholded mixing/pruning, so one pathological
+    * document (a 10⁶-char paste, a mojibake bomb) cannot stretch the
+    * scale every later threshold is calibrated against.
+    *
+    * Thresholds are the INVERSE-ECDF (type-1) quantiles: the value at
+    * 0-based rank max(⌈p·n⌉−1, 0) of the ascending sort — INTEGER rank
+    * selection, deliberately not the interpolated form: interpolation
+    * mixes two values with engine-specific operand order (1-ulp
+    * divergence that surfaces verbatim in every clamped row), while the
+    * value at an integer rank of a multiset is engine-exact even under
+    * ties. `⌈p·n⌉` is IEEE double math both engines share (the t86
+    * precedent).
+    *
+    * Scale shape: one range sort of the NARROW score projection + the
+    * row-index machinery (per-partition counts cross the driver as
+    * scalars) selects the two order statistics; exactly TWO scalars cross
+    * the driver; the clamp itself is a codegen'd projection over the
+    * unsorted input. Output: (idCol, scoreCol, clamped). */
+  def winsorize(df: DataFrame, idCol: String, scoreCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains("__wz_idx"),
+      "winsorize: input already has a column named __wz_idx (reserved internal name)")
+    val ordered = df.select(col(scoreCol).cast("double").as("__score"))
+      .orderBy(col("__score").asc)
+    val (indexed, n) = Relational.withRowIndexCounted(ordered, "__wz_idx")
+    require(n > 0, "winsorize: empty input has no quantiles")
+    def rank(p: Double): Long = math.max(math.ceil(p * n).toLong - 1L, 0L)
+    val (loIdx, hiIdx) = (rank(pLo), rank(pHi))
+    // two order statistics cross the driver — bounded by construction
+    val th = indexed.filter(col("__wz_idx").isin(loIdx, hiIdx))
+      .collect().map(r => r.getAs[Long]("__wz_idx") -> r.getAs[Double]("__score")).toMap
+    val (lo, hi) = (th(loIdx), th(hiIdx))
+    df.select(col(idCol), col(scoreCol),
+      least(greatest(col(scoreCol).cast("double"), lit(lo)), lit(hi)).as("clamped"))
+  }
 }

@@ -190,6 +190,35 @@ class RelationalSpec extends SparkSpec {
     assert(hc == Seq((hostile, 2L)))
   }
 
+  test("Quality.winsorize: rank-selected thresholds, tie safety, guards") {
+    import graft.ops.Quality
+    // 10 values 1..10: p=.2 → rank ⌈2⌉−1=1 → lo=2; p=.8 → rank 7 → hi=8
+    val t = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val got = Quality.winsorize(t, "id", "s", 0.2, 0.8)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+    // original score column rides along unchanged
+    assert(got.map(_._2) == (1 to 10).map(_.toDouble))
+    // ties: the value at a rank of a multiset is well-defined regardless
+    // of which tied row lands there
+    val ties = Seq(1.0, 2.0, 2.0, 2.0, 9.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    val gt = Quality.winsorize(ties, "id", "s", 0.4, 0.9)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    // lo = rank ⌈2⌉−1 = 1 → 2.0; hi = rank ⌈4.5⌉−1 = 4 → 9.0
+    assert(gt.map(_._3) == Seq(2.0, 2.0, 2.0, 2.0, 9.0))
+    // pLo = 0 clamps nothing below (rank floors at 0 = the minimum)
+    val g0 = Quality.winsorize(t, "id", "s", 0.0, 0.5)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(g0.head._3 == 1.0 && g0.last._3 == 5.0)
+    // guards: bad band, reserved name, empty input all fail loudly
+    intercept[IllegalArgumentException](Quality.winsorize(t, "id", "s", 0.8, 0.2))
+    intercept[IllegalArgumentException](Quality.winsorize(
+      t.withColumn("__wz_idx", lit(1L)), "id", "s", 0.1, 0.9))
+    intercept[IllegalArgumentException](Quality.winsorize(
+      t.filter(col("id") < 0), "id", "s", 0.1, 0.9))
+  }
+
   test("globalNtile: exact SQL NTILE semantics without a global window") {
     import org.apache.spark.sql.expressions.Window
     // every (total, k) shape that distinguishes NTILE from the naive
