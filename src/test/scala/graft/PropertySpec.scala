@@ -714,4 +714,68 @@ class PropertySpec extends SparkSpec {
         assert(got == want, s"total=$total k=$k")
     }
   }
+
+  test("Proto codec: decode∘encode = identity on random rows (nulls, unicode, binary, extremes)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("b", BooleanType), StructField("d", DoubleType),
+      StructField("f", FloatType), StructField("s", StringType),
+      StructField("y", BinaryType)))
+    def opt[A](g: Gen[A]): Gen[Any] =
+      Gen.frequency(3 -> g.map(_.asInstanceOf[Any]), 1 -> Gen.const(null))
+    val rowGen: Gen[Row] = for {
+      l <- opt(Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue), Gen.const(0L), Gen.const(-1L)))
+      i <- opt(Gen.choose(Int.MinValue, Int.MaxValue))
+      b <- opt(Gen.oneOf(true, false))
+      d <- opt(Gen.oneOf(Gen.choose(-1e18, 1e18), Gen.const(0.0), Gen.const(-0.0),
+        Gen.const(Double.MaxValue), Gen.const(Double.MinPositiveValue)))
+      f <- opt(Gen.choose(-1e9f, 1e9f))
+      s <- opt(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('é'), Gen.const('中'),
+        Gen.const('\n'), Gen.const(' '),
+        Gen.const(Character.toChars(0x1D11E)(0)))).map { cs =>
+        // a lone high surrogate is not valid UTF-8-encodable text; pair it
+        val str = cs.mkString
+        str.replace(new String(Array(Character.toChars(0x1D11E)(0))),
+          new String(Character.toChars(0x1D11E)))
+      })
+      y <- opt(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    } yield Row(l, i, b, d, f, s, y)
+    forAll(Gen.listOfN(8, rowGen), cases = 12) { rows =>
+      rows.foreach { r =>
+        val back = graft.io.Proto.decodeRecord(graft.io.Proto.encodeRow(r, schema), schema)
+        (0 until schema.length).foreach { k =>
+          (r.get(k), back.get(k)) match {
+            case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b))
+            case (a, b) => assert(a == b, s"col $k: $a != $b")
+          }
+        }
+      }
+      // and through the framing layer
+      val framed = graft.io.Proto.frame(
+        rows.iterator.map(graft.io.Proto.encodeRow(_, schema)))
+      assert(graft.io.Proto.unframe(framed).size == rows.size)
+    }
+  }
+
+  test("winsorize: clamped == driver reference clamp on random score sets") {
+    import graft.ops.Quality
+    val g = Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(-50.0, 50.0)))
+      .map(_.distinctBy(_._1))
+    forAll(g, cases = 8) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.toDF("id", "s")
+        val got = Quality.winsorize(df, "id", "s", 0.1, 0.9)
+          .as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+        val sorted = xs.map(_._2).sorted
+        val n = sorted.length
+        def th(p: Double) = sorted(math.max(math.ceil(p * n).toInt - 1, 0))
+        val (lo, hi) = (th(0.1), th(0.9))
+        xs.foreach { case (id, s) =>
+          assert(got(id) == math.min(math.max(s, lo), hi), s"id=$id s=$s")
+        }
+      }
+    }
+  }
 }
