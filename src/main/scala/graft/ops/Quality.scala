@@ -93,12 +93,21 @@ object Quality {
                 pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    require(!df.columns.contains("__wz_idx"),
-      "winsorize: input already has a column named __wz_idx (reserved internal name)")
-    val ordered = df.select(col(scoreCol).cast("double").as("__score"))
-      .orderBy(col("__score").asc)
+    // the one real name collision: the op APPENDS "clamped" to the
+    // caller's two columns (the internal __wz_idx lives only on a fixed
+    // two-column projection and can never collide — r17 review)
+    require(idCol != "clamped" && scoreCol != "clamped",
+      "winsorize: output column 'clamped' would collide with an input column")
+    // NULL scores are unrankable: they are EXCLUDED from the threshold
+    // derivation (n counts scored rows only) and propagate as NULL in the
+    // output — Spark's least/greatest SKIP nulls, which would otherwise
+    // silently clamp a null score to lo, and a null landing at a rank
+    // would silently shift every threshold (r17 review)
+    val scores = df.select(col(scoreCol).cast("double").as("__score"))
+      .filter(col("__score").isNotNull)
+    val ordered = scores.orderBy(col("__score").asc)
     val (indexed, n) = Relational.withRowIndexCounted(ordered, "__wz_idx")
-    require(n > 0, "winsorize: empty input has no quantiles")
+    require(n > 0, "winsorize: no non-null scores to take quantiles of")
     def rank(p: Double): Long = math.max(math.ceil(p * n).toLong - 1L, 0L)
     val (loIdx, hiIdx) = (rank(pLo), rank(pHi))
     // two order statistics cross the driver — bounded by construction
@@ -106,6 +115,8 @@ object Quality {
       .collect().map(r => r.getAs[Long]("__wz_idx") -> r.getAs[Double]("__score")).toMap
     val (lo, hi) = (th(loIdx), th(hiIdx))
     df.select(col(idCol), col(scoreCol),
-      least(greatest(col(scoreCol).cast("double"), lit(lo)), lit(hi)).as("clamped"))
+      when(col(scoreCol).isNull, lit(null).cast("double"))
+        .otherwise(least(greatest(col(scoreCol).cast("double"), lit(lo)), lit(hi)))
+        .as("clamped"))
   }
 }

@@ -752,10 +752,11 @@ class PropertySpec extends SparkSpec {
           }
         }
       }
-      // and through the framing layer
-      val framed = graft.io.Proto.frame(
-        rows.iterator.map(graft.io.Proto.encodeRow(_, schema)))
-      assert(graft.io.Proto.unframe(framed).size == rows.size)
+      // and through the framing layer: payloads byte-equal, not just counted
+      val recs = rows.map(graft.io.Proto.encodeRow(_, schema))
+      val back = graft.io.Proto.unframe(graft.io.Proto.frame(recs.iterator)).toList
+      assert(back.size == recs.size &&
+        back.zip(recs).forall { case (a, b) => a.sameElements(b) })
     }
   }
 

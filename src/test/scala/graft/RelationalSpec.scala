@@ -211,12 +211,25 @@ class RelationalSpec extends SparkSpec {
     val g0 = Quality.winsorize(t, "id", "s", 0.0, 0.5)
       .orderBy("id").as[(Long, Double, Double)].collect().toSeq
     assert(g0.head._3 == 1.0 && g0.last._3 == 5.0)
-    // guards: bad band, reserved name, empty input all fail loudly
+    // NULL scores: excluded from threshold ranks, propagate as NULL in
+    // the output (r17 review — least/greatest would silently clamp them)
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0)),
+      (4L, Some(3.0)), (5L, Some(4.0))).toDF("id", "s")
+    val gn = Quality.winsorize(withNull, "id", "s", 0.3, 0.8)
+      .orderBy("id").collect()
+    // 4 non-null scores: lo = rank ⌈1.2⌉−1 = 1 → 2.0; hi = rank ⌈3.2⌉−1 = 3 → 4.0
+    assert(gn.map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq ==
+      Seq(2.0, null, 2.0, 3.0, 4.0))
+    // guards: bad band, output-name collision, no scored rows — all loud
     intercept[IllegalArgumentException](Quality.winsorize(t, "id", "s", 0.8, 0.2))
     intercept[IllegalArgumentException](Quality.winsorize(
-      t.withColumn("__wz_idx", lit(1L)), "id", "s", 0.1, 0.9))
+      t.withColumnRenamed("s", "clamped"), "id", "clamped", 0.1, 0.9))
     intercept[IllegalArgumentException](Quality.winsorize(
       t.filter(col("id") < 0), "id", "s", 0.1, 0.9))
+    // an unrelated __wz_idx column is NOT a conflict (internal name lives
+    // on a fixed two-column projection)
+    assert(Quality.winsorize(t.withColumn("__wz_idx", lit(9L)), "id", "s", 0.2, 0.8)
+      .count() == 10L)
   }
 
   test("globalNtile: exact SQL NTILE semantics without a global window") {
