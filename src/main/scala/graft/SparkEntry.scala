@@ -1093,6 +1093,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // GROUP-WISE winsorize (round 17): t167's clamp applied WITHIN each
+    // language — per-group rank thresholds ride one PARTITIONED window
+    // (strict-plan clean) and a groups-sized join; zero driver
+    // involvement, so the normalization scales with the corpus, not the
+    // driver. A language whose scorer runs hot no longer stretches the
+    // global band
+    "t168_winsorize_by_lang" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      graft.ops.Quality.winsorizeBy(scored, "lang", "doc_id", "quality",
+          pLo = 0.05, pHi = 0.95)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-lang quality-percentile pruning: keep the top 25% of each lang
     // by quality score — the relative-threshold curation step (stable mix
     // as quality drifts, unlike p67's absolute cutoff). Deterministic
@@ -3728,6 +3742,30 @@ object SparkEntry {
         |       WHERE idx = greatest(CAST(ceil(0.95 * n) AS BIGINT) - 1, 0))
         |SELECT doc_id, quality, least(greatest(quality, lo), hi) AS clamped
         |FROM s, lo, hi ORDER BY doc_id""".stripMargin,
+
+    // t168: the same rank rule per language — thresholds from a
+    // partitioned window, value-at-rank deterministic under ties
+    "t168_winsorize_by_lang" ->
+      """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, lang,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |s AS (SELECT doc_id, lang, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |r AS (SELECT lang, quality,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality) - 1 AS idx,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM s),
+        |th AS (SELECT lang,
+        |  min(CASE WHEN idx = greatest(CAST(ceil(0.05 * n) AS BIGINT) - 1, 0) THEN quality END) AS lo,
+        |  min(CASE WHEN idx = greatest(CAST(ceil(0.95 * n) AS BIGINT) - 1, 0) THEN quality END) AS hi
+        |  FROM r
+        |  WHERE idx = greatest(CAST(ceil(0.05 * n) AS BIGINT) - 1, 0)
+        |     OR idx = greatest(CAST(ceil(0.95 * n) AS BIGINT) - 1, 0)
+        |  GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality, least(greatest(s.quality, th.lo), th.hi) AS clamped
+        |FROM s JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
     // same quality expression as t63 wrapped in the rank window; ceil of
     // an exact small-int product is engine-identical

@@ -119,4 +119,46 @@ object Quality {
         .otherwise(least(greatest(col(scoreCol).cast("double"), lit(lo)), lit(hi)))
         .as("clamped"))
   }
+
+  /** GROUP-WISE [[winsorize]]: clamp `scoreCol` to its [pLo, pHi] band
+    * WITHIN each `groupCol` value — per-language (per-source, per-domain)
+    * score normalization, so a language whose scorer runs hot cannot
+    * dominate a global threshold. Same type-1 rank rule as [[winsorize]];
+    * NULL scores are excluded from ranks and propagate as NULL.
+    *
+    * Scale shape: fully distributed, ZERO driver involvement — the rank
+    * and the group size ride one window partitioned by the group (a
+    * partitioned window, so the StrictPlanGuard is satisfied and no
+    * single-task stage exists); the two per-group order statistics are
+    * a groups-sized relation joined back (AQE broadcasts it while groups
+    * are few); the clamp is a projection. Output:
+    * (idCol, groupCol, scoreCol, clamped). */
+  def winsorizeBy(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorizeBy: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(idCol != "clamped" && scoreCol != "clamped" && groupCol != "clamped",
+      "winsorizeBy: output column 'clamped' would collide with an input column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__score").asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), col(scoreCol).cast("double").as("__score"))
+      .filter(col("__score").isNotNull)
+      .withColumn("__idx", row_number().over(w) - lit(1))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def rankOf(p: Double): Column =
+      greatest(ceil(lit(p) * col("__n")).cast("long") - lit(1L), lit(0L))
+    val th = ranked
+      .filter(col("__idx") === rankOf(pLo) || col("__idx") === rankOf(pHi))
+      .groupBy(col(groupCol))
+      // at a group's loIdx == hiIdx (tiny group) one row serves both ends
+      .agg(min(when(col("__idx") === rankOf(pLo), col("__score"))).as("__lo"),
+        min(when(col("__idx") === rankOf(pHi), col("__score"))).as("__hi"))
+    df.join(th, Seq(groupCol), "left")
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col(scoreCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(scoreCol).cast("double"), col("__lo")), col("__hi")))
+          .as("clamped"))
+  }
 }

@@ -232,6 +232,29 @@ class RelationalSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("Quality.winsorizeBy: per-group thresholds; tiny group lo==hi; null scores pass through") {
+    import graft.ops.Quality
+    val t = (
+      (1 to 10).map(i => (i.toLong, "a", Some(i.toDouble))) ++      // a: 1..10
+      Seq((11L, "b", Some(100.0)), (12L, "b", Some(200.0)),          // b: tiny
+        (13L, "b", None))                                            // b: null score
+    ).toDF("id", "g", "s")
+    val got = Quality.winsorizeBy(t, "g", "id", "s", 0.2, 0.8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // group a (n=10): lo = rank 1 → 2.0, hi = rank 7 → 8.0 (same as global test)
+    assert((1 to 10).map(i => got(i.toLong)) ==
+      Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+    // group b (n=2 non-null): lo = rank 0 → 100, hi = rank ⌈1.6⌉−1 = 1 → 200
+    assert(got(11L) == 100.0 && got(12L) == 200.0)
+    // the null-score row propagates NULL and never shifted b's ranks
+    assert(got(13L) == null)
+    // groups never cross: a's thresholds ignore b's values entirely
+    val gAll = Quality.winsorizeBy(t.filter(col("g") === "a"), "g", "id", "s", 0.2, 0.8)
+      .orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(gAll == Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+  }
+
   test("globalNtile: exact SQL NTILE semantics without a global window") {
     import org.apache.spark.sql.expressions.Window
     // every (total, k) shape that distinguishes NTILE from the naive
