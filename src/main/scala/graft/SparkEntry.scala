@@ -1093,6 +1093,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // robust z-score (round 17): (quality − median) / MAD — the
+    // 50%-breakdown standardization feeding |z| > k outlier flags; both
+    // statistics are type-1 rank selections, so the oracle re-derives
+    // them independently and the whole projection replays bit-for-bit
+    "t169_robust_z" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      graft.ops.Quality.robustZ(scored, "doc_id", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
     // GROUP-WISE winsorize (round 17): t167's clamp applied WITHIN each
     // language — per-group rank thresholds ride one PARTITIONED window
     // (strict-plan clean) and a groups-sized join; zero driver
@@ -3742,6 +3753,30 @@ object SparkEntry {
         |       WHERE idx = greatest(CAST(ceil(0.95 * n) AS BIGINT) - 1, 0))
         |SELECT doc_id, quality, least(greatest(quality, lo), hi) AS clamped
         |FROM s, lo, hi ORDER BY doc_id""".stripMargin,
+
+    // t169: median and MAD re-derived by the same rank rule; the division
+    // is double/double in the identical operand order, floor-rounded
+    "t169_robust_z" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |s AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |cnt AS (SELECT count(*) AS n FROM s),
+        |r1 AS (SELECT quality, row_number() OVER (ORDER BY quality) - 1 AS idx FROM s),
+        |med AS (SELECT quality AS med FROM r1, cnt
+        |        WHERE idx = greatest(CAST(ceil(n / 2.0) AS BIGINT) - 1, 0)),
+        |r2 AS (SELECT abs(quality - med) AS d,
+        |       row_number() OVER (ORDER BY abs(quality - med)) - 1 AS idx FROM s, med),
+        |mad AS (SELECT d AS mad FROM r2, cnt
+        |        WHERE idx = greatest(CAST(ceil(n / 2.0) AS BIGINT) - 1, 0))
+        |SELECT doc_id, quality,
+        |  CASE WHEN mad = 0 THEN 0.0
+        |       ELSE floor((quality - med) / mad * 1e6 + 0.5) / 1e6 END AS z
+        |FROM s, med, mad ORDER BY doc_id""".stripMargin,
 
     // t168: the same rank rule per language — thresholds from a
     // partitioned window, value-at-rank deterministic under ties

@@ -120,6 +120,45 @@ object Quality {
         .as("clamped"))
   }
 
+  /** Robust z-score standardization: (score − median) / MAD — the
+    * outlier-robust sibling of the classic z-score (median and median
+    * absolute deviation are 50%-breakdown estimators; one pathological
+    * value cannot move them, unlike mean/stddev). The standard feed for
+    * |z| > k outlier flags over quality/length/loss columns.
+    *
+    * Both statistics are type-1 rank selections (the [[winsorize]] rule):
+    * median = value at rank max(⌈n/2⌉−1, 0) of the ascending sort, MAD =
+    * the same rank of |x − median| — integer ranks, engine-exact under
+    * ties, so an oracle re-derives both independently. A degenerate
+    * MAD = 0 (more than half the values equal the median) yields z = 0
+    * for every row — documented, deterministic, and division-free rather
+    * than an engine-specific ±Infinity. NULL scores propagate as NULL
+    * and never enter either rank. Output floor-rounded 6 dp through the
+    * portable form. Scale shape: two narrow range sorts + the row-index
+    * machinery; exactly two scalars cross the driver; the projection is
+    * codegen'd. Output: (idCol, scoreCol, z). */
+  def robustZ(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    require(idCol != "z" && scoreCol != "z",
+      "robustZ: output column 'z' would collide with an input column")
+    def medianOf(scores: DataFrame): Double = {
+      val ordered = scores.orderBy(col("__score").asc)
+      val (indexed, n) = Relational.withRowIndexCounted(ordered, "__rz_idx")
+      require(n > 0, "robustZ: no non-null scores")
+      val idx = math.max(math.ceil(n / 2.0).toLong - 1L, 0L)
+      indexed.filter(col("__rz_idx") === idx).head().getAs[Double]("__score")
+    }
+    val scores = df.select(col(scoreCol).cast("double").as("__score"))
+      .filter(col("__score").isNotNull)
+    val med = medianOf(scores)
+    val mad = medianOf(scores.select(abs(col("__score") - lit(med)).as("__score")))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val z =
+      if (mad == 0.0) when(col(scoreCol).isNull, lit(null).cast("double")).otherwise(lit(0.0))
+      else when(col(scoreCol).isNull, lit(null).cast("double"))
+        .otherwise(r6((col(scoreCol).cast("double") - lit(med)) / lit(mad)))
+    df.select(col(idCol), col(scoreCol), z.as("z"))
+  }
+
   /** GROUP-WISE [[winsorize]]: clamp `scoreCol` to its [pLo, pHi] band
     * WITHIN each `groupCol` value — per-language (per-source, per-domain)
     * score normalization, so a language whose scorer runs hot cannot

@@ -255,6 +255,25 @@ class RelationalSpec extends SparkSpec {
     assert(gAll == Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
   }
 
+  test("Quality.robustZ: golden median/MAD, MAD=0 degeneracy, null pass-through") {
+    import graft.ops.Quality
+    // 1..9: median = rank ⌈4.5⌉−1 = 4 → 5; |x−5| sorted: 0,1,1,2,2,3,3,4,4
+    // → MAD at rank 4 = 2; z(1) = −2, z(9) = 2, z(5) = 0
+    val t = (1 to 9).map(i => (i.toLong, Some(i.toDouble))).toDF("id", "s")
+    val got = Quality.robustZ(t, "id", "s")
+      .orderBy("id").as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) == -2.0 && got(5L) == 0.0 && got(9L) == 2.0 && got(7L) == 1.0)
+    // MAD = 0 (majority at the median): every z is 0, no division anywhere
+    val deg = Seq(1L -> 5.0, 2L -> 5.0, 3L -> 5.0, 4L -> 9.0).toDF("id", "s")
+    val gd = Quality.robustZ(deg, "id", "s")
+      .as[(Long, Double, Double)].collect().map(_._3).toSet
+    assert(gd == Set(0.0))
+    // null scores propagate and never enter the ranks
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("id", "s")
+    val gn = Quality.robustZ(withNull, "id", "s").orderBy("id").collect()
+    assert(gn(1).isNullAt(2) && !gn(0).isNullAt(2))
+  }
+
   test("globalNtile: exact SQL NTILE semantics without a global window") {
     import org.apache.spark.sql.expressions.Window
     // every (total, k) shape that distinguishes NTILE from the naive
