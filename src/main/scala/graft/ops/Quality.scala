@@ -103,21 +103,30 @@ object Quality {
     // output — Spark's least/greatest SKIP nulls, which would otherwise
     // silently clamp a null score to lo, and a null landing at a rank
     // would silently shift every threshold (r17 review)
-    val scores = df.select(col(scoreCol).cast("double").as("__score"))
-      .filter(col("__score").isNotNull)
-    val ordered = scores.orderBy(col("__score").asc)
-    val (indexed, n) = Relational.withRowIndexCounted(ordered, "__wz_idx")
-    require(n > 0, "winsorize: no non-null scores to take quantiles of")
-    def rank(p: Double): Long = math.max(math.ceil(p * n).toLong - 1L, 0L)
-    val (loIdx, hiIdx) = (rank(pLo), rank(pHi))
-    // two order statistics cross the driver — bounded by construction
-    val th = indexed.filter(col("__wz_idx").isin(loIdx, hiIdx))
-      .collect().map(r => r.getAs[Long]("__wz_idx") -> r.getAs[Double]("__score")).toMap
-    val (lo, hi) = (th(loIdx), th(hiIdx))
+    val Seq(lo, hi) = orderStats(
+      df.select(col(scoreCol).cast("double").as("__score"))
+        .filter(col("__score").isNotNull),
+      Seq(pLo, pHi), "winsorize")
     df.select(col(idCol), col(scoreCol),
       when(col(scoreCol).isNull, lit(null).cast("double"))
         .otherwise(least(greatest(col(scoreCol).cast("double"), lit(lo)), lit(hi)))
         .as("clamped"))
+  }
+
+  /** ONE copy of the type-1 rank-selection recipe (r17 review — it
+    * previously lived twice 30 lines apart): values at the 0-based ranks
+    * max(⌈p·n⌉−1, 0) of `scores`' ascending sort (a single `__score`
+    * column, nulls already excluded), returned in `ps` order. One narrow
+    * range sort + the row-index machinery; |ps| scalars cross the
+    * driver. */
+  private def orderStats(scores: DataFrame, ps: Seq[Double], op: String): Seq[Double] = {
+    val ordered = scores.orderBy(col("__score").asc)
+    val (indexed, n) = Relational.withRowIndexCounted(ordered, "__q_idx")
+    require(n > 0, s"$op: no non-null scores to take quantiles of")
+    val ranks = ps.map(p => math.max(math.ceil(p * n).toLong - 1L, 0L))
+    val th = indexed.filter(col("__q_idx").isin(ranks.distinct: _*))
+      .collect().map(r => r.getAs[Long]("__q_idx") -> r.getAs[Double]("__score")).toMap
+    ranks.map(th)
   }
 
   /** Robust z-score standardization: (score − median) / MAD — the
@@ -140,17 +149,14 @@ object Quality {
   def robustZ(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     require(idCol != "z" && scoreCol != "z",
       "robustZ: output column 'z' would collide with an input column")
-    def medianOf(scores: DataFrame): Double = {
-      val ordered = scores.orderBy(col("__score").asc)
-      val (indexed, n) = Relational.withRowIndexCounted(ordered, "__rz_idx")
-      require(n > 0, "robustZ: no non-null scores")
-      val idx = math.max(math.ceil(n / 2.0).toLong - 1L, 0L)
-      indexed.filter(col("__rz_idx") === idx).head().getAs[Double]("__score")
-    }
+    // median = the p=0.5 type-1 rank (⌈0.5·n⌉ ≡ ⌈n/2⌉ exactly — 0.5 is a
+    // power of two, so 0.5·n is the exact IEEE value of n/2.0)
     val scores = df.select(col(scoreCol).cast("double").as("__score"))
       .filter(col("__score").isNotNull)
-    val med = medianOf(scores)
-    val mad = medianOf(scores.select(abs(col("__score") - lit(med)).as("__score")))
+    val med = orderStats(scores, Seq(0.5), "robustZ").head
+    val mad = orderStats(
+      scores.select(abs(col("__score") - lit(med)).as("__score")),
+      Seq(0.5), "robustZ").head
     val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val z =
       if (mad == 0.0) when(col(scoreCol).isNull, lit(null).cast("double")).otherwise(lit(0.0))
@@ -178,6 +184,12 @@ object Quality {
       s"winsorizeBy: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     require(idCol != "clamped" && scoreCol != "clamped" && groupCol != "clamped",
       "winsorizeBy: output column 'clamped' would collide with an input column")
+    // unlike winsorize, the threshold relation JOINS the caller's frame —
+    // its internal names must not collide with caller columns (r17 review)
+    Seq("__lo", "__hi", "__grp").foreach { n =>
+      require(!df.columns.contains(n),
+        s"winsorizeBy: input column '$n' collides with a reserved internal name")
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__score").asc)
     val wAll = Window.partitionBy(col(groupCol))
@@ -194,7 +206,13 @@ object Quality {
       // at a group's loIdx == hiIdx (tiny group) one row serves both ends
       .agg(min(when(col("__idx") === rankOf(pLo), col("__score"))).as("__lo"),
         min(when(col("__idx") === rankOf(pHi), col("__score"))).as("__hi"))
-    df.join(th, Seq(groupCol), "left")
+      .withColumnRenamed(groupCol, "__grp")
+    // NULL-SAFE group match (r17 review): the window and groupBy above DO
+    // form a group for a NULL key, but an equi-join can never reach it —
+    // NULL-group rows would pass through with their raw score labeled
+    // "clamped" (least/greatest skip the null thresholds). <=> joins the
+    // NULL group to its own thresholds like any other group.
+    df.join(th, col(groupCol) <=> col("__grp"), "left")
       .select(col(idCol), col(groupCol), col(scoreCol),
         when(col(scoreCol).isNull, lit(null).cast("double"))
           .otherwise(least(greatest(col(scoreCol).cast("double"), col("__lo")), col("__hi")))

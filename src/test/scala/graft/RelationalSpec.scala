@@ -253,6 +253,18 @@ class RelationalSpec extends SparkSpec {
     val gAll = Quality.winsorizeBy(t.filter(col("g") === "a"), "g", "id", "s", 0.2, 0.8)
       .orderBy("id").collect().map(_.getDouble(3)).toSeq
     assert(gAll == Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+    // a NULL group key is a GROUP, clamped by its own thresholds (r17
+    // review — an equi-join would silently pass NULL-group rows through
+    // unclamped under the "clamped" label)
+    val withNullGrp = Seq((1L, Some("a"), 5.0), (2L, None, 1.0), (3L, None, 2.0),
+      (4L, None, 3.0), (5L, None, 4.0), (6L, None, 100.0)).toDF("id", "g", "s")
+    val gg = Quality.winsorizeBy(withNullGrp, "g", "id", "s", 0.25, 0.8)
+      .orderBy("id").collect().map(_.getDouble(3)).toSeq
+    // null group n=5: lo = rank ⌈1.25⌉−1 = 1 → 2.0; hi = rank 3 → 4.0
+    assert(gg == Seq(5.0, 2.0, 2.0, 3.0, 4.0, 4.0))
+    // reserved internal names on the CALLER frame are rejected loudly
+    intercept[IllegalArgumentException](Quality.winsorizeBy(
+      t.withColumn("__lo", lit(1.0)), "g", "id", "s", 0.2, 0.8))
   }
 
   test("Quality.robustZ: golden median/MAD, MAD=0 degeneracy, null pass-through") {
