@@ -119,7 +119,7 @@ object Quality {
     * column, nulls already excluded), returned in `ps` order. One narrow
     * range sort + the row-index machinery; |ps| scalars cross the
     * driver. */
-  private def orderStats(scores: DataFrame, ps: Seq[Double], op: String): Seq[Double] = {
+  private[graft] def orderStats(scores: DataFrame, ps: Seq[Double], op: String): Seq[Double] = {
     val ordered = scores.orderBy(col("__score").asc)
     val (indexed, n) = Relational.withRowIndexCounted(ordered, "__q_idx")
     require(n > 0, s"$op: no non-null scores to take quantiles of")
@@ -150,9 +150,15 @@ object Quality {
     require(idCol != "z" && scoreCol != "z",
       "robustZ: output column 'z' would collide with an input column")
     // median = the p=0.5 type-1 rank (⌈0.5·n⌉ ≡ ⌈n/2⌉ exactly — 0.5 is a
-    // power of two, so 0.5·n is the exact IEEE value of n/2.0)
-    val scores = df.select(col(scoreCol).cast("double").as("__score"))
-      .filter(col("__score").isNotNull)
+    // power of two, so 0.5·n is the exact IEEE value of n/2.0).
+    // STAGED: the score relation feeds two sequential stat passes (MAD
+    // depends on the median, so they cannot fuse), and re-deriving the
+    // score from the scan per pass dominated the op's cost when the score
+    // is expression-heavy — the x169 head-to-head measured the staged
+    // form at 0.59× (1.15 vs 1.95 s warm at sf0.1)
+    val scores = graft.ops.Checkpointing.stage(
+      df.select(col(scoreCol).cast("double").as("__score"))
+        .filter(col("__score").isNotNull))
     val med = orderStats(scores, Seq(0.5), "robustZ").head
     val mad = orderStats(
       scores.select(abs(col("__score") - lit(med)).as("__score")),
