@@ -2632,6 +2632,57 @@ object SparkEntry {
           "vec_id", "embedding", k = 10,
           codebook = graft.ops.Similarity.pqCodebook(8, 16, 8), expand = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // corpus k-NN GRAPH (round 17): per-NODE top-k cosine neighbors from
+    // LSH-bucket candidates — the primitive under semantic clustering,
+    // SemDeDup diversity pruning, and label propagation, where the query
+    // set IS the corpus and all-pairs is never an option. nearDupPairs'
+    // dual: both directions kept (k-NN is asymmetric), RANK threshold
+    // instead of a cosine threshold; same md5-derived planes, so the
+    // oracle recomputes identical buckets
+    "s170_knn_graph" -> ((s, dir) => {
+      graft.ops.Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 5, planes = 6, tables = 2, dim = 64)
+        .orderBy(col("node_id"), col("neighbor_id"))
+    }),
+
+    // MERGEABLE moment statistics (round 17): base + delta slice sketches
+    // merged algebraically vs a full recompute — the stats-maintenance
+    // path that never rescans history at 100 TB (merge cost is O(cols)).
+    // The decimal aggregation state makes the merge EXACT, asserted
+    // per-field in the oracle-checked matches_full column (the q163
+    // assert-a-bound pattern)
+    "p170_incremental_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val split = to_timestamp(lit("1997-01-01 00:00:00"))
+      val merged = graft.ops.Stats.momentsReport(graft.ops.Stats.mergeMoments(Seq(
+        graft.ops.Stats.momentsSketch(li.filter(col("l_shipdate") < split), fields),
+        graft.ops.Stats.momentsSketch(li.filter(col("l_shipdate") >= split), fields))))
+      val full = graft.ops.Stats.momentsReport(
+        graft.ops.Stats.momentsSketch(li, fields))
+        .select(col("field"), col("n").as("f_n"), col("sum").as("f_sum"),
+          col("mean").as("f_mean"), col("stdev").as("f_stdev"))
+      merged.join(full, "field")
+        .select(col("field"), col("n"), col("n_na"), col("min"), col("max"),
+          col("sum"), col("mean"), col("stdev"),
+          (col("n") === col("f_n") && col("sum") === col("f_sum") &&
+            col("mean") === col("f_mean") && col("stdev") === col("f_stdev"))
+            .as("matches_full"))
+        .orderBy(col("field"))
+    }),
+
+    // Naive-Bayes LABEL-NOISE AUDIT (round 17): add-0.5 token models
+    // trained per language tag on the corpus's OWN labels, every doc
+    // re-classified, disagreements flagged — the standard mislabel sweep
+    // before per-language sampling/mixing trusts the tags. Model is
+    // vocab×labels-bounded; every ln decimal-rounded pre-sum (the t110
+    // contract), so scores and the argmax replay exactly in any engine
+    "t170_nb_label_audit" -> ((s, dir) => {
+      graft.ops.TextIndex.naiveBayesLabelAudit(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4753,7 +4804,79 @@ object SparkEntry {
         |  valid_to IS NULL AS is_current
         |FROM v, sel
         |WHERE valid_from <= as_of AND (valid_to IS NULL OR valid_to > as_of)
-        |ORDER BY user_id, valid_from, event_type""".stripMargin
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // the s30 bucket-replay oracle generalized to every node as its own
+    // query (rank ≤ k per node, both directions)
+    "s170_knn_graph" -> lshOracle(planes = 6, tables = 2, dim = 64, k = 5,
+      queryPred = "TRUE", outId = "node_id"),
+
+    // both aggregation paths replayed: per-slice decimal moments merged
+    // algebraically, the full-recompute moments beside them, and the
+    // merged-equals-full assertion as a column (the q163 pattern). The
+    // decimal casts/sums are the q09 recipe, so every derived double is
+    // identical in both engines
+    "p170_incremental_stats" -> {
+      val fields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def sk(alias: String, pred: String): String = fields.map { c =>
+        s"""SELECT '$c' AS field, count($c) AS n, count(*) - count($c) AS n_na,
+           |    min(CAST($c AS DECIMAL(18,2))) AS mn, max(CAST($c AS DECIMAL(18,2))) AS mx,
+           |    coalesce(sum(CAST($c AS DECIMAL(18,2))), 0) AS s,
+           |    coalesce(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))), 0) AS sq
+           |  FROM lineitem $pred""".stripMargin
+      }.mkString(s"$alias AS (", " UNION ALL ", ")")
+      s"""WITH ${sk("mb", "WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")},
+         |${sk("md", "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")},
+         |${sk("mf", "")},
+         |mm AS (SELECT field, CAST(sum(n) AS BIGINT) AS n, CAST(sum(n_na) AS BIGINT) AS n_na, min(mn) AS mn, max(mx) AS mx,
+         |  sum(s) AS s, sum(sq) AS sq FROM (SELECT * FROM mb UNION ALL SELECT * FROM md) GROUP BY field),
+         |rep AS (SELECT field, n, n_na, round(CAST(mn AS DOUBLE), 4) AS min, round(CAST(mx AS DOUBLE), 4) AS max,
+         |  round(CAST(s AS DOUBLE), 2) AS sum,
+         |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS mean,
+         |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS stdev
+         |  FROM mm),
+         |repf AS (SELECT field, n AS f_n, round(CAST(s AS DOUBLE), 2) AS f_sum,
+         |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS f_mean,
+         |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS f_stdev
+         |  FROM mf)
+         |SELECT rep.field, n, n_na, min, max, sum, mean, stdev,
+         |  (n = f_n AND sum = f_sum AND mean = f_mean AND stdev = f_stdev) AS matches_full
+         |FROM rep JOIN repf ON rep.field = repf.field
+         |ORDER BY rep.field""".stripMargin
+    },
+
+    // the t110 LM chain as a per-label classifier: model counts per
+    // (label, token), matched mass via the inner token join, unseen mass
+    // as the algebraic (n_tok − matched)·floor term — every ln
+    // DECIMAL(27,7)-rounded pre-sum, the argmax on exact decimal scores
+    "t170_nb_label_audit" ->
+      """WITH d AS (SELECT doc_id, lang AS label,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents),
+        |tok AS (SELECT doc_id, label, unnest(t) AS token FROM d),
+        |c AS (SELECT label, token, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(sum(c_lt) AS BIGINT) AS c_l FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM c),
+        |pri AS (SELECT label, count(*) AS n_docs FROM d GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_total, count(DISTINCT label) AS n_labels FROM d),
+        |ls AS (SELECT pri.label AS cand,
+        |    CAST(ln((n_docs + 0.5) / (n_total + 0.5 * n_labels)) AS DECIMAL(27,7)) AS prior_lp,
+        |    CAST(ln(0.5 / (c_l + 0.5 * v)) AS DECIMAL(27,7)) AS miss_lp
+        |  FROM pri JOIN tot ON pri.label = tot.label, v, nt),
+        |m AS (SELECT doc_id, c.label AS cand,
+        |    sum(CAST(ln((c_lt + 0.5) / (c_l + 0.5 * v)) AS DECIMAL(27,7))) AS m_sum,
+        |    count(*) AS m_cnt
+        |  FROM tok JOIN c ON tok.token = c.token JOIN tot ON c.label = tot.label, v
+        |  GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, label, len(t) AS n_tok FROM d),
+        |sc AS (SELECT pd.doc_id, pd.label, ls.cand,
+        |    CAST(ls.prior_lp AS DECIMAL(30,7)) + CAST(coalesce(m.m_sum, 0) AS DECIMAL(30,7)) +
+        |    CAST(CAST(pd.n_tok - coalesce(m.m_cnt, 0) AS DECIMAL(10,0)) * ls.miss_lp AS DECIMAL(30,7)) AS score
+        |  FROM pd CROSS JOIN ls LEFT JOIN m ON m.doc_id = pd.doc_id AND m.cand = ls.cand),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
+        |SELECT doc_id, label, cand AS pred_label,
+        |  floor(CAST(score AS DOUBLE) * 1e6 + 0.5) / 1e6 AS score,
+        |  (label = cand) AS agree
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle for d24: recompute the 60-bit md5 simhash per doc in SQL, then
@@ -4988,7 +5111,9 @@ object SparkEntry {
        |FROM g ORDER BY bucket, dim_pos""".stripMargin
   }
 
-  private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int): String = {
+  private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int,
+                        queryPred: String = "q.vec_id < 8",
+                        outId: String = "query_id"): String = {
     val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
     def lst(a: Array[Double]): String =
       a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
@@ -4997,21 +5122,21 @@ object SparkEntry {
     }.mkString(" + ")
     val bucketCols = (0 until tables).map(tb => s"${bucketExpr(tb)} AS b$tb").mkString(", ")
     val cand = (0 until tables).map(tb =>
-      s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM b q JOIN b c ON q.b$tb = c.b$tb " +
-        s"WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id")
+      s"SELECT q.vec_id AS $outId, c.vec_id AS neighbor_id FROM b q JOIN b c ON q.b$tb = c.b$tb " +
+        s"WHERE $queryPred AND c.vec_id <> q.vec_id")
       .mkString(" UNION ")
     s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
        |b AS (SELECT vec_id, e, $bucketCols FROM v),
        |cand AS ($cand),
-       |scored AS (SELECT query_id, neighbor_id,
+       |scored AS (SELECT $outId, neighbor_id,
        |  list_sum([qv.e[i]*cv.e[i] for i in range(1, len(qv.e)+1)]) /
        |  (sqrt(list_sum([qv.e[i]*qv.e[i] for i in range(1, len(qv.e)+1)])) *
        |   sqrt(list_sum([cv.e[i]*cv.e[i] for i in range(1, len(cv.e)+1)]))) AS cosine
-       |  FROM cand JOIN v qv ON qv.vec_id = query_id JOIN v cv ON cv.vec_id = neighbor_id),
-       |ranked AS (SELECT query_id, neighbor_id, cosine,
-       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
-       |FROM ranked WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin
+       |  FROM cand JOIN v qv ON qv.vec_id = $outId JOIN v cv ON cv.vec_id = neighbor_id),
+       |ranked AS (SELECT $outId, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY $outId ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT $outId, neighbor_id, round(cosine, 4) AS cosine
+       |FROM ranked WHERE rn <= $k ORDER BY $outId, neighbor_id""".stripMargin
   }
 
   /** s142 oracle: the s30 LSH chain and the s29 exact chain joined into a

@@ -1145,4 +1145,58 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Corpus k-NN GRAPH: for EVERY node, its top-k cosine neighbors among
+    * the candidates sharing an LSH bucket with it — the building block
+    * under semantic clustering, SemDeDup-style diversity pruning, label
+    * propagation, and graph-based outlier scoring, where the "queries" are
+    * the corpus itself and an all-pairs scan (n² at 100 TB) is never an
+    * option.
+    *
+    * Same OR-amplified md5-derived hyperplane buckets as [[nearDupPairs]]
+    * (so the oracle recomputes them exactly), but where nearDupPairs keeps
+    * a symmetric pair ONCE (id_a < id_b) and thresholds on cosine, the
+    * graph keeps BOTH directions (k-NN is per-node and asymmetric: b in
+    * kNN(a) does not imply a in kNN(b)) and thresholds on per-node RANK.
+    *
+    * Scale shape: identical to [[nearDupPairs]] — ids-only bucket
+    * exchange, candidate-sized vector-fetch joins (no broadcast hints;
+    * AQE sizes them), then ONE hash exchange on node_id for the per-node
+    * top-k. `WindowGroupLimit` pushes the rank filter into a per-partition
+    * top-k, so the scored candidate set is never globally sorted. Recall
+    * is the nearDupPairs table math: size `planes` ~log₂(n) (see
+    * [[autoPlanes]]) and grow `tables` to buy recall back. Nodes whose
+    * buckets are singletons in every table emit no rows — at sane plane
+    * counts that is the definition of "no near neighbor found", and the
+    * caller that needs total coverage lowers `planes` or unions a
+    * brute-force pass over the leftover ids (both corpus-bounded). */
+  def knnGraph(df0: DataFrame, idCol: String, vecCol: String, k: Int,
+               planes: Int = 4, tables: Int = 2, dim: Int = -1): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val df = graft.core.Par.widen(df0)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(lshBucketTables(df.sparkSession, col(vecCol), planes, tables, d))
+        .as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("id").as("node_id"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("node_id") =!= col("neighbor_id"))
+      .dropDuplicates("node_id", "neighbor_id")
+      .select(col("node_id"), col("neighbor_id"))
+    // vector fetch post-candidate: reads df0, not the widened df (the scans
+    // do no per-row work pre-join — the nearDupPairs rule)
+    val vecs = df0.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = cand
+      .join(vecs.select(col("id").as("node_id"), col("v").as("nv")), "node_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        df.sparkSession, col("nv"), col("cv")))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("node_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 }

@@ -65,6 +65,73 @@ object Stats {
                      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
     df.stat.countMinSketch(valueCol, eps, delta, seed)
 
+  /** MERGEABLE moment sketch: one row per column carrying the algebraic
+    * aggregation state (n, n_na, min, max, Σx, Σx²) with the sums held in
+    * DECIMAL over the DECIMAL(18,`scale`)-cast values — exact and
+    * reduction-order independent, so two sketches computed on disjoint
+    * slices merge to EXACTLY the full-recompute sketch ([[mergeMoments]]).
+    *
+    * This is the statistic-maintenance primitive a 100 TB warehouse needs:
+    * a daily snapshot's stats come from merging yesterday's sketch with the
+    * delta slice's sketch — O(cols) merge work — instead of rescanning the
+    * history. One aggregation pass per slice (all columns together, the
+    * [[describe]] shape); the sketch relation is cols-sized, never
+    * data-sized.
+    *
+    * `scale` is the portability contract on the cast (values are rounded
+    * to `scale` decimal places before any arithmetic): callers pick the
+    * scale their data is exact at — 2 for money/quantity columns. */
+  def momentsSketch(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "momentsSketch: at least one column required")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val d = col(c).cast(DecimalType(18, scale))
+      Seq(
+        count(d).as(s"${c}__n"),
+        (count(lit(1)) - count(d)).as(s"${c}__n_na"),
+        min(d).as(s"${c}__min"),
+        max(d).as(s"${c}__max"),
+        coalesce(sum(d), lit(0).cast(DecimalType(28, scale))).as(s"${c}__sum"),
+        coalesce(sum(d * d), lit(0).cast(DecimalType(38, 2 * scale))).as(s"${c}__sumsq"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val fields = cols.map { c =>
+      s"'$c', `${c}__n`, `${c}__n_na`, `${c}__min`, `${c}__max`, `${c}__sum`, `${c}__sumsq`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $fields) as (field, n, n_na, min, max, sum, sumsq)"))
+  }
+
+  /** Merge moment sketches from disjoint slices: counts and decimal sums
+    * add, extrema take min/max — all associative/commutative, so ANY merge
+    * tree (pairwise daily, hierarchical by region, streaming micro-batch)
+    * yields the identical sketch. Cols-sized input, one tiny hash agg. */
+  def mergeMoments(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "mergeMoments: at least one sketch required")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("field"))
+      .agg(sum(col("n")).as("n"), sum(col("n_na")).as("n_na"),
+        min(col("min")).as("min"), max(col("max")).as("max"),
+        sum(col("sum")).as("sum"), sum(col("sumsq")).as("sumsq"))
+  }
+
+  /** Human-facing report over a moment sketch: derives mean/stdev from the
+    * exact decimal state through the q09 portable-double recipe (identical
+    * decimals → identical doubles → identical rounded results in any
+    * engine). All-NA columns: mean/stdev NULL here (the sketch is a
+    * maintenance primitive, not the agnes view_stats sink — [[describe]]
+    * keeps the reference's 0.0 contract). */
+  def momentsReport(sk: DataFrame): DataFrame = {
+    val sumD = col("sum").cast(DoubleType)
+    val sqD = col("sumsq").cast(DoubleType)
+    sk.select(col("field"), col("n"), col("n_na"),
+      round(col("min").cast(DoubleType), 4).as("min"),
+      round(col("max").cast(DoubleType), 4).as("max"),
+      round(sumD, 2).as("sum"),
+      when(col("n") > 0, round(sumD / col("n"), 6)).as("mean"),
+      when(col("n") > 1,
+        round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev"))
+  }
+
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */
   def naCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -464,4 +464,80 @@ object TextIndex {
       .select(col("id_a"), col("id_b"),
         (floor(col("__cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cosine"))
   }
+
+  /** LABEL-NOISE AUDIT via a corpus-trained multinomial Naive Bayes
+    * classifier: train add-k token models per label ON the corpus's own
+    * labels, re-classify every document, and flag the disagreements — the
+    * standard first pass for catching mislabeled language tags (or any
+    * categorical doc label) before they poison stratified sampling,
+    * per-language mixing, and tokenizer training.
+    *
+    * Model: P(label) smoothed over docs; P(token | label) add-k over the
+    * label's token occurrences with the GLOBAL distinct-token vocabulary V.
+    * score(doc, label) = ln P(label) + Σ_tok ln P(tok | label); prediction
+    * is the max score with ties to the lexicographically first label.
+    *
+    * Scale shape: the model is |vocab|×|labels|-bounded regardless of
+    * corpus size (one map-side-combined hash agg), localCheckpointed once
+    * (it feeds the totals, the vocabulary scalar, AND the scoring join —
+    * the multi-consumer rule). Scoring joins each token OCCURRENCE only to
+    * the labels that actually contain the token (inner join on token), so
+    * the exchange carries ≤ |labels|× the token stream and typically far
+    * less; the unseen-(token,label) mass — the part that would naively need
+    * a per-occurrence × per-label explosion — collapses algebraically to
+    * (n_tok − n_matched) · ln(k / (c_label + k·V)), one label-bounded
+    * scalar multiply per (doc, label). Join strategy is AQE's: the model
+    * broadcasts when it fits, shuffles when a 100 TB vocabulary does not.
+    *
+    * Determinism (the t110 contract): every ln is computed on identical
+    * doubles in any engine (integer counts in, one division) and rounded
+    * through DECIMAL(27,7) BEFORE the sums, the unseen-mass multiply is
+    * DECIMAL×integer (exact), so scores compare exactly and the argmax is
+    * engine-portable. Zero-token documents score on the prior alone. */
+  def naiveBayesLabelAudit(df: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, k: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      tokensExpr(textCol).as("t"))
+    val toks = docs.select(col("doc_id"), col("label"), explode(col("t")).as("token"))
+    val counts = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c_lt"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col("label")).agg(sum(col("c_lt")).as("c_l"))
+    val vocab = counts.agg(countDistinct(col("token")).as("v"))
+    val priors = docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("label")).as("n_labels"))
+    // per-label scalars: smoothed log prior + the unseen-token log floor —
+    // |labels| rows, broadcast into the per-doc fill join
+    val dec = (c: Column) => c.cast("decimal(27,7)")
+    val labelStats = priors.join(totals, "label").crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTotal))
+      .select(col("label").as("cand"),
+        dec(log((col("n_docs") + lit(k)) / (col("n_total") + lit(k) * col("n_labels"))))
+          .as("prior_lp"),
+        dec(log(lit(k) / (col("c_l") + lit(k) * col("v")))).as("miss_lp"))
+    // matched mass: occurrences × only-the-labels-containing-the-token
+    val matched = toks.select(col("doc_id"), col("token"))
+      .join(counts.withColumnRenamed("label", "cand"), Seq("token"))
+      .join(totals.withColumnRenamed("label", "cand"), Seq("cand"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", dec(log((col("c_lt") + lit(k)) / (col("c_l") + lit(k) * col("v")))))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("lp")).as("m_sum"), count(lit(1)).as("m_cnt"))
+    val perDoc = docs.select(col("doc_id"), col("label"), size(col("t")).as("n_tok"))
+    val scored = perDoc.crossJoin(broadcast(labelStats))
+      .join(matched, Seq("doc_id", "cand"), "left")
+      .withColumn("score",
+        col("prior_lp").cast("decimal(30,7)") +
+          coalesce(col("m_sum"), lit(0)).cast("decimal(30,7)") +
+          ((col("n_tok") - coalesce(col("m_cnt"), lit(0L))).cast("decimal(10,0)") *
+            col("miss_lp")).cast("decimal(30,7)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("cand").as("pred_label"),
+        (floor(col("score").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("score"),
+        (col("label") === col("cand")).as("agree"))
+  }
 }

@@ -549,6 +549,55 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == run(), "bucketing must be deterministic across runs")
   }
 
+  test("knnGraph: per-node top-k among bucket candidates, both directions — full golden replay") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val (k, planes, tables, dim) = (3, 4, 2, 64)
+    val got = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = k, planes = planes, tables = tables, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // golden: recompute buckets from the md5 plane matrix with the same
+    // left-to-right double accumulation, then rank candidates by the
+    // operator's own exact cosine (unrounded) driver-side
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mat = Similarity.planeMatrix(planes * tables, dim)
+    def bucket(v: Array[Float], tbl: Int): Long = (0 until planes).map { p =>
+      val w = mat(tbl * planes + p)
+      val proj = v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * w(i))
+      if (proj >= 0) 1L << p else 0L
+    }.sum
+    val byBucket = (for {
+      (id, v) <- vecs.toSeq; tbl <- 0 until tables
+    } yield (tbl, bucket(v, tbl)) -> id).groupBy(_._1)
+    val aa = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val bb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val cos = aa.join(bb, col("id_a") =!= col("id_b"))
+      .withColumn("c", graft.functions.VectorExpressions.cosineNative(
+        spark, col("ea"), col("eb")))
+      .select("id_a", "id_b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = byBucket.values.flatMap { grp =>
+      val ids = grp.map(_._2)
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    }.toSet
+    def round4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = cands.groupBy(_._1).flatMap { case (node, ps) =>
+      ps.toSeq.map(p => (p._2, cos(p)))
+        .sortBy { case (nbr, c) => (-c, nbr) }.take(k)
+        .map { case (nbr, c) => (node, nbr) -> round4(c) }
+    }
+    assert(got == expected, {
+      val extra = got.keySet -- expected.keySet
+      val missing = expected.keySet -- got.keySet
+      s"knnGraph mismatch: extra=${extra.take(5)} missing=${missing.take(5)}"
+    })
+    // asymmetry is real in this fixture: some edge's reverse is absent
+    assert(got.keys.exists { case (a, b) => !got.contains((b, a)) },
+      "expected at least one asymmetric k-NN edge")
+  }
+
   test("autoPlanes: linear-candidate sizing, log2 growth, clamps") {
     import Similarity.autoPlanes
     // n/2^planes <= targetMates at the returned planes, not at planes-1

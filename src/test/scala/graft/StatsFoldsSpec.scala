@@ -118,4 +118,48 @@ class StatsFoldsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("s"), 6.168391, 1e-5))
     assert(approx(r.getAs[Double]("sp"), 5.710820, 1e-5))
   }
+
+  test("momentsSketch: ANY disjoint split merges to EXACTLY the full sketch, empty slices are identity") {
+    val rows: Seq[(Long, java.lang.Double, java.lang.Double)] =
+      (1L to 40L).map { i =>
+        val x: java.lang.Double = if (i % 7 == 0) null else i * 1.25 - 20.0
+        val y: java.lang.Double = if (i % 11 == 0) null else 100.0 - i * 0.5
+        (i, x, y)
+      }
+    val df = rows.toDF("k", "x", "y")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("field").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), String.valueOf(r.get(3)), String.valueOf(r.get(4)),
+        String.valueOf(r.get(5)), String.valueOf(r.get(6)))).toSeq
+    val full = Stats.momentsSketch(df, Seq("x", "y"))
+    // 3-way split by key — decimal state, so the merge is EXACT, not approx
+    val parts = (0 until 3).map(i => Stats.momentsSketch(
+      df.filter(col("k") % 3 === i), Seq("x", "y")))
+    assert(rowsOf(Stats.mergeMoments(parts)) == rowsOf(full))
+    // merging an empty slice's sketch changes nothing (n=0, sums 0,
+    // extrema NULL — min/max ignore NULL)
+    val empty = Stats.momentsSketch(df.filter(col("k") < 0), Seq("x", "y"))
+    assert(rowsOf(Stats.mergeMoments(Seq(full, empty))) == rowsOf(full))
+    // merge is associative/commutative: any merge tree, same sketch
+    val treeA = Stats.mergeMoments(Seq(Stats.mergeMoments(parts.take(2)), parts(2)))
+    val treeB = Stats.mergeMoments(Seq(parts(2), Stats.mergeMoments(parts.drop(1).take(1) :+ parts.head)))
+    assert(rowsOf(treeA) == rowsOf(treeB) && rowsOf(treeA) == rowsOf(full))
+  }
+
+  test("momentsReport: mean/stdev match describe on 2dp-exact data; all-NA column goes NULL") {
+    val df = Seq[java.lang.Double](-5.0, -4.0, null, 12.0, 3.0, null, 6.0, 0.0, -3.1)
+      .toDF("x")
+    val rep = Stats.momentsReport(Stats.momentsSketch(df, Seq("x"))).collect().head
+    assert(rep.getAs[Long]("n") == 7 && rep.getAs[Long]("n_na") == 2)
+    assert(rep.getAs[Double]("min") == -5.0 && rep.getAs[Double]("max") == 12.0)
+    assert(rep.getAs[Double]("sum") == 8.9)
+    assert(approx(rep.getAs[Double]("mean"), 1.271429, 1e-6))
+    assert(approx(rep.getAs[Double]("stdev"), 6.168391, 1e-6))
+    // all-NA: the maintenance sketch reports NULL mean/stdev (describe
+    // keeps the reference's 0.0 sink contract — different consumers)
+    val na = Stats.momentsReport(Stats.momentsSketch(
+      Seq[java.lang.Double](null, null).toDF("x"), Seq("x"))).collect().head
+    assert(na.getAs[Long]("n") == 0L && na.isNullAt(na.fieldIndex("mean"))
+      && na.isNullAt(na.fieldIndex("stdev")))
+  }
 }

@@ -415,4 +415,35 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(strict.map(r => (r._1, r._2)) == Seq((1L, 2L)))
   }
+
+  test("naiveBayesLabelAudit: recovers a separable labeling, flags the mislabel, prior-only zero-token docs") {
+    val labeled = Seq(
+      (1L, "alpha alpha beta", "a"),
+      (2L, "alpha beta beta alpha", "a"),
+      (3L, "alpha alpha", "a"),
+      (4L, "gamma delta gamma", "b"),
+      (5L, "delta gamma delta", "b"),
+      (6L, "gamma delta", "a"), // mislabeled: b-vocabulary text tagged 'a'
+      (7L, "???", "a")          // no a-z0-9 tokens at all
+    ).toDF("doc_id", "text", "lang")
+    val out = TextIndex.naiveBayesLabelAudit(labeled, "doc_id", "text", "lang")
+      .collect().sortBy(_.getLong(0))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size == 7, "one verdict row per document")
+    // clean docs classify to their own label
+    for (id <- Seq(1L, 2L, 3L)) assert(out(id)._2 == "a" && out(id)._4, s"doc $id")
+    for (id <- Seq(4L, 5L)) assert(out(id)._2 == "b" && out(id)._4, s"doc $id")
+    // the mislabel is the audit's catch: model says 'b', tag says 'a'
+    assert(out(6L)._1 == "a" && out(6L)._2 == "b" && !out(6L)._4)
+    // zero-token doc falls back to the prior argmax — 'a' holds 5 of 7 docs
+    assert(out(7L)._2 == "a" && out(7L)._4)
+    // and its score IS the smoothed log prior, through the exact decimal
+    // pipeline: ln((5+0.5)/(7+0.5·2)) rounded DECIMAL(27,7), then the
+    // portable 6dp floor
+    val priorLp = new java.math.BigDecimal(math.log(5.5 / 8.0))
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = math.floor(priorLp * 1e6 + 0.5) / 1e6
+    assert(out(7L)._3 == expected, s"prior-only score ${out(7L)._3} != $expected")
+  }
 }
