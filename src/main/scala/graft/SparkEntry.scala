@@ -2673,6 +2673,22 @@ object SparkEntry {
         .orderBy(col("field"))
     }),
 
+    // SEMANTIC CLUSTERS (round 17): connected components over MUTUAL k-NN
+    // edges from s170's graph, gated at cosine ≥ 0.35 — the hub-resistant
+    // clustering construction feeding cluster-aware splits and diversity
+    // sampling; every vector gets a cluster (singletons under their own
+    // id), cluster_id = min member. Ungated, rank-only mutuality
+    // percolates this corpus into one 99% mega-component (see the
+    // operator's scaladoc) — the similarity cut is the semantics. The
+    // oracle replays buckets, ranks, the gate, mutuality, and the closure
+    // with a recursive CTE
+    "d171_mutual_knn_clusters" -> ((s, dir) => {
+      graft.ops.Similarity.mutualKnnClusters(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, minCosine = 0.35,
+          planes = 6, tables = 2, dim = 64)
+        .orderBy(col("vec_id"))
+    }),
+
     // Naive-Bayes LABEL-NOISE AUDIT (round 17): add-0.5 token models
     // trained per language tag on the corpus's OWN labels, every doc
     // re-classified, disagreements flagged — the standard mislabel sweep
@@ -4811,6 +4827,32 @@ object SparkEntry {
     "s170_knn_graph" -> lshOracle(planes = 6, tables = 2, dim = 64, k = 5,
       queryPred = "TRUE", outId = "node_id"),
 
+    // s170's CTE chain extended by the cosine gate (on the same 4dp
+    // rounded value the engine filters), mutuality, and the d73 recursive
+    // closure; singletons filled from the corpus, sizes recounted. The
+    // multiply-referenced CTEs are MATERIALIZED: DuckDB re-evaluates plain
+    // CTEs per reference, and `edges` is referenced by every recursion
+    // step — unhinted, the whole LSH+cosine chain re-runs per iteration
+    // (measured 7.5 min → 20 s at sf0.1 with the hints)
+    "d171_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE ${lshKnnCtes(planes = 6, tables = 2, dim = 64,
+             queryPred = "TRUE", outId = "node_id")},
+         |g AS MATERIALIZED (SELECT node_id, neighbor_id FROM ranked
+         |  WHERE rn <= 5 AND round(cosine, 4) >= 0.35),
+         |mutual AS (SELECT x.node_id AS a, x.neighbor_id AS b FROM g x
+         |  JOIN g y ON x.node_id = y.neighbor_id AND x.neighbor_id = y.node_id
+         |  WHERE x.node_id < x.neighbor_id),
+         |edges AS MATERIALIZED (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+         |reach(node, lbl) AS (SELECT a, a FROM edges
+         |  UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+         |comp AS MATERIALIZED (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |allc AS MATERIALIZED (SELECT node AS vec_id, cluster_id FROM comp
+         |  UNION ALL SELECT vec_id, vec_id FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT node FROM comp)),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM allc GROUP BY 1)
+         |SELECT a.vec_id, a.cluster_id, sz.cluster_size
+         |FROM allc a JOIN sz USING (cluster_id) ORDER BY a.vec_id""".stripMargin,
+
     // both aggregation paths replayed: per-slice decimal moments merged
     // algebraically, the full-recompute moments beside them, and the
     // merged-equals-full assertion as a column (the q163 pattern). The
@@ -5111,9 +5153,11 @@ object SparkEntry {
        |FROM g ORDER BY bucket, dim_pos""".stripMargin
   }
 
-  private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int,
-                        queryPred: String = "q.vec_id < 8",
-                        outId: String = "query_id"): String = {
+  /** Shared CTE chain (v → buckets → candidates → exact cosine → per-query
+    * rank) replaying the md5-hyperplane LSH search in SQL; composed by the
+    * s30/s170 top-k oracles and d171's cluster oracle. */
+  private def lshKnnCtes(planes: Int, tables: Int, dim: Int,
+                         queryPred: String, outId: String): String = {
     val mat = graft.ops.Similarity.planeMatrix(planes * tables, dim)
     def lst(a: Array[Double]): String =
       a.map(w => java.math.BigDecimal.valueOf(w).toPlainString).mkString("[", ", ", "]")
@@ -5125,7 +5169,7 @@ object SparkEntry {
       s"SELECT q.vec_id AS $outId, c.vec_id AS neighbor_id FROM b q JOIN b c ON q.b$tb = c.b$tb " +
         s"WHERE $queryPred AND c.vec_id <> q.vec_id")
       .mkString(" UNION ")
-    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
        |b AS (SELECT vec_id, e, $bucketCols FROM v),
        |cand AS ($cand),
        |scored AS (SELECT $outId, neighbor_id,
@@ -5134,10 +5178,15 @@ object SparkEntry {
        |   sqrt(list_sum([cv.e[i]*cv.e[i] for i in range(1, len(cv.e)+1)]))) AS cosine
        |  FROM cand JOIN v qv ON qv.vec_id = $outId JOIN v cv ON cv.vec_id = neighbor_id),
        |ranked AS (SELECT $outId, neighbor_id, cosine,
-       |  row_number() OVER (PARTITION BY $outId ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |  row_number() OVER (PARTITION BY $outId ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)""".stripMargin
+  }
+
+  private def lshOracle(planes: Int, tables: Int, dim: Int, k: Int,
+                        queryPred: String = "q.vec_id < 8",
+                        outId: String = "query_id"): String =
+    s"""WITH ${lshKnnCtes(planes, tables, dim, queryPred, outId)}
        |SELECT $outId, neighbor_id, round(cosine, 4) AS cosine
        |FROM ranked WHERE rn <= $k ORDER BY $outId, neighbor_id""".stripMargin
-  }
 
   /** s142 oracle: the s30 LSH chain and the s29 exact chain joined into a
     * per-query recall report — exact side LEFT-joined to the approximate

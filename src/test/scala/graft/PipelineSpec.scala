@@ -598,6 +598,50 @@ class PipelineSpec extends SparkSpec {
       "expected at least one asymmetric k-NN edge")
   }
 
+  test("mutualKnnClusters: union-find over mutual edges, total coverage, min-id labels") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val (k, planes, tables, dim) = (3, 4, 2, 64)
+    val got = Similarity.mutualKnnClusters(e, "vec_id", "embedding",
+        k = k, planes = planes, tables = tables, dim = dim)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == ids, "every vector gets exactly one cluster row")
+    // golden: mutual-filter the (golden-verified) knnGraph edges, then
+    // driver-side union-find
+    val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = k, planes = planes, tables = tables, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    assert(mutual.nonEmpty, "fixture should produce mutual edges")
+    val parent = scala.collection.mutable.Map(ids.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.map(i => i -> find(i)).toMap
+    // path-compress to true minima: find() after all unions settles labels
+    val settled = ids.map(i => i -> find(i)).toMap
+    val sizes = settled.values.groupBy(identity).map { case (c, m) => c -> m.size.toLong }
+    ids.foreach { i =>
+      assert(got(i)._1 == settled(i), s"cluster of $i: ${got(i)._1} != ${settled(i)}")
+      assert(got(i)._2 == sizes(settled(i)), s"size of $i's cluster")
+    }
+    assert(comp.nonEmpty)
+    // mutuality kept a strict subset of directed edges in this fixture —
+    // the hub-trimming the construction exists for
+    assert(mutual.size * 2 < edges.size,
+      s"expected mutual (${mutual.size}×2) < directed (${edges.size})")
+    // the similarity gate: an unreachable threshold leaves only singletons
+    // (clusters of size 1 under each node's own id)
+    val gated = Similarity.mutualKnnClusters(e, "vec_id", "embedding",
+        k = k, minCosine = 0.99, planes = planes, tables = tables, dim = dim)
+      .collect()
+    assert(gated.length == ids.size
+      && gated.forall(r => r.getLong(2) == 1L && r.getLong(1) == r.getLong(0)),
+      "minCosine above every edge must yield all-singleton clusters")
+  }
+
   test("autoPlanes: linear-candidate sizing, log2 growth, clamps") {
     import Similarity.autoPlanes
     // n/2^planes <= targetMates at the returned planes, not at planes-1
