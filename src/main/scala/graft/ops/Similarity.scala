@@ -1231,9 +1231,13 @@ object Similarity {
   def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         minCosine: Double = -1.0, planes: Int = 4,
                         tables: Int = 2, dim: Int = -1): DataFrame = {
-    val g = knnGraph(df, idCol, vecCol, k, planes, tables, dim)
-      .filter(col("cosine") >= minCosine)
-      .select(col("node_id"), col("neighbor_id"))
+    // the graph — bucket join + exact cosine + rank, the heavy stage — has
+    // TWO consumers (the mutuality self-join's sides); staged once per the
+    // t169 staging rule (stage heavy expressions, not cheap expansions)
+    val g = graft.ops.Checkpointing.stage(
+      knnGraph(df, idCol, vecCol, k, planes, tables, dim)
+        .filter(col("cosine") >= minCosine)
+        .select(col("node_id"), col("neighbor_id")))
     val x = g.toDF("a", "b")
     val y = g.toDF("yb", "ya")
     val mutual = x.join(y, col("a") === col("ya") && col("b") === col("yb"))
