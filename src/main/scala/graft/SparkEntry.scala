@@ -2689,6 +2689,31 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // STREAMING moments maintenance (round 17): p170's mergeable moment
+    // algebra run BY THE ENGINE'S STATE STORE — per-event-type
+    // n/min/max/Σx/Σx² as a streaming complete-mode aggregate (decimal
+    // state: map-side partials and micro-batch merges are exact in any
+    // order), report derived batch-side by the same q09 recipe. The
+    // monitoring feed a 100 TB ingest keeps current without rescans;
+    // state is O(event types)
+    "q172_stream_moments" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = graft.streaming.Streams.readStream(s, dir, rawSchema,
+        glob = Some("events.parquet"))
+      val ev = Tables.normalizeEventTs(raw)
+      val sk = graft.ops.Stats.momentsSketchBy(ev, Seq("event_type"), "value")
+      freshMemorySink(s, "graft_q172_sink")
+      val sq = sk.writeStream.format("memory").queryName("graft_q172_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      graft.ops.Stats.momentsReport(s.table("graft_q172_sink"),
+          keys = Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Naive-Bayes LABEL-NOISE AUDIT (round 17): add-0.5 token models
     // trained per language tag on the corpus's OWN labels, every doc
     // re-classified, disagreements flagged — the standard mislabel sweep
@@ -4886,6 +4911,22 @@ object SparkEntry {
          |FROM rep JOIN repf ON rep.field = repf.field
          |ORDER BY rep.field""".stripMargin
     },
+
+    // the streaming state is an exact decimal sketch, so the oracle is a
+    // plain batch aggregation + the p170/q09 derivations
+    "q172_stream_moments" ->
+      """WITH m AS (SELECT event_type, count(value) AS n,
+        |    count(*) - count(value) AS n_na,
+        |    min(CAST(value AS DECIMAL(18,2))) AS mn, max(CAST(value AS DECIMAL(18,2))) AS mx,
+        |    coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS s,
+        |    coalesce(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))), 0) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, n_na,
+        |  round(CAST(mn AS DOUBLE), 4) AS min, round(CAST(mx AS DOUBLE), 4) AS max,
+        |  round(CAST(s AS DOUBLE), 2) AS sum,
+        |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS mean,
+        |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS stdev
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // the t110 LM chain as a per-label classifier: model counts per
     // (label, token), matched mass via the inner token join, unseen mass

@@ -101,14 +101,36 @@ object Stats {
       s"stack(${cols.size}, $fields) as (field, n, n_na, min, max, sum, sumsq)"))
   }
 
+  /** [[momentsSketch]] KEYED BY GROUP instead of by column: the same
+    * mergeable state (n, n_na, min, max, Σx, Σx²) per key combination over
+    * ONE value column — the shape a per-source/per-language/per-event-type
+    * monitoring feed maintains, and (because every statistic here is an
+    * algebraic aggregate) the shape Structured Streaming's state store
+    * maintains incrementally across micro-batches with map-side partials
+    * (q172 runs exactly that). */
+  def momentsSketchBy(df: DataFrame, keys: Seq[String], valueCol: String,
+                      scale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "momentsSketchBy: at least one key required")
+    val d = col(valueCol).cast(DecimalType(18, scale))
+    df.groupBy(keys.map(col): _*).agg(
+      count(d).as("n"),
+      (count(lit(1)) - count(d)).as("n_na"),
+      min(d).as("min"), max(d).as("max"),
+      coalesce(sum(d), lit(0).cast(DecimalType(28, scale))).as("sum"),
+      coalesce(sum(d * d), lit(0).cast(DecimalType(38, 2 * scale))).as("sumsq"))
+  }
+
   /** Merge moment sketches from disjoint slices: counts and decimal sums
     * add, extrema take min/max — all associative/commutative, so ANY merge
     * tree (pairwise daily, hierarchical by region, streaming micro-batch)
-    * yields the identical sketch. Cols-sized input, one tiny hash agg. */
-  def mergeMoments(sketches: Seq[DataFrame]): DataFrame = {
+    * yields the identical sketch. Keys-sized input, one tiny hash agg.
+    * `keys` defaults to the per-column sketch's "field"; pass the group
+    * keys for [[momentsSketchBy]] output. */
+  def mergeMoments(sketches: Seq[DataFrame],
+                   keys: Seq[String] = Seq("field")): DataFrame = {
     require(sketches.nonEmpty, "mergeMoments: at least one sketch required")
     sketches.reduce(_.unionByName(_))
-      .groupBy(col("field"))
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("n_na")).as("n_na"),
         min(col("min")).as("min"), max(col("max")).as("max"),
         sum(col("sum")).as("sum"), sum(col("sumsq")).as("sumsq"))
@@ -117,19 +139,20 @@ object Stats {
   /** Human-facing report over a moment sketch: derives mean/stdev from the
     * exact decimal state through the q09 portable-double recipe (identical
     * decimals → identical doubles → identical rounded results in any
-    * engine). All-NA columns: mean/stdev NULL here (the sketch is a
+    * engine). All-NA groups: mean/stdev NULL here (the sketch is a
     * maintenance primitive, not the agnes view_stats sink — [[describe]]
-    * keeps the reference's 0.0 contract). */
-  def momentsReport(sk: DataFrame): DataFrame = {
+    * keeps the reference's 0.0 contract). `keys` as in [[mergeMoments]]. */
+  def momentsReport(sk: DataFrame,
+                    keys: Seq[String] = Seq("field")): DataFrame = {
     val sumD = col("sum").cast(DoubleType)
     val sqD = col("sumsq").cast(DoubleType)
-    sk.select(col("field"), col("n"), col("n_na"),
+    sk.select(keys.map(col) ++ Seq(col("n"), col("n_na"),
       round(col("min").cast(DoubleType), 4).as("min"),
       round(col("max").cast(DoubleType), 4).as("max"),
       round(sumD, 2).as("sum"),
       when(col("n") > 0, round(sumD / col("n"), 6)).as("mean"),
       when(col("n") > 1,
-        round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev"))
+        round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev")): _*)
   }
 
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */
