@@ -2689,6 +2689,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // GROUP-WISE robust z (round 17): t169's median/MAD standardization
+    // WITHIN each language — |z| > k flags compare a doc against its own
+    // population's spread, not a global band dominated by the largest
+    // language. Fully distributed (two partitioned-window rank passes,
+    // zero driver involvement); the regex-heavy score is staged once for
+    // its three consumers (the t169 staging rule)
+    "t171_robust_z_by_lang" -> ((s, dir) => {
+      val scored = graft.ops.Checkpointing.stage(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text"), stopwords).as("quality")))
+      graft.ops.Quality.robustZBy(scored, "lang", "doc_id", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING moments maintenance (round 17): p170's mergeable moment
     // algebra run BY THE ENGINE'S STATE STORE — per-event-type
     // n/min/max/Σx/Σx² as a streaming complete-mode aggregate (decimal
@@ -4911,6 +4925,33 @@ object SparkEntry {
          |FROM rep JOIN repf ON rep.field = repf.field
          |ORDER BY rep.field""".stripMargin
     },
+
+    // t169's rank re-derivation per language: partitioned-window ranks for
+    // the median, the same over per-group |x − med| for the MAD
+    "t171_robust_z_by_lang" ->
+      """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+        |parts AS (SELECT doc_id, lang,
+        |  least(len(t) / 50.0, 1.0) AS len_score,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha,
+        |  round(CAST(len([x for x in t if x = 'the' OR x = 'a']) AS DOUBLE) / len(t), 4) AS stop
+        |  FROM toks),
+        |s AS (SELECT doc_id, lang, round(greatest(0.0, least(1.0,
+        |  (len_score + alpha + (1.0 - abs(stop - 0.15))) / 3.0)), 4) AS quality FROM parts),
+        |r1 AS (SELECT lang, quality,
+        |  row_number() OVER (PARTITION BY lang ORDER BY quality) - 1 AS idx,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM s),
+        |med AS (SELECT lang, quality AS med FROM r1
+        |        WHERE idx = greatest(CAST(ceil(0.5 * n) AS BIGINT) - 1, 0)),
+        |d AS (SELECT s.lang, abs(s.quality - med.med) AS dd FROM s JOIN med USING (lang)),
+        |r2 AS (SELECT lang, dd,
+        |  row_number() OVER (PARTITION BY lang ORDER BY dd) - 1 AS idx,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |mad AS (SELECT lang, dd AS mad FROM r2
+        |        WHERE idx = greatest(CAST(ceil(0.5 * n) AS BIGINT) - 1, 0))
+        |SELECT s.doc_id, s.lang, s.quality,
+        |  CASE WHEN mad.mad = 0 THEN 0.0
+        |       ELSE floor((s.quality - med.med) / mad.mad * 1e6 + 0.5) / 1e6 END AS z
+        |FROM s JOIN med USING (lang) JOIN mad USING (lang) ORDER BY doc_id""".stripMargin,
 
     // the streaming state is an exact decimal sketch, so the oracle is a
     // plain batch aggregation + the p170/q09 derivations

@@ -196,23 +196,10 @@ object Quality {
       require(!df.columns.contains(n),
         s"winsorizeBy: input column '$n' collides with a reserved internal name")
     }
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__score").asc)
-    val wAll = Window.partitionBy(col(groupCol))
-    val ranked = df
+    val scored = df
       .select(col(groupCol), col(scoreCol).cast("double").as("__score"))
-      .filter(col("__score").isNotNull)
-      .withColumn("__idx", row_number().over(w) - lit(1))
-      .withColumn("__n", count(lit(1)).over(wAll))
-    def rankOf(p: Double): Column =
-      greatest(ceil(lit(p) * col("__n")).cast("long") - lit(1L), lit(0L))
-    val th = ranked
-      .filter(col("__idx") === rankOf(pLo) || col("__idx") === rankOf(pHi))
-      .groupBy(col(groupCol))
-      // at a group's loIdx == hiIdx (tiny group) one row serves both ends
-      .agg(min(when(col("__idx") === rankOf(pLo), col("__score"))).as("__lo"),
-        min(when(col("__idx") === rankOf(pHi), col("__score"))).as("__hi"))
-      .withColumnRenamed(groupCol, "__grp")
+    // at a group's loIdx == hiIdx (tiny group) one row serves both ends
+    val th = groupOrderStats(scored, groupCol, Seq(pLo -> "__lo", pHi -> "__hi"))
     // NULL-SAFE group match (r17 review): the window and groupBy above DO
     // form a group for a NULL key, but an equi-join can never reach it —
     // NULL-group rows would pass through with their raw score labeled
@@ -223,5 +210,74 @@ object Quality {
         when(col(scoreCol).isNull, lit(null).cast("double"))
           .otherwise(least(greatest(col(scoreCol).cast("double"), col("__lo")), col("__hi")))
           .as("clamped"))
+  }
+
+  /** The ONE per-group copy of the type-1 rank-selection recipe (the
+    * grouped sibling of [[orderStats]], shared by [[winsorizeBy]] and
+    * [[robustZBy]]): for each `(p, outName)`, the value at 0-based rank
+    * max(⌈p·n_g⌉−1, 0) of the group's ascending non-null `__score` sort.
+    * One window partitioned by the group (strict-plan clean, zero driver
+    * involvement) → a groups-sized relation keyed `__grp`. */
+  private def groupOrderStats(scored: DataFrame, groupCol: String,
+                              ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__score").asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    def rankOf(p: Double): Column =
+      greatest(ceil(lit(p) * col("__n")).cast("long") - lit(1L), lit(0L))
+    val ranked = scored
+      .filter(col("__score").isNotNull)
+      .withColumn("__idx", row_number().over(w) - lit(1))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(ps.map(p => col("__idx") === rankOf(p._1)).reduce(_ || _))
+    val aggs = ps.map { case (p, name) =>
+      min(when(col("__idx") === rankOf(p), col("__score"))).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed(groupCol, "__grp")
+  }
+
+  /** GROUP-WISE [[robustZ]]: (score − median_g) / MAD_g within each
+    * `groupCol` value — per-language (per-source) outlier standardization,
+    * so |z| > k flags compare a document against ITS OWN population's
+    * spread instead of a global band dominated by the largest language.
+    *
+    * Both per-group statistics are the type-1 rank selections of
+    * [[groupOrderStats]] (integer ranks, engine-exact under ties, oracle
+    * re-derivable). MAD_g = 0 (more than half the group equals its
+    * median) yields z = 0 for that group's rows — same division-free
+    * degeneracy contract as [[robustZ]]. NULL scores never enter a rank
+    * and propagate as NULL; a NULL group key forms its own group via the
+    * null-safe join.
+    *
+    * Scale shape: two partitioned-window passes (the second over the
+    * deviations, which need the medians joined back — MAD depends on the
+    * median, the passes cannot fuse), two groups-sized threshold joins
+    * (AQE broadcasts them), projection codegen'd; zero driver
+    * involvement. Output: (idCol, groupCol, scoreCol, z) floor-rounded
+    * 6 dp through the portable form. */
+  def robustZBy(df: DataFrame, groupCol: String, idCol: String,
+                scoreCol: String): DataFrame = {
+    require(idCol != "z" && scoreCol != "z" && groupCol != "z",
+      "robustZBy: output column 'z' would collide with an input column")
+    Seq("__med", "__mad", "__grp").foreach { n =>
+      require(!df.columns.contains(n),
+        s"robustZBy: input column '$n' collides with a reserved internal name")
+    }
+    val scored = df
+      .select(col(groupCol), col(scoreCol).cast("double").as("__score"))
+    val meds = groupOrderStats(scored, groupCol, Seq(0.5 -> "__med"))
+    val devs = scored
+      .join(meds, col(groupCol) <=> col("__grp"), "inner").drop("__grp")
+      .select(col(groupCol), abs(col("__score") - col("__med")).as("__score"))
+    val mads = groupOrderStats(devs, groupCol, Seq(0.5 -> "__mad"))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    df.join(meds, col(groupCol) <=> col("__grp"), "left").drop("__grp")
+      .join(mads, col(groupCol) <=> col("__grp"), "left").drop("__grp")
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col(scoreCol).isNull, lit(null).cast("double"))
+          .otherwise(when(col("__mad") === 0.0, lit(0.0))
+            .otherwise(r6((col(scoreCol).cast("double") - col("__med")) / col("__mad"))))
+          .as("z"))
   }
 }

@@ -286,6 +286,39 @@ class RelationalSpec extends SparkSpec {
     assert(gn(1).isNullAt(2) && !gn(0).isNullAt(2))
   }
 
+  test("Quality.robustZBy: per-group median/MAD; per-group degeneracy; group isolation; nulls") {
+    import graft.ops.Quality
+    val t = (
+      (1 to 9).map(i => (i.toLong, "a", Some(i.toDouble))) ++       // a = robustZ golden
+      Seq((11L, "b", Some(5.0)), (12L, "b", Some(5.0)),              // b: MAD = 0
+        (13L, "b", Some(5.0)), (14L, "b", Some(9.0)),
+        (15L, "b", None))                                            // b: null score
+    ).toDF("id", "g", "s")
+    val got = Quality.robustZBy(t, "g", "id", "s")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // group a reproduces the global robustZ golden (median 5, MAD 2)
+    assert(got(1L) == -2.0 && got(5L) == 0.0 && got(9L) == 2.0 && got(7L) == 1.0)
+    // group b is DEGENERATE (majority at its median) — z = 0 for b only,
+    // while a's z values stay nonzero: the degeneracy is per-group
+    assert(got(11L) == 0.0 && got(14L) == 0.0)
+    // null score propagates, never enters b's ranks (b's MAD stayed 0)
+    assert(got(15L) == null)
+    // group isolation: a alone gives identical z values
+    val alone = Quality.robustZBy(t.filter(col("g") === "a"), "g", "id", "s")
+      .orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(alone == (1 to 9).map(i => got(i.toLong)).toSeq)
+    // NULL group key forms its own group (null-safe join): median 2, MAD 1
+    val ng = Seq((1L, Some("a"), 5.0), (2L, None, 1.0), (3L, None, 2.0),
+      (4L, None, 3.0)).toDF("id", "g", "s")
+    val gotNg = Quality.robustZBy(ng, "g", "id", "s")
+      .orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(gotNg == Seq(0.0, -1.0, 0.0, 1.0))
+    // reserved internal names rejected loudly
+    intercept[IllegalArgumentException](Quality.robustZBy(
+      t.withColumn("__med", lit(1.0)), "g", "id", "s"))
+  }
+
   test("globalNtile: exact SQL NTILE semantics without a global window") {
     import org.apache.spark.sql.expressions.Window
     // every (total, k) shape that distinguishes NTILE from the naive
