@@ -2647,6 +2647,23 @@ object SparkEntry {
         .orderBy(col("node_id"), col("neighbor_id"))
     }),
 
+    // INCREMENTAL k-NN graph maintenance (round 17): the s158 append
+    // precedent applied to s170's graph — fold the %5 batch into the
+    // graph built on the rest, recomputing ONLY the affected nodes (batch
+    // + bucket-mates); provably equals the full rebuild, and the oracle
+    // IS the full-rebuild replay (hash-exact = the no-loss proof in the
+    // driver artifact itself)
+    "s172_knn_graph_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val g = graft.ops.Similarity.knnGraph(old, "vec_id", "embedding",
+        k = 5, planes = 6, tables = 2, dim = 64)
+      graft.ops.Similarity.appendKnnGraph(g, old, batch, "vec_id", "embedding",
+          k = 5, planes = 6, tables = 2, dim = 64)
+        .orderBy(col("node_id"), col("neighbor_id"))
+    }),
+
     // MERGEABLE moment statistics (round 17): base + delta slice sketches
     // merged algebraically vs a full recompute — the stats-maintenance
     // path that never rescans history at 100 TB (merge cost is O(cols)).
@@ -4865,6 +4882,12 @@ object SparkEntry {
     // query (rank ≤ k per node, both directions)
     "s170_knn_graph" -> lshOracle(planes = 6, tables = 2, dim = 64, k = 5,
       queryPred = "TRUE", outId = "node_id"),
+
+    // append ≡ rebuild is the operator's contract, so the oracle is the
+    // FULL-rebuild replay over the union corpus — hash-exact means the
+    // incremental path provably lost (and invented) nothing
+    "s172_knn_graph_append" -> lshOracle(planes = 6, tables = 2, dim = 64,
+      k = 5, queryPred = "TRUE", outId = "node_id"),
 
     // s170's CTE chain extended by the cosine gate (on the same 4dp
     // rounded value the engine filters), mutuality, and the d73 recursive

@@ -1200,6 +1200,68 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** INCREMENTAL [[knnGraph]] maintenance: fold a batch of new vectors
+    * into an existing graph WITHOUT rebuilding it — the steady-state a
+    * 100 TB pipeline lives in, where the corpus grows daily and a full
+    * n²-candidate rebuild per ingest is the thing to never do (the s158
+    * append-index precedent, applied to the graph).
+    *
+    * Affected set: the batch's nodes plus every existing node sharing an
+    * LSH bucket with some batch vector — by construction the ONLY nodes
+    * whose candidate set (hence top-k) can change; every other node's
+    * neighbor list is provably identical to the full rebuild's, so append
+    * ≡ rebuild EXACTLY (spec-pinned, and the driver row's oracle IS the
+    * full-rebuild replay).
+    *
+    * Scale shape: bucket projections are scans (zero pairing); the
+    * affected-detection join broadcasts the batch's distinct buckets; the
+    * recompute join's probe side is affected-sized (AQE broadcasts it
+    * against the streamed union buckets — the corpus is never shuffled);
+    * per-ingest cost is O(scan) + O(affected × bucket-mates) ≈ O(batch)
+    * at steady state. The untouched remainder of the graph is carried by
+    * an anti join — change-sized output motion. */
+  def appendKnnGraph(graph: DataFrame, corpus0: DataFrame, batch0: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     planes: Int = 4, tables: Int = 2,
+                     dim: Int = -1): DataFrame = {
+    val batch = graft.core.Par.widen(batch0)
+    val d = if (dim > 0) dim else batch.select(size(col(vecCol))).head().getInt(0)
+    def buckets(df: DataFrame) = df.select(col(idCol).as("id"),
+      posexplode(lshBucketTables(df.sparkSession, col(vecCol), planes, tables, d))
+        .as(Seq("tbl", "bucket")))
+    val bNew = buckets(batch)
+    val bOld = buckets(graft.core.Par.widen(corpus0))
+    val affected = batch.select(col(idCol).as("id"))
+      .union(bOld
+        .join(broadcast(bNew.select(col("tbl"), col("bucket")).distinct()),
+          Seq("tbl", "bucket"))
+        .select(col("id")))
+      .distinct()
+    val bAll = bOld.unionByName(bNew)
+    val aSide = bAll.join(affected, Seq("id"))
+      .select(col("id").as("node_id"), col("tbl"), col("bucket"))
+    val bSide = bAll.select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val cand = aSide.join(bSide, Seq("tbl", "bucket"))
+      .filter(col("node_id") =!= col("neighbor_id"))
+      .dropDuplicates("node_id", "neighbor_id")
+      .select(col("node_id"), col("neighbor_id"))
+    val vecs = corpus0.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .unionByName(batch0.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val scored = cand
+      .join(vecs.select(col("id").as("node_id"), col("v").as("nv")), "node_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), "neighbor_id")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineNative(
+        batch.sparkSession, col("nv"), col("cv")))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val recomputed = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("node_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+    graph.join(affected.select(col("id").as("node_id")), Seq("node_id"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** SEMANTIC CLUSTERS from the [[knnGraph]]: connected components over the
     * MUTUAL k-NN edges (kept iff a ∈ kNN(b) AND b ∈ kNN(a)) at or above
     * `minCosine` — the standard hub-resistant construction: a popular

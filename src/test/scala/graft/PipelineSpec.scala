@@ -598,6 +598,29 @@ class PipelineSpec extends SparkSpec {
       "expected at least one asymmetric k-NN edge")
   }
 
+  test("appendKnnGraph ≡ full rebuild; unaffected nodes untouched (sf0.001)") {
+    val e = core.Tables.embeddings(spark, sf("sf0.001"))
+    val (k, planes, tables, dim) = (3, 4, 2, 64)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val g = Similarity.knnGraph(old, "vec_id", "embedding",
+      k = k, planes = planes, tables = tables, dim = dim)
+    val appended = Similarity.appendKnnGraph(g, old, batch, "vec_id", "embedding",
+      k = k, planes = planes, tables = tables, dim = dim)
+    val rebuilt = Similarity.knnGraph(e, "vec_id", "embedding",
+      k = k, planes = planes, tables = tables, dim = dim)
+    assert(rowsOf(appended) == rowsOf(rebuilt),
+      "append must equal the full rebuild exactly")
+    // the batch genuinely changed something (otherwise the test is vacuous)
+    assert(rowsOf(g) != rowsOf(rebuilt))
+    // an empty batch is the identity
+    val idAppend = Similarity.appendKnnGraph(g, old, batch.filter(lit(false)),
+      "vec_id", "embedding", k = k, planes = planes, tables = tables, dim = dim)
+    assert(rowsOf(idAppend) == rowsOf(g))
+  }
+
   test("mutualKnnClusters: union-find over mutual edges, total coverage, min-id labels") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val (k, planes, tables, dim) = (3, 4, 2, 64)
