@@ -2745,6 +2745,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // SOFT DEDUP (round 17): inverse-cluster-size training weights over
+    // d73's near-dup components — keep every duplicate, downweight it so
+    // a doc duplicated k times carries ~one doc of gradient mass
+    // (duplication often correlates with quality; dropping loses signal a
+    // weight keeps). Consumes the d95 shared component-map prefix, so the
+    // warm bench min reads as the weighting logic alone
+    "d172_dup_weights" -> ((s, dir) => {
+      graft.ops.Sampling.clusterWeights(t(s, dir, "documents"),
+          jaccardCcGraph(s, dir), "doc_id", "node", "component")
+        .orderBy(col("doc_id"))
+    }),
+
     // Naive-Bayes LABEL-NOISE AUDIT (round 17): add-0.5 token models
     // trained per language tag on the corpus's OWN labels, every doc
     // re-classified, disagreements flagged — the standard mislabel sweep
@@ -4948,6 +4960,33 @@ object SparkEntry {
          |FROM rep JOIN repf ON rep.field = repf.field
          |ORDER BY rep.field""".stripMargin
     },
+
+    // d73's recursive-CC chain + singleton fill + the portable 1/size
+    // weight; the d171 MATERIALIZED lesson applied to the multi-referenced
+    // CTEs (edges feeds every recursion step)
+    "d172_dup_weights" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |shsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN shsz sa ON sa.doc_id = id_a JOIN shsz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl),
+        |comp AS MATERIALIZED (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |allc AS MATERIALIZED (SELECT node AS doc_id, cluster_id FROM comp
+        |  UNION ALL SELECT doc_id, doc_id FROM documents
+        |  WHERE doc_id NOT IN (SELECT node FROM comp)),
+        |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM allc GROUP BY 1)
+        |SELECT a.doc_id, a.cluster_id, csz.cluster_size,
+        |  floor(1e6 / csz.cluster_size + 0.5) / 1e6 AS weight
+        |FROM allc a JOIN csz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
 
     // t169's rank re-derivation per language: partitioned-window ranks for
     // the median, the same over per-group |x − med| for the MAD

@@ -228,6 +228,31 @@ object Sampling {
       .drop("__comp")
   }
 
+  /** SOFT DEDUP: inverse-cluster-size training weights — keep every
+    * duplicate but downweight it so a document duplicated k times
+    * contributes ~one document of gradient mass (the reweight-instead-of-
+    * drop alternative to [[Dedup.dedupByClusters]]: duplication frequency
+    * often correlates with quality, so dropping loses signal a weight
+    * keeps). `clusters` is any (node → component) map (e.g.
+    * [[Dedup.connectedComponents]] over near-dup pairs); docs absent from
+    * it are singletons under their own id with weight 1.0.
+    *
+    * weight = 1/cluster_size through the portable 6 dp floor (identical
+    * integer division in any engine). Scale shape: the cluster map is
+    * candidate-sized; one groups-sized size aggregate; two joins the
+    * corpus streams through (AQE broadcasts the map/sizes while they fit).
+    * Output: (idCol, cluster_id, cluster_size, weight). */
+  def clusterWeights(docs: DataFrame, clusters: DataFrame, idCol: String,
+                     nodeCol: String, componentCol: String): DataFrame = {
+    val comp = clusters.select(col(nodeCol).as(idCol), col(componentCol).as("__comp"))
+    val labeled = docs.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (floor(lit(1e6) / col("cluster_size") + lit(0.5)) / lit(1e6)).as("weight"))
+  }
+
   /** Mean corpus-frequency rank of a document's tokens — a cheap
     * language-model-free proxy for "how unusual is this text" (the
     * frequency-rank analogue of a perplexity filter). Two passes over the

@@ -1148,4 +1148,23 @@ class ScaleJoinsSpec extends SparkSpec {
     val ok = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
     assert(ok.select(c).collect().head.getSeq[Double](0).length == 8 * 16)
   }
+
+  test("clusterWeights: 1/size soft-dedup weights, singleton fill, mass ≈ distinct docs") {
+    import graft.ops.Sampling
+    // docs 1..6; cluster {1,2,3} under component 1, {4,5} under 4; 6 absent
+    val docs = (1L to 6L).map(i => Tuple1(i)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "component")
+    val got = Sampling.clusterWeights(docs, clusters, "doc_id", "node", "component")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L, 4L, 4L, 6L))
+    assert(got.map(_._3).toSeq == Seq(3L, 3L, 3L, 2L, 2L, 1L))
+    // weights through the portable floor: 1/3 → 0.333333, 1/2, singleton 1.0
+    assert(got.map(_._4).toSeq == Seq(0.333333, 0.333333, 0.333333, 0.5, 0.5, 1.0))
+    // the soft-dedup invariant: total weighted mass ≈ number of distinct
+    // clusters (each cluster contributes ~1 doc of gradient mass)
+    val mass = got.map(_._4).sum
+    assert(math.abs(mass - 3.0) < 1e-5, s"weighted mass $mass != 3 clusters")
+  }
 }
