@@ -2664,6 +2664,31 @@ object SparkEntry {
         .orderBy(col("node_id"), col("neighbor_id"))
     }),
 
+    // LABEL PROPAGATION (round 17): pseudo-labeling over s170's graph —
+    // the %3 held-out labels re-derived from the rest by two rounds of
+    // similarity-weighted neighbor vote (DECIMAL vote sums: exact in any
+    // reduction order, so the argmax replays in SQL). Output: the held-out
+    // audit (true label vs propagated; NULL = no labeled reachable).
+    // NOTE: this testdata's labels are geometry-independent (exact 1-NN
+    // label agreement ≈ 0.10 = the 10-label prior, measured), so `agree`
+    // here reads as chance BY CONSTRUCTION of the synthetic data — the
+    // row verifies the propagation machinery end to end, not an accuracy
+    // claim; PipelineSpec pins the semantics on a separable fixture
+    "s173_label_propagation" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = graft.ops.Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 5, planes = 6, tables = 2, dim = 64)
+      val seeds = emb.filter(col("vec_id") % 3 =!= 0)
+        .select(col("vec_id"), col("label"))
+      val prop = graft.ops.Graph.labelPropagate(g, seeds, "vec_id", "label",
+        rounds = 2)
+      emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"), col("label"))
+        .join(prop, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("pred_label"),
+          (col("label") === col("pred_label")).as("agree"))
+        .orderBy(col("vec_id"))
+    }),
+
     // MERGEABLE moment statistics (round 17): base + delta slice sketches
     // merged algebraically vs a full recompute — the stats-maintenance
     // path that never rescans history at 100 TB (merge cost is O(cols)).
@@ -4900,6 +4925,30 @@ object SparkEntry {
     // incremental path provably lost (and invented) nothing
     "s172_knn_graph_append" -> lshOracle(planes = 6, tables = 2, dim = 64,
       k = 5, queryPred = "TRUE", outId = "node_id"),
+
+    // s170's CTE chain + two unrolled vote rounds on DECIMAL(14,4) weights
+    // (exact sums → portable argmax); seeds clamped via NOT IN
+    "s173_label_propagation" ->
+      s"""WITH ${lshKnnCtes(planes = 6, tables = 2, dim = 64,
+             queryPred = "TRUE", outId = "node_id")},
+         |g AS MATERIALIZED (SELECT node_id, neighbor_id,
+         |  CAST(round(cosine, 4) AS DECIMAL(14,4)) AS w FROM ranked WHERE rn <= 5),
+         |seeds AS MATERIALIZED (SELECT vec_id AS id, label AS lab FROM embeddings WHERE vec_id % 3 <> 0),
+         |v1 AS (SELECT node_id, lab, sum(w) AS v FROM g JOIN seeds ON seeds.id = g.neighbor_id GROUP BY 1, 2),
+         |w1 AS (SELECT node_id AS id, lab FROM
+         |  (SELECT node_id, lab, row_number() OVER (PARTITION BY node_id ORDER BY v DESC, lab) AS rn FROM v1)
+         |  WHERE rn = 1),
+         |l1 AS MATERIALIZED (SELECT * FROM seeds
+         |  UNION ALL SELECT * FROM w1 WHERE id NOT IN (SELECT id FROM seeds)),
+         |v2 AS (SELECT node_id, lab, sum(w) AS v FROM g JOIN l1 ON l1.id = g.neighbor_id GROUP BY 1, 2),
+         |w2 AS (SELECT node_id AS id, lab FROM
+         |  (SELECT node_id, lab, row_number() OVER (PARTITION BY node_id ORDER BY v DESC, lab) AS rn FROM v2)
+         |  WHERE rn = 1),
+         |l2 AS MATERIALIZED (SELECT * FROM seeds
+         |  UNION ALL SELECT * FROM w2 WHERE id NOT IN (SELECT id FROM seeds))
+         |SELECT e.vec_id, e.label, l2.lab AS pred_label, (e.label = l2.lab) AS agree
+         |FROM embeddings e LEFT JOIN l2 ON l2.id = e.vec_id
+         |WHERE e.vec_id % 3 = 0 ORDER BY e.vec_id""".stripMargin,
 
     // s170's CTE chain extended by the cosine gate (on the same 4dp
     // rounded value the engine filters), mutuality, and the d73 recursive

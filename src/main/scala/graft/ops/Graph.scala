@@ -148,4 +148,51 @@ object Graph {
     nodes.unpersist()
     pr.select(col("node"), col("pr"))
   }
+
+  /** LABEL PROPAGATION over a similarity graph — pseudo-labeling: seed
+    * labels spread to unlabeled nodes by similarity-weighted neighbor
+    * vote, `rounds` fixed iterations (the semi-supervised workhorse for
+    * labeling the 99% of a crawl no classifier has seen, off a small
+    * trusted seed set).
+    *
+    * `graph` is a directed edge list (node_id, neighbor_id, cosine) — the
+    * [[Similarity.knnGraph]] shape: a node's vote pool is its OWN top-k
+    * list. Votes are weighted by the edge's 4dp cosine carried in
+    * DECIMAL(14,4) — exact sums in any reduction order, so the winner
+    * (max weight, ties to the smallest label) is engine-portable with NO
+    * float accumulation to disagree on. Seeds are CLAMPED (a seed never
+    * re-labels); an unlabeled node with zero labeled reachables in
+    * `rounds` hops stays unlabeled (absent from the output — the caller's
+    * left join reads that as NULL, the honest answer).
+    *
+    * Scale shape per round: one edge×labels join (labels is node-sized,
+    * ids+label only — AQE broadcasts while it fits, shuffles beyond), one
+    * (node,label)-keyed aggregate bounded by nodes × |labels|, one
+    * per-node WindowGroupLimit rank; the label map is staged per round
+    * (the CC plan-growth discipline, bounded by `rounds` ≤ 5). */
+  def labelPropagate(graph: DataFrame, seeds: DataFrame, idCol: String,
+                     labelCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 5,
+      s"labelPropagate: rounds=$rounds out of [1,5] — each round is an " +
+        "edge join; label quality saturates fast and plans grow per round")
+    import org.apache.spark.sql.expressions.Window
+    val g = graph.select(col("node_id"), col("neighbor_id"),
+      col("cosine").cast("decimal(14,4)").as("__w"))
+    val seedMap = seeds.select(col(idCol).as("__id"), col(labelCol).as("__lab"))
+    var lab = seedMap
+    for (_ <- 1 to rounds) {
+      val votes = g
+        .join(lab.withColumnRenamed("__id", "neighbor_id"), Seq("neighbor_id"))
+        .groupBy(col("node_id"), col("__lab"))
+        .agg(sum(col("__w")).as("__v"))
+      val w = Window.partitionBy(col("node_id"))
+        .orderBy(col("__v").desc, col("__lab").asc)
+      val winners = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node_id").as("__id"), col("__lab"))
+      lab = graft.ops.Checkpointing.stage(seedMap.unionByName(
+        winners.join(seedMap.select(col("__id")), Seq("__id"), "left_anti")))
+    }
+    lab.select(col("__id").as(idCol), col("__lab").as("pred_label"))
+  }
 }

@@ -598,6 +598,30 @@ class PipelineSpec extends SparkSpec {
       "expected at least one asymmetric k-NN edge")
   }
 
+  test("labelPropagate: weighted majority, seed clamp, tie to smaller label, multi-hop reach") {
+    import graft.ops.Graph
+    // graph: 3 votes from seeds {1→10, 2→20}; 4 is a weight tie; 5 only
+    // reaches a label through 3 (needs round 2); 1 has an edge that would
+    // relabel it if seeds weren't clamped
+    val g = Seq(
+      (3L, 1L, 0.9), (3L, 2L, 0.8),  // 10:0.9 > 20:0.8 → 10
+      (4L, 1L, 0.5), (4L, 2L, 0.5),  // exact tie → smaller label 10
+      (5L, 3L, 0.9),                 // unlabeled at round 1, 10 at round 2
+      (1L, 2L, 0.99)                 // seed 1 must stay 10
+    ).toDF("node_id", "neighbor_id", "cosine")
+    val seeds = Seq((1L, 10), (2L, 20)).toDF("vec_id", "label")
+    def run(rounds: Int) = Graph.labelPropagate(g, seeds, "vec_id", "label", rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = run(1)
+    assert(one == Map(1L -> 10, 2L -> 20, 3L -> 10, 4L -> 10),
+      s"round 1: $one — 5 must be ABSENT (no labeled reachable in one hop)")
+    val two = run(2)
+    assert(two == Map(1L -> 10, 2L -> 20, 3L -> 10, 4L -> 10, 5L -> 10),
+      s"round 2: $two — 5 reaches 10 through 3")
+    // determinism across runs (vote sums are decimal — no float order)
+    assert(run(2) == two)
+  }
+
   test("appendKnnGraph ≡ full rebuild; unaffected nodes untouched (sf0.001)") {
     val e = core.Tables.embeddings(spark, sf("sf0.001"))
     val (k, planes, tables, dim) = (3, 4, 2, 64)
