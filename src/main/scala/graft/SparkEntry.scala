@@ -2770,6 +2770,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // TRIANGLE / clustering-coefficient diagnostic (round 17) over the
+    // near-dup pair graph (the d73/d95 shared prefix): coefficient → 1
+    // marks a doc whose near-dups are all near-dups of EACH OTHER (a true
+    // template/duplicate clique — safe to collapse), → 0 marks transitive
+    // chains where CC merged docs that never matched directly (the
+    // classic over-merge smell worth auditing before a dedup drop).
+    // Near-dup graphs are df-capped, so the wedge join's Σ deg² bound
+    // holds at any corpus
+    "d173_triangle_stats" -> ((s, dir) => {
+      graft.ops.Graph.triangleStats(jaccardPairGraph(s, dir), "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // SOFT DEDUP (round 17): inverse-cluster-size training weights over
     // d73's near-dup components — keep every duplicate, downweight it so
     // a doc duplicated k times carries ~one doc of gradient mass
@@ -5009,6 +5022,30 @@ object SparkEntry {
          |FROM rep JOIN repf ON rep.field = repf.field
          |ORDER BY rep.field""".stripMargin
     },
+
+    // the d73 pair chain up to `pairs` (already a < b), then the
+    // canonical-orientation triangle join + degrees + the portable
+    // coefficient
+    "d173_triangle_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS s FROM toks),
+        |shsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (SELECT id_a, id_b FROM inter
+        |          JOIN shsz sa ON sa.doc_id = id_a JOIN shsz sb ON sb.doc_id = id_b
+        |          WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.8),
+        |tris AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+        |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tpn AS (SELECT id, count(*) AS t FROM
+        |  (SELECT unnest([x, y, z]) AS id FROM tris) GROUP BY id),
+        |deg AS (SELECT id, count(*) AS degree FROM
+        |  (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) GROUP BY id)
+        |SELECT deg.id, deg.degree, CAST(coalesce(tpn.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.degree < 2 THEN 0.0
+        |       ELSE floor(2.0 * coalesce(tpn.t, 0) / (deg.degree * (deg.degree - 1)) * 1e6 + 0.5) / 1e6 END AS clustering
+        |FROM deg LEFT JOIN tpn USING (id) ORDER BY deg.id""".stripMargin,
 
     // d73's recursive-CC chain + singleton fill + the portable 1/size
     // weight; the d171 MATERIALIZED lesson applied to the multi-referenced

@@ -149,6 +149,50 @@ object Graph {
     pr.select(col("node"), col("pr"))
   }
 
+  /** Per-node TRIANGLE COUNTS + local clustering coefficient over an
+    * undirected edge list — the community-structure diagnostic on a
+    * near-dup or mutual-kNN graph: a node whose neighbors all know each
+    * other (coefficient → 1) sits in a tight duplicate/template clique; a
+    * hub with coefficient → 0 chains unrelated regions (the thing the
+    * mutual-kNN gate exists to prevent — this measures that it worked).
+    *
+    * Triangles via the canonical-orientation join: edges deduped to
+    * a < b, then (x,y)⋈(y,z)⋈(x,z) — each triangle counted exactly once.
+    * Work is Σ_v deg(v)², so the join is safe where degree is BOUNDED —
+    * exactly the graphs this pipeline owns ([[Similarity.mutualKnnEdges]]
+    * caps degree at k by construction; near-dup graphs are df-capped). On
+    * an unbounded-degree graph, orient by (degree, id) before the wedge
+    * join (bounds work by arboricity) — deliberately not done here: the
+    * extra degree join costs on every call and no producer in this
+    * library emits an unbounded-degree graph.
+    *
+    * coefficient = 2·T / (deg·(deg−1)) through the portable 6 dp floor;
+    * deg < 2 → 0.0 (division-free). Output: (id, degree, triangles,
+    * clustering) — one row per node WITH at least one edge. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e1 = e.toDF("x", "y")
+    val e2 = e.toDF("y2", "z")
+    val e3 = e.toDF("x3", "z3")
+    val tris = e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .select(col("x"), col("y"), col("z"))
+    val triPerNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__t"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("__t"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(r6(lit(2.0) * coalesce(col("__t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1))))
+          .as("clustering"))
+  }
+
   /** LABEL PROPAGATION over a similarity graph — pseudo-labeling: seed
     * labels spread to unlabeled nodes by similarity-weighted neighbor
     * vote, `rounds` fixed iterations (the semi-supervised workhorse for

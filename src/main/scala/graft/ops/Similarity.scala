@@ -1290,9 +1290,14 @@ object Similarity {
     * CC over the mutual subset (≤ k·n/2 edges, rounds bounded by component
     * diameter with pointer-jumping), one size aggregate. Per-side toDF
     * renames keep the same-lineage self-join's predicate real. */
-  def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                        minCosine: Double = -1.0, planes: Int = 4,
-                        tables: Int = 2, dim: Int = -1): DataFrame = {
+  /** The MUTUAL edge list under [[mutualKnnClusters]] (and d173's triangle
+    * stats): undirected (a < b) edges kept iff each endpoint is in the
+    * other's gated top-k. Exposed because several graph analytics consume
+    * the same construction. Degree is bounded by k BY CONSTRUCTION —
+    * the property the downstream triangle join's work bound leans on. */
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     minCosine: Double = -1.0, planes: Int = 4,
+                     tables: Int = 2, dim: Int = -1): DataFrame = {
     // the graph — bucket join + exact cosine + rank, the heavy stage — has
     // TWO consumers (the mutuality self-join's sides); staged once per the
     // t169 staging rule (stage heavy expressions, not cheap expansions)
@@ -1302,9 +1307,15 @@ object Similarity {
         .select(col("node_id"), col("neighbor_id")))
     val x = g.toDF("a", "b")
     val y = g.toDF("yb", "ya")
-    val mutual = x.join(y, col("a") === col("ya") && col("b") === col("yb"))
+    x.join(y, col("a") === col("ya") && col("b") === col("yb"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+  }
+
+  def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        minCosine: Double = -1.0, planes: Int = 4,
+                        tables: Int = 2, dim: Int = -1): DataFrame = {
+    val mutual = mutualKnnEdges(df, idCol, vecCol, k, minCosine, planes, tables, dim)
     val cc = Dedup.connectedComponents(mutual, "a", "b")
     val ids = df.select(col(idCol).as("id"))
     val labeled = ids.join(cc.select(col("node").as("id"), col("component")),

@@ -598,6 +598,27 @@ class PipelineSpec extends SparkSpec {
       "expected at least one asymmetric k-NN edge")
   }
 
+  test("triangleStats: clique/path goldens, reversed-duplicate edges counted once") {
+    import graft.ops.Graph
+    // K4 on {1,2,3,4} (every node: deg 3, 3 triangles, coeff 1.0), a path
+    // 4-5-6 hanging off it (5: deg 2, 0 triangles, coeff 0), plus
+    // duplicate and REVERSED copies of one clique edge — the canonical
+    // a<b dedup must count each triangle exactly once
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (2L, 1L), (1L, 2L) // noise: reversed + duplicate
+    ).toDF("s", "d")
+    val got = Graph.triangleStats(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0))
+      && got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)), s"bridge node: ${got(4L)}") // 2*3/(4*3)
+    assert(got(5L) == ((2L, 0L, 0.0)) && got(6L) == ((1L, 0L, 0.0)))
+    assert(got.size == 6)
+  }
+
   test("labelPropagate: weighted majority, seed clamp, tie to smaller label, multi-hop reach") {
     import graft.ops.Graph
     // graph: 3 votes from seeds {1→10, 2→20}; 4 is a weight tie; 5 only
