@@ -2783,6 +2783,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // PSI DISTRIBUTION-DRIFT report (round 17): how far one slice's value
+    // distribution sits from the calibration slice's — the standard
+    // monitoring metric for threshold decay (< 0.1 stable, > 0.25
+    // shifted). Here: zh document lengths vs the en calibration window —
+    // a real cross-slice shape difference. Bins from the BASE range,
+    // add-0.5 smoothing, every term decimal-rounded pre-sum (the t110
+    // contract), so the PSI replays exactly in SQL
+    "p174_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.psiDrift(d.filter(col("lang") === "en"),
+          d.filter(col("lang") === "zh"), "n_chars", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // SOFT DEDUP (round 17): inverse-cluster-size training weights over
     // d73's near-dup components — keep every duplicate, downweight it so
     // a doc duplicated k times carries ~one doc of gradient mass
@@ -5022,6 +5036,30 @@ object SparkEntry {
          |FROM rep JOIN repf ON rep.field = repf.field
          |ORDER BY rep.field""".stripMargin
     },
+
+    // base-range bins + add-0.5 probabilities + decimal-rounded terms —
+    // every float op in the same IEEE order as the engine's
+    "p174_psi_drift" ->
+      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'zh' AND n_chars IS NOT NULL),
+        |rng AS (SELECT min(v) AS mn, max(v) AS mx, (max(v) - min(v)) / 10 AS w FROM b),
+        |bb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM b, rng GROUP BY 1),
+        |cb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM c, rng GROUP BY 1),
+        |spine AS (SELECT range AS bin FROM range(10)),
+        |j AS (SELECT spine.bin, coalesce(bb.n, 0) AS base_n, coalesce(cb.n, 0) AS cur_n
+        |      FROM spine LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin)),
+        |tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(cur_n) AS BIGINT) AS nc FROM j),
+        |t2 AS (SELECT bin, base_n, cur_n,
+        |  (base_n + 0.5) / (nb + 0.5 * 10) AS p, (cur_n + 0.5) / (nc + 0.5 * 10) AS q,
+        |  CAST((((base_n + 0.5) / (nb + 0.5 * 10)) - ((cur_n + 0.5) / (nc + 0.5 * 10)))
+        |    * ln(((base_n + 0.5) / (nb + 0.5 * 10)) / ((cur_n + 0.5) / (nc + 0.5 * 10))) AS DECIMAL(27,7)) AS term
+        |  FROM j, tot),
+        |ps AS (SELECT sum(term) AS psi FROM t2)
+        |SELECT bin, round(mn + bin * w, 6) AS bin_lo, base_n, cur_n,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS p, floor(q * 1e6 + 0.5) / 1e6 AS q,
+        |  CAST(term AS DOUBLE) AS term,
+        |  floor(CAST(psi AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi
+        |FROM t2, ps, rng ORDER BY bin""".stripMargin,
 
     // the d73 pair chain up to `pairs` (already a < b), then the
     // canonical-orientation triangle join + degrees + the portable

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -153,6 +153,69 @@ object Stats {
       when(col("n") > 0, round(sumD / col("n"), 6)).as("mean"),
       when(col("n") > 1,
         round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev")): _*)
+  }
+
+  /** POPULATION STABILITY INDEX drift report: how far `current`'s
+    * distribution of `valueCol` has moved from `base`'s — THE standard
+    * monitoring metric for "is this week's data still shaped like the
+    * data the thresholds were calibrated on" (rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Bins: `bins` equi-width cells over BASE's [min, max] (the calibration
+    * window defines the scale); out-of-range current values clamp into the
+    * edge cells, every cell emits a row (zero counts included — absence is
+    * never evidence). Probabilities are add-0.5 smoothed (the t110 add-k
+    * recipe — no ln(0), and the smoothing constant is part of the
+    * contract, not an epsilon hack). PSI = Σ (p−q)·ln(p/q) with each term
+    * rounded through DECIMAL(27,7) pre-sum and the total floor-rounded
+    * 6 dp — identical doubles → identical PSI in any engine, any
+    * reduction order. NULL values never enter a bin.
+    *
+    * Scale shape: one aggregate per side for the range/counts (map-side
+    * combined), a bins-sized spine join, the total via a broadcast cross
+    * join (never a partitionless window). Output: one row per bin
+    * (bin, bin_lo, base_n, cur_n, p, q, term) + the repeated `psi` total
+    * column — the whole report is bins-sized. */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")
+    val spark = base.sparkSession
+    val v = col(valueCol).cast(DoubleType)
+    val Row(mn: Double, mx: Double) = base.filter(v.isNotNull)
+      .agg(min(v), max(v)).head()
+    val w = (mx - mn) / bins
+    def binned(df: DataFrame) = {
+      val raw =
+        if (w == 0.0) lit(0L) // degenerate base range: everything in bin 0
+        else floor((v - lit(mn)) / lit(w)).cast("long")
+      df.filter(v.isNotNull)
+        .select(least(greatest(raw, lit(0L)), lit(bins - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    }
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    // bins-sized, but its lineage holds both corpus count passes and it
+    // feeds the totals aggregate AND the final projection — staged once
+    val joined = graft.ops.Checkpointing.stage(spine
+      .join(binned(base).withColumnRenamed("n", "base_n"), Seq("bin"), "left")
+      .join(binned(current).withColumnRenamed("n", "cur_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n")))
+    val totals = joined.agg(sum(col("base_n")).as("__nb"), sum(col("cur_n")).as("__nc"))
+    val p = (col("base_n") + lit(0.5)) / (col("__nb") + lit(0.5) * lit(bins))
+    val q = (col("cur_n") + lit(0.5)) / (col("__nc") + lit(0.5) * lit(bins))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val terms = joined.crossJoin(broadcast(totals))
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("__term", ((col("p") - col("q")) * log(col("p") / col("q")))
+        .cast("decimal(27,7)"))
+    val psi = terms.agg(sum(col("__term")).as("__psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), round(lit(mn) + col("bin") * lit(w), 6).as("bin_lo"),
+        col("base_n"), col("cur_n"),
+        r6(col("p")).as("p"), r6(col("q")).as("q"),
+        col("__term").cast(DoubleType).as("term"),
+        r6(col("__psi").cast(DoubleType)).as("psi"))
   }
 
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */

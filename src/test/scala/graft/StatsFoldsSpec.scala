@@ -146,6 +146,31 @@ class StatsFoldsSpec extends SparkSpec {
     assert(rowsOf(treeA) == rowsOf(treeB) && rowsOf(treeA) == rowsOf(full))
   }
 
+  test("psiDrift: identical slices ≈ 0, shifted slice large, clamped out-of-range, full spine, nulls out") {
+    import graft.ops.Stats
+    val base = ((1 to 100).map(i => Some(i.toDouble)) :+ (None: Option[Double]))
+      .toDF("x")
+    // identical distribution: every term 0 exactly (p == q bin-wise)
+    val same = Stats.psiDrift(base, base.filter(col("x").isNotNull), "x", bins = 10)
+      .collect()
+    assert(same.length == 10, "every bin must emit a row")
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    assert(same.map(_.getAs[Long]("base_n")).sum == 100L, "the NULL never entered a bin")
+    // hard shift: current sits entirely above base's range → clamps into
+    // the top bin, PSI far beyond the 0.25 'shifted' rule of thumb
+    val shifted = (1000 to 1100).map(i => Tuple1(i.toDouble)).toDF("x")
+    val drift = Stats.psiDrift(base, shifted, "x", bins = 10).collect()
+    assert(drift.length == 10)
+    val top = drift.find(_.getAs[Long]("bin") == 9L).get
+    assert(top.getAs[Long]("cur_n") == 101L, "out-of-range values clamp into the edge bin")
+    assert(drift.head.getAs[Double]("psi") > 0.25, s"psi=${drift.head.getAs[Double]("psi")}")
+    // degenerate base range (min == max): everything lands in bin 0, no NaN
+    val const = Seq(5.0, 5.0, 5.0).map(Tuple1(_)).toDF("x")
+    val deg = Stats.psiDrift(const, const, "x", bins = 4).collect()
+    assert(deg.find(_.getAs[Long]("bin") == 0L).get.getAs[Long]("base_n") == 3L)
+    assert(deg.forall(r => !r.getAs[Double]("psi").isNaN))
+  }
+
   test("momentsReport: mean/stdev match describe on 2dp-exact data; all-NA column goes NULL") {
     val df = Seq[java.lang.Double](-5.0, -4.0, null, 12.0, 3.0, null, 6.0, 0.0, -3.1)
       .toDF("x")
