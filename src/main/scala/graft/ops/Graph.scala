@@ -220,8 +220,12 @@ object Graph {
       s"labelPropagate: rounds=$rounds out of [1,5] — each round is an " +
         "edge join; label quality saturates fast and plans grow per round")
     import org.apache.spark.sql.expressions.Window
-    val g = graph.select(col("node_id"), col("neighbor_id"),
-      col("cosine").cast("decimal(14,4)").as("__w"))
+    // the edge list is consumed by EVERY round's vote join — staged once,
+    // or a heavy producer lineage (knnGraph: bucket join + cosine + rank)
+    // would re-run per round (r17 review; the t169 staging rule)
+    val g = graft.ops.Checkpointing.stage(
+      graph.select(col("node_id"), col("neighbor_id"),
+        col("cosine").cast("decimal(14,4)").as("__w")))
     val seedMap = seeds.select(col(idCol).as("__id"), col(labelCol).as("__lab"))
     var lab = seedMap
     for (_ <- 1 to rounds) {

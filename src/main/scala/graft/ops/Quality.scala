@@ -191,8 +191,11 @@ object Quality {
     require(idCol != "clamped" && scoreCol != "clamped" && groupCol != "clamped",
       "winsorizeBy: output column 'clamped' would collide with an input column")
     // unlike winsorize, the threshold relation JOINS the caller's frame —
-    // its internal names must not collide with caller columns (r17 review)
-    Seq("__lo", "__hi", "__grp").foreach { n =>
+    // its internal names must not collide with caller columns; the rank
+    // machinery's own names (__score/__idx/__n) are reserved too, since
+    // the group column rides through groupOrderStats and a collision
+    // would silently overwrite a rank input (r17 second review)
+    Seq("__lo", "__hi", "__grp", "__score", "__idx", "__n").foreach { n =>
       require(!df.columns.contains(n),
         s"winsorizeBy: input column '$n' collides with a reserved internal name")
     }
@@ -260,7 +263,8 @@ object Quality {
                 scoreCol: String): DataFrame = {
     require(idCol != "z" && scoreCol != "z" && groupCol != "z",
       "robustZBy: output column 'z' would collide with an input column")
-    Seq("__med", "__mad", "__grp").foreach { n =>
+    // __score/__idx/__n reserved for the same reason as winsorizeBy's list
+    Seq("__med", "__mad", "__grp", "__score", "__idx", "__n").foreach { n =>
       require(!df.columns.contains(n),
         s"robustZBy: input column '$n' collides with a reserved internal name")
     }

@@ -1225,12 +1225,32 @@ object Similarity {
                      planes: Int = 4, tables: Int = 2,
                      dim: Int = -1): DataFrame = {
     val batch = graft.core.Par.widen(batch0)
-    val d = if (dim > 0) dim else batch.select(size(col(vecCol))).head().getInt(0)
+    // dim inference must survive an EMPTY batch (the steady-state zero-new-
+    // vectors ingest — r17 review): fall back to the corpus side
+    val d = if (dim > 0) dim else {
+      val s = batch0.select(size(col(vecCol))).limit(1).collect()
+      if (s.nonEmpty) s.head.getInt(0)
+      else corpus0.select(size(col(vecCol))).head().getInt(0)
+    }
+    // PRECONDITION (r17 review): batch ids must be NEW — a re-ingested
+    // existing id would leave stale edges on unaffected nodes AND join two
+    // vectors per id in the fetch, silently breaking append ≡ rebuild.
+    // Checked loudly: one ids-only semi-join count per ingest, noise next
+    // to the bucket scans. (UPDATING an existing vector = delete its edges
+    // + append, a different operation.)
+    val dup = batch0.select(col(idCol))
+      .join(corpus0.select(col(idCol)), Seq(idCol), "left_semi").count()
+    require(dup == 0L,
+      s"appendKnnGraph: $dup batch id(s) already exist in the corpus — " +
+        "append requires disjoint ids (re-ingesting an id needs delete+append)")
     def buckets(df: DataFrame) = df.select(col(idCol).as("id"),
       posexplode(lshBucketTables(df.sparkSession, col(vecCol), planes, tables, d))
         .as(Seq("tbl", "bucket")))
     val bNew = buckets(batch)
-    val bOld = buckets(graft.core.Par.widen(corpus0))
+    // ids-only but referenced THREE times (affected detection + both cand
+    // sides via bAll) — staged so the corpus-wide hyperplane math runs
+    // once per ingest (r17 review; the t169 staging rule)
+    val bOld = graft.ops.Checkpointing.stage(buckets(graft.core.Par.widen(corpus0)))
     val affected = batch.select(col(idCol).as("id"))
       .union(bOld
         .join(broadcast(bNew.select(col("tbl"), col("bucket")).distinct()),
@@ -1262,6 +1282,28 @@ object Similarity {
       .unionByName(recomputed)
   }
 
+  /** The MUTUAL edge list under [[mutualKnnClusters]] (and d173's triangle
+    * stats): undirected (a < b) edges kept iff each endpoint is in the
+    * other's gated top-k. Exposed because several graph analytics consume
+    * the same construction. Degree is bounded by k BY CONSTRUCTION —
+    * the property the downstream triangle join's work bound leans on. */
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     minCosine: Double = -1.0, planes: Int = 4,
+                     tables: Int = 2, dim: Int = -1): DataFrame = {
+    // the graph — bucket join + exact cosine + rank, the heavy stage — has
+    // TWO consumers (the mutuality self-join's sides); staged once per the
+    // t169 staging rule (stage heavy expressions, not cheap expansions)
+    val g = graft.ops.Checkpointing.stage(
+      knnGraph(df, idCol, vecCol, k, planes, tables, dim)
+        .filter(col("cosine") >= minCosine)
+        .select(col("node_id"), col("neighbor_id")))
+    val x = g.toDF("a", "b")
+    val y = g.toDF("yb", "ya")
+    x.join(y, col("a") === col("ya") && col("b") === col("yb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+  }
+
   /** SEMANTIC CLUSTERS from the [[knnGraph]]: connected components over the
     * MUTUAL k-NN edges (kept iff a ∈ kNN(b) AND b ∈ kNN(a)) at or above
     * `minCosine` — the standard hub-resistant construction: a popular
@@ -1290,28 +1332,6 @@ object Similarity {
     * CC over the mutual subset (≤ k·n/2 edges, rounds bounded by component
     * diameter with pointer-jumping), one size aggregate. Per-side toDF
     * renames keep the same-lineage self-join's predicate real. */
-  /** The MUTUAL edge list under [[mutualKnnClusters]] (and d173's triangle
-    * stats): undirected (a < b) edges kept iff each endpoint is in the
-    * other's gated top-k. Exposed because several graph analytics consume
-    * the same construction. Degree is bounded by k BY CONSTRUCTION —
-    * the property the downstream triangle join's work bound leans on. */
-  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     minCosine: Double = -1.0, planes: Int = 4,
-                     tables: Int = 2, dim: Int = -1): DataFrame = {
-    // the graph — bucket join + exact cosine + rank, the heavy stage — has
-    // TWO consumers (the mutuality self-join's sides); staged once per the
-    // t169 staging rule (stage heavy expressions, not cheap expansions)
-    val g = graft.ops.Checkpointing.stage(
-      knnGraph(df, idCol, vecCol, k, planes, tables, dim)
-        .filter(col("cosine") >= minCosine)
-        .select(col("node_id"), col("neighbor_id")))
-    val x = g.toDF("a", "b")
-    val y = g.toDF("yb", "ya")
-    x.join(y, col("a") === col("ya") && col("b") === col("yb"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-  }
-
   def mutualKnnClusters(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         minCosine: Double = -1.0, planes: Int = 4,
                         tables: Int = 2, dim: Int = -1): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,6 +83,13 @@ object Stats {
     * scale their data is exact at — 2 for money/quantity columns. */
   def momentsSketch(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.nonEmpty, "momentsSketch: at least one column required")
+    // the reshape splices names into a parsed stack(...) string — reject
+    // the two characters that would break (or inject into) it (r17 review)
+    cols.foreach { c =>
+      require(!c.contains("'") && !c.contains("`"),
+        s"momentsSketch: column name '$c' contains a quote/backtick — " +
+          "unsupported in the stack reshape")
+    }
     val aggs: Seq[Column] = cols.flatMap { c =>
       val d = col(c).cast(DecimalType(18, scale))
       Seq(
@@ -181,8 +188,13 @@ object Stats {
     require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")
     val spark = base.sparkSession
     val v = col(valueCol).cast(DoubleType)
-    val Row(mn: Double, mx: Double) = base.filter(v.isNotNull)
-      .agg(min(v), max(v)).head()
+    // loud, actionable failure on an empty/all-NULL calibration slice (a
+    // bare Row(Double, Double) match dies in MatchError — r17 review)
+    val extrema = base.filter(v.isNotNull).agg(min(v), max(v)).head()
+    require(!extrema.isNullAt(0),
+      s"psiDrift: base slice has no non-null '$valueCol' values — " +
+        "an empty calibration window defines no bins")
+    val (mn, mx) = (extrema.getDouble(0), extrema.getDouble(1))
     val w = (mx - mn) / bins
     def binned(df: DataFrame) = {
       val raw =

@@ -660,10 +660,16 @@ class PipelineSpec extends SparkSpec {
       "append must equal the full rebuild exactly")
     // the batch genuinely changed something (otherwise the test is vacuous)
     assert(rowsOf(g) != rowsOf(rebuilt))
-    // an empty batch is the identity
+    // an empty batch is the identity — INCLUDING with dim left to inference
+    // (the empty-batch head() crash, r17 review)
     val idAppend = Similarity.appendKnnGraph(g, old, batch.filter(lit(false)),
-      "vec_id", "embedding", k = k, planes = planes, tables = tables, dim = dim)
+      "vec_id", "embedding", k = k, planes = planes, tables = tables)
     assert(rowsOf(idAppend) == rowsOf(g))
+    // re-ingesting an EXISTING id is rejected loudly (silent stale edges
+    // otherwise — r17 review)
+    intercept[IllegalArgumentException](Similarity.appendKnnGraph(
+      g, old, old.limit(1), "vec_id", "embedding",
+      k = k, planes = planes, tables = tables, dim = dim))
   }
 
   test("mutualKnnClusters: union-find over mutual edges, total coverage, min-id labels") {
