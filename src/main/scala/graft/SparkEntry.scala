@@ -2731,6 +2731,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ZIPF FIT (round 17): least-squares slope of ln(tf) on ln(rank) over
+    // the top-1000 tokens — the corpus-health diagnostic (natural language
+    // ≈ −1; flatter = template flood, steeper tail = gibberish). Ranks via
+    // the terasort row-index machinery (no partitionless window), every
+    // regression term decimal-rounded pre-sum
+    "t174_zipf_fit" -> ((s, dir) =>
+      graft.ops.TextIndex.zipfFit(t(s, dir, "documents"), "text", topN = 1000)),
+
     // GROUP-WISE robust z (round 17): t169's median/MAD standardization
     // WITHIN each language — |z| > k flags compare a doc against its own
     // population's spread, not a global band dominated by the largest
@@ -5111,6 +5119,24 @@ object SparkEntry {
         |SELECT a.doc_id, a.cluster_id, csz.cluster_size,
         |  floor(1e6 / csz.cluster_size + 0.5) / 1e6 AS weight
         |FROM allc a JOIN csz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+
+    // the same (c desc, w) top-N cut, ranks by row_number, decimal term
+    // sums, and the rounded slope feeding the intercept
+    "t174_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 1000),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM top),
+        |t AS (SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,7)) AS x,
+        |  CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(27,7)) AS y,
+        |  CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(27,7)) AS xy,
+        |  CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,7)) AS xx FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx FROM t)
+        |SELECT n AS n_tokens,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor((sy - (floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept
+        |FROM s""".stripMargin,
 
     // t169's rank re-derivation per language: partitioned-window ranks for
     // the median, the same over per-group |x − med| for the MAD

@@ -465,6 +465,46 @@ object TextIndex {
         (floor(col("__cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cosine"))
   }
 
+  /** ZIPF FIT — the corpus-health diagnostic on the token frequency
+    * curve: natural language follows tf ∝ rank^s with s ≈ −1; a slope far
+    * from −1 flags template/boilerplate floods (flatter head) or
+    * synthetic/gibberish tails. The fit is ordinary least squares of
+    * ln(tf) on ln(rank) over the top-`topN` tokens.
+    *
+    * Engine-exact replay: ranks and counts are integers, each ln runs on
+    * identical doubles, every regression term (x, y, x·y, x²) is rounded
+    * through DECIMAL(27,7) BEFORE its sum (the t110 contract — no float
+    * reduction order), and slope/intercept derive from the decimal sums
+    * through the portable 6 dp floor.
+    *
+    * Scale shape: one token-count exchange (map-side combined), a
+    * TakeOrdered top-N (no global sort), ranks via the terasort row-index
+    * machinery over the N-row relation (NO partitionless window — the
+    * StrictPlanGuard stays clean with zero allowlist growth), one scalar
+    * aggregate. Output: ONE row (n_tokens, slope, intercept). */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"zipfFit: topN=$topN must be >= 2")
+    val toks = df.select(explode(tokensExpr(textCol)).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topN)
+    val (indexed, n) = Relational.withRowIndexCounted(top, "__zr")
+    require(n >= 2, s"zipfFit: only $n distinct tokens — nothing to fit")
+    val x = log((col("__zr") + lit(1L)).cast("double"))
+    val y = log(col("c").cast("double"))
+    val dec = (c: Column) => c.cast("decimal(27,7)")
+    val sums = indexed.select(dec(x).as("x"), dec(y).as("y"),
+        dec(x * y).as("xy"), dec(x * x).as("xx"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val slope = r6((nD * sxy - sx * sy) / (nD * sxx - sx * sx))
+    sums.select(col("n").as("n_tokens"), slope.as("slope"),
+      r6((sy - slope * sx) / nD).as("intercept"))
+  }
+
   /** LABEL-NOISE AUDIT via a corpus-trained multinomial Naive Bayes
     * classifier: train add-k token models per label ON the corpus's own
     * labels, re-classify every document, and flag the disagreements — the

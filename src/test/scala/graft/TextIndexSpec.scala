@@ -416,6 +416,39 @@ class TextIndexSpec extends SparkSpec {
     assert(strict.map(r => (r._1, r._2)) == Seq((1L, 2L)))
   }
 
+  test("zipfFit: exact driver replay of the decimal OLS; ≈ −1 on a planted Zipf corpus") {
+    // token i appears floor(120/i) times — a near-perfect Zipf curve
+    val words = (1 to 12).flatMap(i => Seq.fill(120 / i)(f"w$i%02d"))
+    val df = Seq(Tuple1(words.mkString(" "))).toDF("text")
+    val got = TextIndex.zipfFit(df, "text", topN = 100).collect().head
+    assert(got.getLong(0) == 12L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.1,
+      s"planted Zipf slope ${got.getDouble(1)} not ≈ −1")
+    // full driver replay: same ranks, same DECIMAL(27,7) term rounding,
+    // same floor-rounded slope/intercept — must match EXACTLY
+    import java.math.{BigDecimal => BD, RoundingMode}
+    val counts = (1 to 12).map(i => f"w$i%02d" -> (120 / i).toLong)
+      .sortBy { case (w, c) => (-c, w) }
+    def d7(v: Double) = new BD(v).setScale(7, RoundingMode.HALF_UP)
+    var (sx, sy, sxy, sxx) = (BD.ZERO, BD.ZERO, BD.ZERO, BD.ZERO)
+    counts.zipWithIndex.foreach { case ((_, c), i) =>
+      val x = math.log((i + 1).toDouble); val y = math.log(c.toDouble)
+      sx = sx.add(d7(x)); sy = sy.add(d7(y))
+      sxy = sxy.add(d7(x * y)); sxx = sxx.add(d7(x * x))
+    }
+    val n = counts.size.toDouble
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val slope = r6((n * sxy.doubleValue - sx.doubleValue * sy.doubleValue) /
+      (n * sxx.doubleValue - sx.doubleValue * sx.doubleValue))
+    val icept = r6((sy.doubleValue - slope * sx.doubleValue) / n)
+    assert(got.getDouble(1) == slope && got.getDouble(2) == icept,
+      s"(${got.getDouble(1)}, ${got.getDouble(2)}) != ($slope, $icept)")
+    // degenerate corpus rejected loudly
+    val e = intercept[IllegalArgumentException](
+      TextIndex.zipfFit(Seq(Tuple1("solo solo solo")).toDF("text"), "text"))
+    assert(e.getMessage.contains("distinct tokens"))
+  }
+
   test("naiveBayesLabelAudit: recovers a separable labeling, flags the mislabel, prior-only zero-token docs") {
     val labeled = Seq(
       (1L, "alpha alpha beta", "a"),
