@@ -2753,6 +2753,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING drift alarm (round 17): p174's PSI with the CURRENT side
+    // arriving as a stream — the calibration range and base counts are
+    // static (batch-derived), the stream is binned by the same codegen'd
+    // cell expression, and the engine's state store keeps the per-bin
+    // counts (complete mode, O(bins) state); the report tail runs
+    // batch-side on the sink. Monitoring-on-ingest: the alarm is current
+    // after every micro-batch without rescanning history. Same
+    // computation as p174 ⇒ the SAME oracle proves stream ≡ batch
+    "q175_stream_psi" -> ((s0, dir) => {
+      val s = streamSession(s0)
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val (mn, mx) = graft.ops.Stats.psiBaseRange(
+        static.filter(col("lang") === "en"), "n_chars")
+      val w = (mx - mn) / 10
+      val v = col("n_chars").cast("double")
+      val baseCounts = static.filter(col("lang") === "en").filter(v.isNotNull)
+        .select(graft.ops.Stats.psiBinExpr(v, mn, w, 10).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val raw = graft.streaming.Streams.readStream(s, dir,
+        static.schema, glob = Some("documents.parquet"))
+      val curBinned = raw.filter(col("lang") === "zh").filter(v.isNotNull)
+        .select(graft.ops.Stats.psiBinExpr(v, mn, w, 10).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      freshMemorySink(s, "graft_q175_sink")
+      val sq = curBinned.writeStream.format("memory").queryName("graft_q175_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      graft.ops.Stats.psiReport(s, baseCounts,
+          s.table("graft_q175_sink").select(col("bin"), col("n")), mn, w, 10)
+        .orderBy(col("bin"))
+    }),
+
     // STREAMING moments maintenance (round 17): p170's mergeable moment
     // algebra run BY THE ENGINE'S STATE STORE — per-event-type
     // n/min/max/Σx/Σx² as a streaming complete-mode aggregate (decimal
@@ -3052,6 +3086,31 @@ object SparkEntry {
       // replayed — fail closed to the error() form
       case None => if (stash.size == 1) stash.headOption.map(_._2) else None
     }
+
+  /** The en-vs-zh document-length PSI replay, shared by p174 (batch)
+    * and q175 (streaming current side) — stream ≡ batch is exactly what
+    * the same-oracle equality witnesses. */
+  private val psiEnZhOracle: String =
+    """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'zh' AND n_chars IS NOT NULL),
+        |rng AS (SELECT min(v) AS mn, max(v) AS mx, (max(v) - min(v)) / 10 AS w FROM b),
+        |bb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM b, rng GROUP BY 1),
+        |cb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM c, rng GROUP BY 1),
+        |spine AS (SELECT range AS bin FROM range(10)),
+        |j AS (SELECT spine.bin, coalesce(bb.n, 0) AS base_n, coalesce(cb.n, 0) AS cur_n
+        |      FROM spine LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin)),
+        |tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(cur_n) AS BIGINT) AS nc FROM j),
+        |t2 AS (SELECT bin, base_n, cur_n,
+        |  (base_n + 0.5) / (nb + 0.5 * 10) AS p, (cur_n + 0.5) / (nc + 0.5 * 10) AS q,
+        |  CAST((((base_n + 0.5) / (nb + 0.5 * 10)) - ((cur_n + 0.5) / (nc + 0.5 * 10)))
+        |    * ln(((base_n + 0.5) / (nb + 0.5 * 10)) / ((cur_n + 0.5) / (nc + 0.5 * 10))) AS DECIMAL(27,7)) AS term
+        |  FROM j, tot),
+        |ps AS (SELECT sum(term) AS psi FROM t2)
+        |SELECT bin, round(mn + bin * w, 6) AS bin_lo, base_n, cur_n,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS p, floor(q * 1e6 + 0.5) / 1e6 AS q,
+        |  CAST(term AS DOUBLE) AS term,
+        |  floor(CAST(psi AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi
+        |FROM t2, ps, rng ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5046,28 +5105,14 @@ object SparkEntry {
     },
 
     // base-range bins + add-0.5 probabilities + decimal-rounded terms —
-    // every float op in the same IEEE order as the engine's
-    "p174_psi_drift" ->
-      """WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
-        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'zh' AND n_chars IS NOT NULL),
-        |rng AS (SELECT min(v) AS mn, max(v) AS mx, (max(v) - min(v)) / 10 AS w FROM b),
-        |bb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM b, rng GROUP BY 1),
-        |cb AS (SELECT least(greatest(CAST(floor((v - mn) / w) AS BIGINT), 0), 9) AS bin, count(*) AS n FROM c, rng GROUP BY 1),
-        |spine AS (SELECT range AS bin FROM range(10)),
-        |j AS (SELECT spine.bin, coalesce(bb.n, 0) AS base_n, coalesce(cb.n, 0) AS cur_n
-        |      FROM spine LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin)),
-        |tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS nb, CAST(sum(cur_n) AS BIGINT) AS nc FROM j),
-        |t2 AS (SELECT bin, base_n, cur_n,
-        |  (base_n + 0.5) / (nb + 0.5 * 10) AS p, (cur_n + 0.5) / (nc + 0.5 * 10) AS q,
-        |  CAST((((base_n + 0.5) / (nb + 0.5 * 10)) - ((cur_n + 0.5) / (nc + 0.5 * 10)))
-        |    * ln(((base_n + 0.5) / (nb + 0.5 * 10)) / ((cur_n + 0.5) / (nc + 0.5 * 10))) AS DECIMAL(27,7)) AS term
-        |  FROM j, tot),
-        |ps AS (SELECT sum(term) AS psi FROM t2)
-        |SELECT bin, round(mn + bin * w, 6) AS bin_lo, base_n, cur_n,
-        |  floor(p * 1e6 + 0.5) / 1e6 AS p, floor(q * 1e6 + 0.5) / 1e6 AS q,
-        |  CAST(term AS DOUBLE) AS term,
-        |  floor(CAST(psi AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi
-        |FROM t2, ps, rng ORDER BY bin""".stripMargin,
+    // every float op in the same IEEE order as the engine's. SHARED by
+    // p174 (batch) and q175 (streaming current side): stream ≡ batch is
+    // exactly what the same-oracle equality witnesses
+    "p174_psi_drift" -> psiEnZhOracle,
+
+    "q175_stream_psi" -> psiEnZhOracle,
+
+
 
     // the d73 pair chain up to `pairs` (already a < b), then the
     // canonical-orientation triangle join + degrees + the portable

@@ -183,33 +183,46 @@ object Stats {
     * join (never a partitionless window). Output: one row per bin
     * (bin, bin_lo, base_n, cur_n, p, q, term) + the repeated `psi` total
     * column — the whole report is bins-sized. */
-  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
-               bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")
-    val spark = base.sparkSession
+  /** [[psiDrift]]'s calibration-range derivation, exposed for the
+    * streaming variant (q175 computes the static range batch-side, then
+    * bins the stream with it). Loud failure on an empty/all-NULL slice. */
+  def psiBaseRange(base: DataFrame, valueCol: String): (Double, Double) = {
     val v = col(valueCol).cast(DoubleType)
-    // loud, actionable failure on an empty/all-NULL calibration slice (a
-    // bare Row(Double, Double) match dies in MatchError — r17 review)
     val extrema = base.filter(v.isNotNull).agg(min(v), max(v)).head()
     require(!extrema.isNullAt(0),
       s"psiDrift: base slice has no non-null '$valueCol' values — " +
         "an empty calibration window defines no bins")
-    val (mn, mx) = (extrema.getDouble(0), extrema.getDouble(1))
-    val w = (mx - mn) / bins
-    def binned(df: DataFrame) = {
-      val raw =
-        if (w == 0.0) lit(0L) // degenerate base range: everything in bin 0
-        else floor((v - lit(mn)) / lit(w)).cast("long")
-      df.filter(v.isNotNull)
-        .select(least(greatest(raw, lit(0L)), lit(bins - 1L)).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-    }
+    (extrema.getDouble(0), extrema.getDouble(1))
+  }
+
+  /** The bin assignment under [[psiDrift]]: equi-width cell over
+    * [mn, mn + bins·w), out-of-range clamped to the edge cells, the
+    * degenerate w = 0 range collapsing to bin 0. A pure codegen'd
+    * expression — usable identically over a batch relation or a stream
+    * (q175 bins the stream with it and lets the state store keep the
+    * per-bin counts). Callers filter NULLs themselves. */
+  def psiBinExpr(v: Column, mn: Double, w: Double, bins: Int): Column = {
+    val raw =
+      if (w == 0.0) lit(0L)
+      else floor((v - lit(mn)) / lit(w)).cast("long")
+    least(greatest(raw, lit(0L)), lit(bins - 1L))
+  }
+
+  /** The report tail under [[psiDrift]]: from per-bin counts (any
+    * producer — batch aggregation or a streaming sink's state) to the
+    * full per-bin report + PSI total. Same exactness contract as
+    * [[psiDrift]]. `baseCounts`/`curCounts`: (bin, n) relations, missing
+    * bins allowed (the spine fills zeros). */
+  def psiReport(spark: org.apache.spark.sql.SparkSession,
+                baseCounts: DataFrame, curCounts: DataFrame,
+                mn: Double, w: Double, bins: Int): DataFrame = {
+    require(bins >= 2, s"psiReport: bins=$bins must be >= 2")
     val spine = spark.range(bins).select(col("id").as("bin"))
-    // bins-sized, but its lineage holds both corpus count passes and it
-    // feeds the totals aggregate AND the final projection — staged once
+    // bins-sized, but its lineage holds both count passes and it feeds
+    // the totals aggregate AND the final projection — staged once
     val joined = graft.ops.Checkpointing.stage(spine
-      .join(binned(base).withColumnRenamed("n", "base_n"), Seq("bin"), "left")
-      .join(binned(current).withColumnRenamed("n", "cur_n"), Seq("bin"), "left")
+      .join(baseCounts.toDF("bin", "base_n"), Seq("bin"), "left")
+      .join(curCounts.toDF("bin", "cur_n"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n")))
@@ -228,6 +241,19 @@ object Stats {
         r6(col("p")).as("p"), r6(col("q")).as("q"),
         col("__term").cast(DoubleType).as("term"),
         r6(col("__psi").cast(DoubleType)).as("psi"))
+  }
+
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")
+    val spark = base.sparkSession
+    val v = col(valueCol).cast(DoubleType)
+    val (mn, mx) = psiBaseRange(base, valueCol)
+    val w = (mx - mn) / bins
+    def binned(df: DataFrame) = df.filter(v.isNotNull)
+      .select(psiBinExpr(v, mn, w, bins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    psiReport(spark, binned(base), binned(current), mn, w, bins)
   }
 
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */

@@ -171,6 +171,19 @@ class StatsFoldsSpec extends SparkSpec {
     assert(deg.forall(r => !r.getAs[Double]("psi").isNaN))
   }
 
+  test("psiBinExpr: cell assignment, edge clamping, degenerate width — the q175 stream binner") {
+    import graft.ops.Stats
+    val df = Seq(-5.0, 0.0, 4.99, 5.0, 45.0, 50.0, 99.0).map(Tuple1(_)).toDF("v")
+    val got = df.select(Stats.psiBinExpr(col("v"), 0.0, 5.0, 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    // below-range clamps to 0, on-edge opens the next cell, at/above the
+    // top edge clamps to bins-1
+    assert(got == Seq(0L, 0L, 0L, 1L, 9L, 9L, 9L))
+    val degenerate = df.select(Stats.psiBinExpr(col("v"), 7.0, 0.0, 10))
+      .collect().map(_.getLong(0)).toSet
+    assert(degenerate == Set(0L))
+  }
+
   test("momentsReport: mean/stdev match describe on 2dp-exact data; all-NA column goes NULL") {
     val df = Seq[java.lang.Double](-5.0, -4.0, null, 12.0, 3.0, null, 6.0, 0.0, -3.1)
       .toDF("x")
