@@ -2767,15 +2767,14 @@ object SparkEntry {
       val (mn, mx) = graft.ops.Stats.psiBaseRange(
         static.filter(col("lang") === "en"), "n_chars")
       val w = (mx - mn) / 10
-      val v = col("n_chars").cast("double")
-      val baseCounts = static.filter(col("lang") === "en").filter(v.isNotNull)
-        .select(graft.ops.Stats.psiBinExpr(v, mn, w, 10).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      // ONE binning recipe for both sides (Stats.psiBinnedCounts — r17
+      // second review): batch and stream cannot silently diverge
+      val baseCounts = graft.ops.Stats.psiBinnedCounts(
+        static.filter(col("lang") === "en"), "n_chars", mn, w, 10)
       val raw = graft.streaming.Streams.readStream(s, dir,
         static.schema, glob = Some("documents.parquet"))
-      val curBinned = raw.filter(col("lang") === "zh").filter(v.isNotNull)
-        .select(graft.ops.Stats.psiBinExpr(v, mn, w, 10).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val curBinned = graft.ops.Stats.psiBinnedCounts(
+        raw.filter(col("lang") === "zh"), "n_chars", mn, w, 10)
       freshMemorySink(s, "graft_q175_sink")
       val sq = curBinned.writeStream.format("memory").queryName("graft_q175_sink")
         .outputMode("complete")

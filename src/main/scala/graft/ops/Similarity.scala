@@ -1243,6 +1243,14 @@ object Similarity {
     require(dup == 0L,
       s"appendKnnGraph: $dup batch id(s) already exist in the corpus — " +
         "append requires disjoint ids (re-ingesting an id needs delete+append)")
+    // and UNIQUE within the batch itself (r17 second review): a doubled id
+    // inside one ingest passes the corpus check but still duplicates the
+    // vector fetch and burns two of a node's k slots on one neighbor
+    val bs = batch0.agg(count(col(idCol)).as("n"),
+      countDistinct(col(idCol)).as("nd")).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"appendKnnGraph: batch carries ${bs.getLong(0) - bs.getLong(1)} " +
+        "duplicate id(s) — ids must be unique within the batch")
     def buckets(df: DataFrame) = df.select(col(idCol).as("id"),
       posexplode(lshBucketTables(df.sparkSession, col(vecCol), planes, tables, d))
         .as(Seq("tbl", "bucket")))

@@ -86,9 +86,10 @@ object Stats {
     // the reshape splices names into a parsed stack(...) string — reject
     // the two characters that would break (or inject into) it (r17 review)
     cols.foreach { c =>
-      require(!c.contains("'") && !c.contains("`"),
-        s"momentsSketch: column name '$c' contains a quote/backtick — " +
-          "unsupported in the stack reshape")
+      require(!c.contains("'") && !c.contains("`") && !c.contains("\\"),
+        s"momentsSketch: column name '$c' contains a quote/backtick/" +
+          "backslash — unsupported in the stack reshape (the parser would " +
+          "rewrite escape sequences, silently changing the field label)")
     }
     val aggs: Seq[Column] = cols.flatMap { c =>
       val d = col(c).cast(DecimalType(18, scale))
@@ -162,27 +163,6 @@ object Stats {
         round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev")): _*)
   }
 
-  /** POPULATION STABILITY INDEX drift report: how far `current`'s
-    * distribution of `valueCol` has moved from `base`'s — THE standard
-    * monitoring metric for "is this week's data still shaped like the
-    * data the thresholds were calibrated on" (rule of thumb: < 0.1 stable,
-    * 0.1–0.25 drifting, > 0.25 shifted).
-    *
-    * Bins: `bins` equi-width cells over BASE's [min, max] (the calibration
-    * window defines the scale); out-of-range current values clamp into the
-    * edge cells, every cell emits a row (zero counts included — absence is
-    * never evidence). Probabilities are add-0.5 smoothed (the t110 add-k
-    * recipe — no ln(0), and the smoothing constant is part of the
-    * contract, not an epsilon hack). PSI = Σ (p−q)·ln(p/q) with each term
-    * rounded through DECIMAL(27,7) pre-sum and the total floor-rounded
-    * 6 dp — identical doubles → identical PSI in any engine, any
-    * reduction order. NULL values never enter a bin.
-    *
-    * Scale shape: one aggregate per side for the range/counts (map-side
-    * combined), a bins-sized spine join, the total via a broadcast cross
-    * join (never a partitionless window). Output: one row per bin
-    * (bin, bin_lo, base_n, cur_n, p, q, term) + the repeated `psi` total
-    * column — the whole report is bins-sized. */
   /** [[psiDrift]]'s calibration-range derivation, exposed for the
     * streaming variant (q175 computes the static range batch-side, then
     * bins the stream with it). Loud failure on an empty/all-NULL slice. */
@@ -190,9 +170,18 @@ object Stats {
     val v = col(valueCol).cast(DoubleType)
     val extrema = base.filter(v.isNotNull).agg(min(v), max(v)).head()
     require(!extrema.isNullAt(0),
-      s"psiDrift: base slice has no non-null '$valueCol' values — " +
+      s"psiBaseRange: base slice has no non-null '$valueCol' values — " +
         "an empty calibration window defines no bins")
-    (extrema.getDouble(0), extrema.getDouble(1))
+    val (mn, mx) = (extrema.getDouble(0), extrema.getDouble(1))
+    // a CONSTANT calibration window is as binless as an empty one — and
+    // silently worse: w = 0 collapses both sides into bin 0 and the report
+    // reads PSI ~ 0 "stable" for arbitrarily drifted current data. The
+    // monitoring metric must not mask exactly the event it exists to
+    // catch (r17 second review).
+    require(mx > mn,
+      s"psiBaseRange: base slice's '$valueCol' is constant at $mn — " +
+        "a zero-width calibration window defines no bins")
+    (mn, mx)
   }
 
   /** The bin assignment under [[psiDrift]]: equi-width cell over
@@ -243,17 +232,47 @@ object Stats {
         r6(col("__psi").cast(DoubleType)).as("psi"))
   }
 
+  /** POPULATION STABILITY INDEX drift report: how far `current`'s
+    * distribution of `valueCol` has moved from `base`'s — THE standard
+    * monitoring metric for "is this week's data still shaped like the
+    * data the thresholds were calibrated on" (rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Bins: `bins` equi-width cells over BASE's [min, max] (the calibration
+    * window defines the scale); out-of-range current values clamp into the
+    * edge cells, every cell emits a row (zero counts included — absence is
+    * never evidence). Probabilities are add-0.5 smoothed (the t110 add-k
+    * recipe — no ln(0), and the smoothing constant is part of the
+    * contract, not an epsilon hack). PSI = Σ (p−q)·ln(p/q) with each term
+    * rounded through DECIMAL(27,7) pre-sum and the total floor-rounded
+    * 6 dp — identical doubles → identical PSI in any engine, any
+    * reduction order. NULL values never enter a bin.
+    *
+    * Scale shape: one aggregate per side for the range/counts (map-side
+    * combined), a bins-sized spine join, the total via a broadcast cross
+    * join (never a partitionless window). Output: one row per bin
+    * (bin, bin_lo, base_n, cur_n, p, q, term) + the repeated `psi` total
+    * column — the whole report is bins-sized. */
+  /** The binning aggregation under [[psiDrift]] — (bin, n) counts over
+    * non-null values, the exact relation [[psiReport]] consumes. ONE copy
+    * (r17 second review): batch and the q175 stream bin through the same
+    * code, so the binning contract cannot silently diverge between them. */
+  def psiBinnedCounts(df: DataFrame, valueCol: String, mn: Double, w: Double,
+                      bins: Int): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull)
+      .select(psiBinExpr(v, mn, w, bins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
   def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
                bins: Int = 10): DataFrame = {
     require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")
-    val spark = base.sparkSession
-    val v = col(valueCol).cast(DoubleType)
     val (mn, mx) = psiBaseRange(base, valueCol)
     val w = (mx - mn) / bins
-    def binned(df: DataFrame) = df.filter(v.isNotNull)
-      .select(psiBinExpr(v, mn, w, bins).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-    psiReport(spark, binned(base), binned(current), mn, w, bins)
+    psiReport(base.sparkSession,
+      psiBinnedCounts(base, valueCol, mn, w, bins),
+      psiBinnedCounts(current, valueCol, mn, w, bins), mn, w, bins)
   }
 
   /** Per-column NA / existing counts (agnes `NaCount`, src/stats.rs:12-35). */

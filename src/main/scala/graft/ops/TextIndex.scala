@@ -485,8 +485,12 @@ object TextIndex {
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"zipfFit: topN=$topN must be >= 2")
     val toks = df.select(explode(tokensExpr(textCol)).as("w"))
-    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc).limit(topN)
+    // the N-row top relation has TWO consumers (the row-index machinery's
+    // count pass and the term projection) and a corpus-scale lineage —
+    // staged once per the t169 rule (r17 second review)
+    val top = graft.ops.Checkpointing.stage(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(topN))
     val (indexed, n) = Relational.withRowIndexCounted(top, "__zr")
     require(n >= 2, s"zipfFit: only $n distinct tokens — nothing to fit")
     val x = log((col("__zr") + lit(1L)).cast("double"))

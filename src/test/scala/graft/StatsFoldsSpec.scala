@@ -164,11 +164,14 @@ class StatsFoldsSpec extends SparkSpec {
     val top = drift.find(_.getAs[Long]("bin") == 9L).get
     assert(top.getAs[Long]("cur_n") == 101L, "out-of-range values clamp into the edge bin")
     assert(drift.head.getAs[Double]("psi") > 0.25, s"psi=${drift.head.getAs[Double]("psi")}")
-    // degenerate base range (min == max): everything lands in bin 0, no NaN
+    // a CONSTANT calibration window is rejected LOUDLY (r17 second
+    // review): w = 0 would collapse both sides into bin 0 and report
+    // PSI ≈ 0 "stable" for arbitrarily drifted current data — the metric
+    // must not mask exactly the event it exists to catch
     val const = Seq(5.0, 5.0, 5.0).map(Tuple1(_)).toDF("x")
-    val deg = Stats.psiDrift(const, const, "x", bins = 4).collect()
-    assert(deg.find(_.getAs[Long]("bin") == 0L).get.getAs[Long]("base_n") == 3L)
-    assert(deg.forall(r => !r.getAs[Double]("psi").isNaN))
+    val e = intercept[IllegalArgumentException](
+      Stats.psiDrift(const, const, "x", bins = 4))
+    assert(e.getMessage.contains("zero-width calibration window"))
   }
 
   test("psiBinExpr: cell assignment, edge clamping, degenerate width — the q175 stream binner") {
