@@ -320,6 +320,27 @@ private[graft] object BenchUtil {
     val ratio = if (prior >= 2.0) math.min(watchRatio, 1.5) else watchRatio
     min > prior * ratio && (min - prior) > hostGap(crossHost) && min <= prior * guardRatio
   }
+
+  /** STORM-CENSOR budget for one rep (round 18, r17 verdict #1 — the
+    * missing third mechanism): planReps and the reserve both engaged in the
+    * r17 driver run and it STILL blew the 420 s deadline, because an
+    * individual storm rep runs to completion — d81's two ~11 s reps burned
+    * ~22 s on a query whose same-HEAD floor is 0.3 s, and the 8
+    * guard_skipped rows carried ≈ 27 s of storm inflation ≈ exactly the
+    * budget that starved 4 queries. A rep is therefore time-boxed at
+    * max(ratio × prior, floor) + hostGap: past that the rep's Spark job
+    * group is cancelled, its elapsed stays charged to the wall clock but
+    * its (censored, incomplete) time never becomes a min, and the query is
+    * flagged into the SAME requeue machinery a storm suspect uses — the
+    * fresh-window re-run (uncensored, so a genuine 3×+ regression still
+    * gets its honest number) publishes the real min. No comparable prior →
+    * no censor (nothing to box against): None. The 2 s default floor keeps
+    * honest rep-1 JIT (typically ≤ 1.5 s on sub-second queries) out of the
+    * censor; the cross-host gap keeps a faster prior host from boxing an
+    * honest slower floor. */
+  def censorBudgetS(prior: Option[Double], censorRatio: Double, floorS: Double,
+                    crossHost: Boolean): Option[Double] =
+    prior.map(p => math.max(censorRatio * p, floorS) + hostGap(crossHost))
 }
 
 object Bench {
@@ -361,6 +382,21 @@ object Bench {
         }.sortBy(-_._1).headOption.map(_._2)
       }
     }
+    // SELF-ARMING TAIL-FIRST, driver-aware (round 18, r17 verdict #1): the
+    // r17 driver run ordered itself from the committed BUILDER artifact —
+    // whose "skipped" list is empty — so tail-first had nothing to arm on
+    // and the driver's OWN four starved queries (recorded only in its
+    // bench/BENCH_local.json) starved again. The live artifact path is now
+    // ALWAYS consulted for its skipped list (never for mins/ordering — its
+    // numbers may be the storm-laden run this machinery exists to survive),
+    // unioned with the chosen prior's.
+    val liveSkipped = {
+      val live = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench/BENCH_local.json"))
+      if (Files.isReadable(live) && !chosen.contains(live))
+        BenchUtil.parseSkipped(new String(Files.readAllBytes(live), "UTF-8"))
+      else Seq.empty
+    }
     chosen match {
       case Some(p) if Files.isReadable(p) =>
         val txt = new String(Files.readAllBytes(p), "UTF-8")
@@ -371,8 +407,8 @@ object Bench {
         if (txt.trim.nonEmpty && mins.isEmpty)
           System.err.println(s"[bench] prior $p is non-empty but parsed to ZERO mins — format drift? (name order, no variance guard)")
         (p.toString, priorSf, priorHost, priorHostName, mins,
-          BenchUtil.parseSkipped(txt))
-      case _ => ("none", "", "", "", Map.empty, Seq.empty)
+          (BenchUtil.parseSkipped(txt) ++ liveSkipped).distinct)
+      case _ => ("none", "", "", "", Map.empty, liveSkipped)
     }
   }
 
@@ -405,6 +441,14 @@ object Bench {
     // the re-run must land in a DIFFERENT host window than the reps that
     // triggered it, or the requeue just re-measures the same storm
     val guardGapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_GAP_S", "60").toDouble
+    // storm-censor (round 18, see BenchUtil.censorBudgetS): a rep is
+    // time-boxed at max(ratio × prior, floor) + hostGap via Spark job-group
+    // cancellation; censored queries re-run UNCENSORED in a fresh window
+    // through the ordinary requeue machinery. SPARK_GRAFT_BENCH_CENSOR=0
+    // disarms (e.g. for isolated probes that WANT the storm's full shape).
+    val censorOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR", "1") == "1"
+    val censorRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR_RATIO", "3.0").toDouble
+    val censorFloorS = sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR_FLOOR_S", "2.0").toDouble
     // watch tier (see BenchUtil.watchBand): risers above this ratio that sit
     // UNDER the storm trigger are named in the artifact's "watch" map; when
     // every rep carried ≥ watchJitMs of JIT, one extra warm rep is granted
@@ -511,6 +555,17 @@ object Bench {
     // and the documented invariant "a null pass implies an entry in
     // failed" needs an in-band explanation, not just a stderr line
     val watchRepFailed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // storm-censored queries → the per-rep budget (s) whose overrun
+    // cancelled the rep. A censored rep leaves a null in the passes array
+    // (excluded from min, NOT a failure — third member of the null-pass
+    // invariant alongside failed / watch_rep_failed); the query re-runs
+    // uncensored via the requeue machinery, so a surviving entry here with
+    // a published min means the fresh window adjudicated it
+    val censored = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // storm suspects pending a second window (declared before runReps so a
+    // censored rep can flag directly into the requeue machinery)
+    case class Suspect(ratio: Double, flaggedAtS: Double, stormMin: Double)
+    val pending = scala.collection.mutable.LinkedHashMap[String, Suspect]()
     // EXPLICIT REQUEUE RESERVE (round 17, r16 verdict #1b): the schedule
     // plans against deadline − reserve, leaving the variance guard's
     // second windows a protected budget — guard_skipped can then only be
@@ -588,39 +643,103 @@ object Bench {
         .mkString("{", ",", "}")
       val watchRepFailedJson = watchRepFailed.map { case (n, r) => s""""$n":${fmt(r)}""" }
         .mkString("{", ",", "}")
+      val censoredJson = censored.map { case (n, r) => s""""$n":${fmt(r)}""" }
+        .mkString("{", ",", "}")
       val art =
-        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"planned_reps":$plannedReps,"eff_reps":$effReps,"degraded_at_s":${degradedAtS.map(fmt).getOrElse("null")},"reserve_s":${fmt(reserveS)},"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"planned_reps":$plannedReps,"eff_reps":$effReps,"degraded_at_s":${degradedAtS.map(fmt).getOrElse("null")},"reserve_s":${fmt(reserveS)},"fat_cutoff_s":${fmt(fatCutoff)},"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"censored":$censoredJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
     }
+    // the storm-censor watchdog's clock: one shared daemon thread that
+    // cancels a rep's Spark job group when its budget expires (runReps)
+    val censorExec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "bench-censor"); t.setDaemon(true); t })
     /** One rep-set (up to `reps` reps, deadline-gated between reps) of a
       * query, appended to any reps it already has. Sets deadlineHit when
-      * the gate trips mid-set. */
+      * the gate trips mid-set.
+      *
+      * STORM-CENSOR (round 18, see BenchUtil.censorBudgetS): each rep runs
+      * in its own Spark job group; a watchdog cancels the group once the
+      * rep overruns max(censorRatio × prior, floor) + hostGap. The
+      * cancelled rep leaves a null pass (never a min, never a failure),
+      * the overrun is charged to the wall clock, and the query flags into
+      * the SAME pending/requeue machinery a storm suspect uses — where the
+      * re-run is UNCENSORED (`censor = false`), so a genuine 3×+
+      * regression still publishes its honest number from a fresh window.
+      * The streaming family is exempt (cancelJobGroup mid-microbatch can
+      * wedge a stream's temp checkpoint; the family has the warm-rep
+      * guarantee below instead), as are reps with no comparable prior.
+      *
+      * STREAMING WARM-REP GUARANTEE (round 18, r17 verdict #2): a
+      * streaming rep re-pays per-run serde/codegen that batch queries
+      * don't, so a 1-rep streaming min is a JIT measurement, not a query
+      * time — q96 published 2.836 s with 2.7 s of JIT inside it when the
+      * r17 deadline fell mid-rep-set. The deadline gate may truncate a
+      * streaming query's rep-set only AFTER rep 2: rep 2 runs even past
+      * the deadline (deadlineHit is still set, so no NEW query starts). */
     def runReps(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-                nReps: Int = reps): Unit = {
+                nReps: Int = reps, censor: Boolean = true): Unit = {
+      val isStreaming = SparkEntry.streamingQueries.contains(name)
+      val budgetS: Option[Double] =
+        if (censorOn && censor && !isStreaming)
+          BenchUtil.censorBudgetS(judgePrior.get(name), censorRatio, censorFloorS, crossHost)
+        else None
       var ts = results.getOrElse(name, Vector.empty[Rep])
       var rep = 0
       var stop = false
       while (rep < nReps && !stop) {
         rep += 1
-        if (rep > 1 && elapsed > deadlineS) {
+        // a streaming query with one successful (cold) rep gets its warm
+        // rep 2 even past the deadline — one bounded overshoot, instead of
+        // publishing a JIT artifact as the family's min
+        val mustWarm = rep == 2 && isStreaming && ts.flatMap(_.secs).nonEmpty
+        if (rep > 1 && elapsed > deadlineS && !mustWarm) {
           // keep what we have rather than discard the query; the
           // per-query "warm" flag records the downgrade
           deadlineHit = true; stop = true
         } else {
+          if (rep > 1 && elapsed > deadlineS) deadlineHit = true
           val (g0, j0) = (gcMs, jitMs)
+          val group = s"bench-$name-rep$rep"
+          val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+          // interruptOnCancel = false: cancellation lands at task record
+          // boundaries — an interrupt could wedge an in-flight file writer
+          spark.sparkContext.setJobGroup(group, s"bench $name rep $rep", false)
+          val watchdog = budgetS.map { b =>
+            censorExec.schedule(new Runnable {
+              def run(): Unit = {
+                fired.set(true); spark.sparkContext.cancelJobGroup(group)
+              }
+            }, (b * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+          }
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
+            case _: Throwable if fired.get() =>
+              false // censored by the watchdog — a null pass, NOT a failure
             case e: Throwable =>
               failed += name
               System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
               false
           }
+          watchdog.foreach(_.cancel(false))
+          spark.sparkContext.clearJobGroup()
           val secs = (System.nanoTime() - t0) / 1e9
           ts :+= Rep(if (ok) Some(secs) else None, gcMs - g0, jitMs - j0)
           spark.catalog.clearCache() // drop operator-internal persists between reps
-          if (!ok) stop = true // don't re-run a throwing query twice more
+          if (!ok && fired.get() && !failed.contains(name)) {
+            // storm-censored: the overrun stays on the wall clock, the rep
+            // never becomes a min, and the query joins the requeue queue
+            // for an uncensored fresh-window re-run
+            val b = budgetS.getOrElse(0.0)
+            censored(name) = b
+            System.err.println(f"[bench] storm-censor: $name rep $rep cancelled at $secs%.1f s (budget $b%.1f s) — queued for an uncensored fresh-window re-run")
+            if (!requeued.contains(name) && !pending.contains(name))
+              judgePrior.get(name).foreach { p =>
+                pending(name) = Suspect(secs / p, elapsed, secs)
+              }
+            stop = true
+          } else if (!ok) stop = true // don't re-run a throwing query twice more
         }
       }
       results(name) = ts
@@ -637,8 +756,8 @@ object Bench {
     // failure (end-of-run guard detected six storms after the deadline had
     // consumed the budget). A min that SURVIVES the re-run is a real
     // regression and stays high with its trigger ratio on record.
-    case class Suspect(ratio: Double, flaggedAtS: Double, stormMin: Double)
-    val pending = scala.collection.mutable.LinkedHashMap[String, Suspect]()
+    // (Suspect/pending are declared above runReps so a censored rep can
+    // flag directly into this machinery.)
     val byName = pool.toMap
     // flag at land time; at most one requeue per query per run
     def flagIfSuspect(name: String): Unit =
@@ -654,7 +773,10 @@ object Bench {
       pending.remove(n)
       requeued(n) = s.ratio
       System.err.println(f"[bench] variance guard: requeue $n $when (min ${s.ratio}%.1fx prior)")
-      byName.get(n).foreach(runReps(n, _, repsFor(n)))
+      // the fresh-window re-run is UNCENSORED: this is the second look the
+      // censor/guard machinery promised, so a genuine 3×+ regression runs
+      // to completion here and publishes its honest number
+      byName.get(n).foreach(runReps(n, _, repsFor(n), censor = false))
     }
     // ONE reserve definition for BOTH mid-schedule budget gates (requeue +
     // watch bonus rep) — the documented invariant is that they reserve the

@@ -2863,6 +2863,19 @@ object SparkEntry {
     })
   )
 
+  /** The STREAMING family — queries that run a real structured-streaming
+    * query (AvailableNow trigger) inside their body. Declared here, next to
+    * the queries themselves, so [[Bench]] can guarantee each a WARM second
+    * rep (r17 verdict #2: q96 published a cold single-rep min with 2.7 s of
+    * JIT inside it when the deadline fell mid-rep-set — a streaming rep
+    * re-pays per-run serde codegen that batch queries don't, so a 1-rep
+    * streaming min is a JIT measurement, not a query time). Membership is
+    * "body starts a streaming query", nothing else. */
+  val streamingQueries: Set[String] = Set(
+    "q58_stream_window", "q68_stream_dedup", "q94_stream_neardup",
+    "q96_stream_join", "q124_stream_scd2", "q140_stream_quota",
+    "q172_stream_moments", "q175_stream_psi", "p72_stream_pipeline")
+
   /** Bench-only queries: runnable by [[Bench]] when explicitly named in
     * SPARK_GRAFT_QUERIES, never part of the driver correctness surface
     * (`queries`/`oracleSql`) — so they don't perturb the round-over-round
@@ -5091,11 +5104,11 @@ object SparkEntry {
          |rep AS (SELECT field, n, n_na, round(CAST(mn AS DOUBLE), 4) AS min, round(CAST(mx AS DOUBLE), 4) AS max,
          |  round(CAST(s AS DOUBLE), 2) AS sum,
          |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS mean,
-         |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS stdev
+         |  CASE WHEN n > 1 THEN round(sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 0.0)), 6) END AS stdev
          |  FROM mm),
          |repf AS (SELECT field, n AS f_n, round(CAST(s AS DOUBLE), 2) AS f_sum,
          |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS f_mean,
-         |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS f_stdev
+         |  CASE WHEN n > 1 THEN round(sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 0.0)), 6) END AS f_stdev
          |  FROM mf)
          |SELECT rep.field, n, n_na, min, max, sum, mean, stdev,
          |  (n = f_n AND sum = f_sum AND mean = f_mean AND stdev = f_stdev) AS matches_full
@@ -5222,7 +5235,7 @@ object SparkEntry {
         |  round(CAST(mn AS DOUBLE), 4) AS min, round(CAST(mx AS DOUBLE), 4) AS max,
         |  round(CAST(s AS DOUBLE), 2) AS sum,
         |  CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS mean,
-        |  CASE WHEN n > 1 THEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS stdev
+        |  CASE WHEN n > 1 THEN round(sqrt(greatest((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 0.0)), 6) END AS stdev
         |FROM m ORDER BY event_type""".stripMargin,
 
     // the t110 LM chain as a per-label classifier: model counts per

@@ -1246,8 +1246,16 @@ object Similarity {
     // and UNIQUE within the batch itself (r17 second review): a doubled id
     // inside one ingest passes the corpus check but still duplicates the
     // vector fetch and burns two of a node's k slots on one neighbor
+    // NULL ids counted in the SAME aggregate (r17 advice): count(id) and
+    // countDistinct(id) both ignore NULLs, so a batch of NULL ids would
+    // pass both guards and then be silently dropped at the bucket/vector
+    // joins instead of rejected.
     val bs = batch0.agg(count(col(idCol)).as("n"),
-      countDistinct(col(idCol)).as("nd")).head()
+      countDistinct(col(idCol)).as("nd"),
+      count(when(col(idCol).isNull, lit(1))).as("nn")).head()
+    require(bs.getLong(2) == 0L,
+      s"appendKnnGraph: batch carries ${bs.getLong(2)} NULL id(s) — " +
+        "NULL ids never match a join key and would be silently dropped")
     require(bs.getLong(0) == bs.getLong(1),
       s"appendKnnGraph: batch carries ${bs.getLong(0) - bs.getLong(1)} " +
         "duplicate id(s) — ids must be unique within the batch")

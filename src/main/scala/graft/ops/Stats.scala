@@ -137,6 +137,25 @@ object Stats {
   def mergeMoments(sketches: Seq[DataFrame],
                    keys: Seq[String] = Seq("field")): DataFrame = {
     require(sketches.nonEmpty, "mergeMoments: at least one sketch required")
+    // exact-merge contract guard (r17 advice): unionByName silently WIDENS
+    // mixed-SCALE decimal columns, so merging a scale=2 sketch with a
+    // scale=4 one would produce a result matching neither full recompute.
+    // Fail loudly on a scale mismatch. Precision is NOT part of the
+    // contract: a post-aggregation slice can carry a narrower precision at
+    // the same scale (e.g. sum DecimalType(28,2) vs (38,2)) and the union's
+    // precision widening is value-exact — only the scale changes values.
+    def scaleOf(dt: org.apache.spark.sql.types.DataType): Option[Int] = dt match {
+      case d: DecimalType => Some(d.scale)
+      case _ => None
+    }
+    val ref = sketches.head.schema
+    for (sk <- sketches.tail; c <- Seq("sum", "sumsq")) {
+      val (a, b) = (scaleOf(ref(c).dataType), scaleOf(sk.schema(c).dataType))
+      require(a == b,
+        s"mergeMoments: sketch column '$c' has decimal scale $b but the " +
+          s"first sketch has $a — sketches must share one decimal scale " +
+          "to merge exactly")
+    }
     sketches.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("n_na")).as("n_na"),
@@ -159,8 +178,14 @@ object Stats {
       round(col("max").cast(DoubleType), 4).as("max"),
       round(sumD, 2).as("sum"),
       when(col("n") > 0, round(sumD / col("n"), 6)).as("mean"),
+      // greatest(…, 0): for (near-)constant columns the double rounding of
+      // sum²/n can exceed sumsq by an ulp, and sqrt of that tiny negative
+      // is NaN instead of ~0 (r17 advice). The clamp is identity whenever
+      // the variance term is non-negative — every current oracle row — and
+      // the oracle SQL mirrors it, so both engines stay bit-identical.
       when(col("n") > 1,
-        round(sqrt((sqD - sumD * sumD / col("n")) / (col("n") - 1)), 6)).as("stdev")): _*)
+        round(sqrt(greatest((sqD - sumD * sumD / col("n")) / (col("n") - 1),
+          lit(0.0))), 6)).as("stdev")): _*)
   }
 
   /** [[psiDrift]]'s calibration-range derivation, exposed for the
@@ -232,6 +257,18 @@ object Stats {
         r6(col("__psi").cast(DoubleType)).as("psi"))
   }
 
+  /** The binning aggregation under [[psiDrift]] — (bin, n) counts over
+    * non-null values, the exact relation [[psiReport]] consumes. ONE copy
+    * (r17 second review): batch and the q175 stream bin through the same
+    * code, so the binning contract cannot silently diverge between them. */
+  def psiBinnedCounts(df: DataFrame, valueCol: String, mn: Double, w: Double,
+                      bins: Int): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull)
+      .select(psiBinExpr(v, mn, w, bins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
   /** POPULATION STABILITY INDEX drift report: how far `current`'s
     * distribution of `valueCol` has moved from `base`'s — THE standard
     * monitoring metric for "is this week's data still shaped like the
@@ -253,18 +290,6 @@ object Stats {
     * join (never a partitionless window). Output: one row per bin
     * (bin, bin_lo, base_n, cur_n, p, q, term) + the repeated `psi` total
     * column — the whole report is bins-sized. */
-  /** The binning aggregation under [[psiDrift]] — (bin, n) counts over
-    * non-null values, the exact relation [[psiReport]] consumes. ONE copy
-    * (r17 second review): batch and the q175 stream bin through the same
-    * code, so the binning contract cannot silently diverge between them. */
-  def psiBinnedCounts(df: DataFrame, valueCol: String, mn: Double, w: Double,
-                      bins: Int): DataFrame = {
-    val v = col(valueCol).cast(DoubleType)
-    df.filter(v.isNotNull)
-      .select(psiBinExpr(v, mn, w, bins).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-  }
-
   def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
                bins: Int = 10): DataFrame = {
     require(bins >= 2, s"psiDrift: bins=$bins must be >= 2")

@@ -224,4 +224,26 @@ class BenchUtilSpec extends AnyFunSuite {
     assert(BenchUtil.shouldDegrade(150.0, 1.7, 180.0, 375.0))
     assert(!BenchUtil.shouldDegrade(150.0, 1.0, 180.0, 375.0))
   }
+
+  test("censorBudgetS: per-rep storm time-box (round 18, r17 verdict #1)") {
+    // r17's d81 shape: prior 0.288 s — budget = max(3×0.288, 2.0) + 0.3 =
+    // 2.3 s same-host; the two ~11 s storm reps (22 s of a 420 s budget)
+    // would each have been cancelled inside 2.3 s
+    assert(BenchUtil.censorBudgetS(Some(0.288), 3.0, 2.0, crossHost = false)
+      .exists(b => math.abs(b - 2.3) < 1e-9))
+    // a multi-second prior scales with the ratio, not the floor:
+    // p90 at 3.2 s → 3×3.2 + 0.3 = 9.9 s — an honest slow floor fits
+    assert(BenchUtil.censorBudgetS(Some(3.2), 3.0, 2.0, crossHost = false)
+      .exists(b => math.abs(b - 9.9) < 1e-9))
+    // the 2 s floor keeps honest rep-1 JIT (≤ ~1.5 s on sub-second
+    // queries) out of the censor: 3×0.1 = 0.3 would box every first rep
+    assert(BenchUtil.censorBudgetS(Some(0.1), 3.0, 2.0, crossHost = false)
+      .exists(_ >= 2.0))
+    // cross-host priors get the wide 1.0 s gap — a faster prior host must
+    // not box an honest slower floor
+    assert(BenchUtil.censorBudgetS(Some(0.288), 3.0, 2.0, crossHost = true)
+      .exists(b => math.abs(b - 3.0) < 1e-9))
+    // no comparable prior → nothing to box against → no censor
+    assert(BenchUtil.censorBudgetS(None, 3.0, 2.0, crossHost = false).isEmpty)
+  }
 }

@@ -144,6 +144,16 @@ class StatsFoldsSpec extends SparkSpec {
     val treeA = Stats.mergeMoments(Seq(Stats.mergeMoments(parts.take(2)), parts(2)))
     val treeB = Stats.mergeMoments(Seq(parts(2), Stats.mergeMoments(parts.drop(1).take(1) :+ parts.head)))
     assert(rowsOf(treeA) == rowsOf(treeB) && rowsOf(treeA) == rowsOf(full))
+    // exact-merge guard (r17 advice): a DIFFERENT decimal scale fails
+    // loudly — unionByName would silently widen and the merged sketch
+    // would match neither recompute. Same scale at a different precision
+    // (a merged sketch's sum is wider than a fresh one's) must still merge:
+    // the tree assertions above already exercise exactly that.
+    val scaled4 = Stats.momentsSketch(df, Seq("x", "y"), scale = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Stats.mergeMoments(Seq(full, scaled4)).collect()
+    }
+    assert(ex.getMessage.contains("decimal scale"))
   }
 
   test("psiDrift: identical slices ≈ 0, shifted slice large, clamped out-of-range, full spine, nulls out") {
