@@ -62,12 +62,29 @@ object Multimodal {
   // productionize; the signature (bytes in, fixed-dim float vector out) is
   // the real contract.
   // ==========================================================================
+  // table-driven hex: the previous per-byte "%02x".format built a fresh
+  // java.util.Formatter per byte — ~(16 + dim·16) instantiations per ROW on
+  // the decode path (r18 optimization; measured as the m31 hot spot). Same
+  // lowercase hex string, so every md5-derived contract is byte-identical.
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private[graft] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seed = md.digest(bytes).map("%02x".format(_)).mkString
+    val seed = toHex(md.digest(bytes))
     Array.tabulate(dim) { d =>
       md.reset()
-      val hex = md.digest(s"$seed|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = toHex(md.digest(s"$seed|$d".getBytes("UTF-8")))
       val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       (h % 1024L).toFloat / 1024.0f
     }
@@ -90,8 +107,31 @@ object Multimodal {
   // them; PipelineSpec pins a fixed JPEG fixture's hash to DETECT decoder
   // drift when the JDK changes (r16 advice).
   // ==========================================================================
+  // in-memory stream cache (r18 optimization): ImageIO's default disk
+  // cache backs every read with a TEMP FILE — one create+delete per
+  // payload probed. Pure plumbing, decode output unchanged.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte gate ahead of ImageIO (r18 optimization): probing a
+    * non-image payload through ImageIO.read costs a stream + a
+    * reader-registry scan per row. The prefixes below cover every reader
+    * the JDK registers — JPEG, PNG, GIF, BMP, TIFF, and WBMP's 0x00 0x00
+    * header — so a payload failing this gate is exactly a payload
+    * ImageIO.read would return null for: the fallback path is
+    * byte-identical (MultimodalSpec pins decode parity per format). */
+  private[graft] def maybeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 0x50) ||        // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG
+      (b(0) == 0x47 && b(1) == 0x49 && b(2) == 0x46) || // GIF
+      (b(0) == 0x42 && b(1) == 0x4d) ||               // BMP
+      (b(0) == 0x49 && b(1) == 0x49 && b(2) == 0x2a) || // TIFF (LE)
+      (b(0) == 0x4d && b(1) == 0x4d && b(2) == 0x00) || // TIFF (BE)
+      (b(0) == 0x00 && b(1) == 0x00))                 // WBMP
+
   private[graft] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    if (!maybeImage(bytes)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
   /** Integer BT.601 luma (0..255) of one pixel. */

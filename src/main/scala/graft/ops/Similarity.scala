@@ -1064,6 +1064,12 @@ object Similarity {
       .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
       .limit(trainCap)
       .select("features")
+      // staged (r18 optimization): KMeans.fit runs several init/iteration
+      // jobs, and each one would otherwise recompute this lineage — a full
+      // corpus scan + TakeOrdered per job for a ≤ trainCap-row input.
+      // localCheckpoint preserves rows, order and partitioning exactly, so
+      // the seeded fit sees identical data and produces identical centroids.
+      .localCheckpoint()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(3).fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
@@ -1306,17 +1312,21 @@ object Similarity {
   def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      minCosine: Double = -1.0, planes: Int = 4,
                      tables: Int = 2, dim: Int = -1): DataFrame = {
-    // the graph — bucket join + exact cosine + rank, the heavy stage — has
-    // TWO consumers (the mutuality self-join's sides); staged once per the
-    // t169 staging rule (stage heavy expressions, not cheap expansions)
-    val g = graft.ops.Checkpointing.stage(
-      knnGraph(df, idCol, vecCol, k, planes, tables, dim)
-        .filter(col("cosine") >= minCosine)
-        .select(col("node_id"), col("neighbor_id")))
-    val x = g.toDF("a", "b")
-    val y = g.toDF("yb", "ya")
-    x.join(y, col("a") === col("ya") && col("b") === col("yb"))
-      .filter(col("a") < col("b"))
+    // mutuality WITHOUT a self-join (r18 optimization): [[knnGraph]] emits
+    // each directed edge at most once (candidates are de-duplicated before
+    // ranking), so an undirected pair is mutual iff its canonical
+    // (least, greatest) form appears exactly twice — one map-side-combining
+    // aggregate over the edge list, versus the previous staged self-join
+    // (a localCheckpoint materialization + two shuffles + an SMJ). The
+    // canonical-pair exchange replaces all of that, and the directed list
+    // now has ONE consumer, so the stage() materialization goes too.
+    knnGraph(df, idCol, vecCol, k, planes, tables, dim)
+      .filter(col("cosine") >= minCosine)
+      .select(least(col("node_id"), col("neighbor_id")).as("a"),
+        greatest(col("node_id"), col("neighbor_id")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") === 2)
       .select(col("a"), col("b"))
   }
 

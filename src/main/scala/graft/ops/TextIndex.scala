@@ -542,9 +542,20 @@ object TextIndex {
                            labelCol: String, k: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
       tokensExpr(textCol).as("t"))
-    val toks = docs.select(col("doc_id"), col("label"), explode(col("t")).as("token"))
-    val counts = toks.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("c_lt"))
+    // ONE tokenization pass pre-aggregated to per-(doc, token) term
+    // frequencies BEFORE anything joins (r18 optimization — previously the
+    // raw occurrence stream was built twice, once for the model counts and
+    // once for the matched-mass join, and the join+groupBy below carried
+    // occurrences × labels across two exchanges). The occurrence stream
+    // now never crosses an exchange: the tf groupBy map-side-combines it,
+    // and every identity downstream is exact — Σ_occurrences lp over a
+    // token equals tf · lp in decimal, and Σ_occurrences 1 equals Σ tf.
+    val tfd = docs.select(col("doc_id"), col("label"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("label"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = tfd.groupBy(col("label"), col("token"))
+      .agg(sum(col("tf")).as("c_lt"))
       .localCheckpoint()
     val totals = counts.groupBy(col("label")).agg(sum(col("c_lt")).as("c_l"))
     val vocab = counts.agg(countDistinct(col("token")).as("v"))
@@ -560,14 +571,18 @@ object TextIndex {
         dec(log((col("n_docs") + lit(k)) / (col("n_total") + lit(k) * col("n_labels"))))
           .as("prior_lp"),
         dec(log(lit(k) / (col("c_l") + lit(k) * col("v")))).as("miss_lp"))
-    // matched mass: occurrences × only-the-labels-containing-the-token
-    val matched = toks.select(col("doc_id"), col("token"))
+    // matched mass: tf-weighted per-(token, label) log-probs over only the
+    // labels containing the token — tf · lp is decimal-exact (tf cast to
+    // decimal(10,0) keeps the product inside decimal(38,7)), so m_sum is
+    // bit-identical to the occurrence-stream sum it replaces
+    val matched = tfd.select(col("doc_id"), col("token"), col("tf"))
       .join(counts.withColumnRenamed("label", "cand"), Seq("token"))
       .join(totals.withColumnRenamed("label", "cand"), Seq("cand"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", dec(log((col("c_lt") + lit(k)) / (col("c_l") + lit(k) * col("v")))))
       .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("lp")).as("m_sum"), count(lit(1)).as("m_cnt"))
+      .agg(sum(col("tf").cast("decimal(10,0)") * col("lp")).as("m_sum"),
+        sum(col("tf")).as("m_cnt"))
     val perDoc = docs.select(col("doc_id"), col("label"), size(col("t")).as("n_tok"))
     val scored = perDoc.crossJoin(broadcast(labelStats))
       .join(matched, Seq("doc_id", "cand"), "left")

@@ -1625,6 +1625,33 @@ class PipelineSpec extends SparkSpec {
     assert(feats(2L) == graft.multimodal.Multimodal.decodeStub(txt, 8).toSeq)
   }
 
+  test("readImage magic gate: every JDK-decodable prefix passes, text short-circuits (r18)") {
+    import graft.multimodal.Multimodal
+    // the gate must be a SUPERSET of what ImageIO can decode: a real PNG
+    // still decodes through it...
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.maybeImage(bos.toByteArray))
+    assert(Multimodal.readImage(bos.toByteArray).isDefined)
+    // ...and the registered readers' other magics all pass the gate
+    assert(Multimodal.maybeImage(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte))) // JPEG
+    assert(Multimodal.maybeImage("GIF89a".getBytes("US-ASCII")))
+    assert(Multimodal.maybeImage("BM  ".getBytes("ISO-8859-1")))
+    assert(Multimodal.maybeImage(Array[Byte](0x49, 0x49, 0x2a, 0x00)))  // TIFF LE
+    assert(Multimodal.maybeImage(Array[Byte](0x4d, 0x4d, 0x00, 0x2a)))  // TIFF BE
+    assert(Multimodal.maybeImage(Array[Byte](0x00, 0x00, 0x20, 0x20)))  // WBMP shape
+    // text payloads short-circuit to None without touching ImageIO — the
+    // m31 hot path (and readImage(text) was None before the gate too)
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(!Multimodal.maybeImage(txt))
+    assert(Multimodal.readImage(txt).isEmpty)
+    // table-driven hex = the old "%02x" form, byte for byte
+    val bytes = Array[Byte](0, 1, 0x7f, -1, -128, 0x42)
+    assert(Multimodal.toHex(bytes) == bytes.map("%02x".format(_)).mkString)
+  }
+
   test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "unrelated")
