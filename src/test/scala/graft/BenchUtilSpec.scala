@@ -246,4 +246,25 @@ class BenchUtilSpec extends AnyFunSuite {
     // no comparable prior → nothing to box against → no censor
     assert(BenchUtil.censorBudgetS(None, 3.0, 2.0, crossHost = false).isEmpty)
   }
+
+  test("repsFor serve-read tier: sub-cutoff priors run 2 reps, warm-min floor kept (r17 verdict #7)") {
+    // q154's shape: a 0.05 s serve floor drops 3 → 2 reps
+    assert(BenchUtil.repsFor(Some(0.05), 1.2, 3, serveCutoff = 0.2) == 2)
+    // boundary included; just above it keeps the full count
+    assert(BenchUtil.repsFor(Some(0.2), 1.2, 3, serveCutoff = 0.2) == 2)
+    assert(BenchUtil.repsFor(Some(0.21), 1.2, 3, serveCutoff = 0.2) == 3)
+    // never below the configured count (reps = 1 stays 1: the tier must
+    // not ADD a rep) and never fights the fat tier (fat wins at >= cutoff)
+    assert(BenchUtil.repsFor(Some(0.05), 1.2, 1, serveCutoff = 0.2) == 1)
+    assert(BenchUtil.repsFor(Some(2.0), 1.2, 3, serveCutoff = 0.2) == 2)
+    // unknown prior: not a serve read — full reps
+    assert(BenchUtil.repsFor(None, 1.2, 3, serveCutoff = 0.2) == 3)
+    // disabled by default (serveCutoff = 0)
+    assert(BenchUtil.repsFor(Some(0.05), 1.2, 3) == 3)
+    // the projection helpers price the tier consistently: 10 serve reads
+    // at 0.1 s project 10·0.1·2 = 2 s, not 3 s
+    val serves = Seq.fill(10)(Some(0.1))
+    assert(math.abs(BenchUtil.projectedCostS(serves, 1.2, 3, serveCutoff = 0.2) - 2.0) < 1e-9)
+    assert(math.abs(BenchUtil.scheduledReserveS(serves, 1.2, 3, serveCutoff = 0.2) - 2.0) < 1e-9)
+  }
 }
