@@ -747,15 +747,30 @@ object Bench {
         } else {
           if (rep > 1 && elapsed > deadlineS) deadlineHit = true
           val (g0, j0) = (gcMs, jitMs)
-          val group = s"bench-$name-rep$rep"
+          // unique per invocation: a reused group id would be pre-cancelled
+          // by a previous rep's AndFutureJobs cancellation
+          val group = s"bench-$name-rep$rep-${System.nanoTime()}"
           val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
           // interruptOnCancel = false: cancellation lands at task record
           // boundaries — an interrupt could wedge an in-flight file writer
           spark.sparkContext.setJobGroup(group, s"bench $name rep $rep", false)
-          val watchdog = budgetS.map { b =>
+          // REP 1 IS NEVER CENSORED (r18 review): the first rep of a
+          // shared-prefix or amortized-layout query legitimately pays a
+          // one-time build (p91's corpus pass, q155's Derby boot, q154's
+          // layout write) that can exceed any storm budget derived from
+          // its warm prior — cancelling it wastes the build and re-pays it
+          // in the requeue. A whole-set storm (the d81 class: every rep
+          // inflated) is still caught at rep 2, which has no priming
+          // excuse. Costs at most one uncancelled storm rep of wall clock.
+          val watchdog = budgetS.filter(_ => rep >= 2).map { b =>
             censorExec.schedule(new Runnable {
               def run(): Unit = {
-                fired.set(true); spark.sparkContext.cancelJobGroup(group)
+                fired.set(true)
+                // AndFutureJobs: a rep is many Spark jobs (collect()s during
+                // construction, checkpoint materializations, AQE stages, the
+                // final count) — plain cancelJobGroup only kills ACTIVE jobs
+                // and a cancel landing between jobs would cancel nothing
+                spark.sparkContext.cancelJobGroupAndFutureJobs(group)
               }
             }, (b * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
           }
@@ -870,7 +885,10 @@ object Bench {
             watchReran(name) = m / p
             System.err.println(f"[bench] watch tier: $name min ${m / p}%.2fx prior with all-heavy-JIT reps — granting one extra warm rep")
             val failedBefore = failed.contains(name)
-            runReps(name, fn, nReps = 1)
+            // adjudication-only rep, UNCENSORED (r18 review): a censored
+            // bonus rep would convert the one-rep adjudication into a full
+            // requeue the watch gate never budgeted for
+            runReps(name, fn, nReps = 1, censor = false)
             // the bonus rep is ADJUDICATION-ONLY: the scheduled rep-set
             // already passed, so a flake here must not null the run's total
             // and exit non-zero — drop the taint (the null rep stays visible

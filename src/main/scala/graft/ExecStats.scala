@@ -46,7 +46,12 @@ object ExecStats {
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n, SparkEntry.benchOnlyQueries(n))
       (1 to 2).foreach { rep =>
-        Thread.sleep(400) // let queued listener events drain between reps
+        // drain the async listener bus: wait until the task counter has
+        // been stable for 400 ms (a fixed sleep can zero counters while
+        // rep N's tail events are still in flight — exactly the
+        // multi-thousand-task queries this tool measures)
+        var last = -1
+        while (tasks.get != last) { last = tasks.get; Thread.sleep(400) }
         jobs.set(0); stages.set(0); tasks.set(0)
         shufW.set(0); shufR.set(0); input.set(0)
         val t0 = System.nanoTime()

@@ -129,8 +129,20 @@ object Multimodal {
       (b(0) == 0x4d && b(1) == 0x4d && b(2) == 0x00) || // TIFF (BE)
       (b(0) == 0x00 && b(1) == 0x00))                 // WBMP
 
+  // the gate's prefix table covers the STOCK JDK reader registry; ImageIO
+  // is SPI-pluggable, so if any dependency ever registers an extra reader
+  // (a WebP/PSD plugin via META-INF/services) the gate would silently
+  // misclassify payloads that reader could decode. Checked ONCE: with an
+  // unexpected format registered, the gate disarms and every payload goes
+  // through the full ImageIO probe — slower, never wrong.
+  private val knownJdkFormats = Set("jpg", "jpeg", "png", "gif", "bmp",
+    "wbmp", "tif", "tiff", "jpeg 2000", "jpeg2000")
+  private lazy val gateSafe: Boolean =
+    javax.imageio.ImageIO.getReaderFormatNames
+      .forall(f => knownJdkFormats.contains(f.toLowerCase(java.util.Locale.ROOT)))
+
   private[graft] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (!maybeImage(bytes)) None
+    if (gateSafe && !maybeImage(bytes)) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 

@@ -1188,6 +1188,11 @@ object Similarity {
     val b = bucketed.select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("node_id") =!= col("neighbor_id"))
+      // INVARIANT consumers rely on: each directed (node, neighbor) edge
+      // appears AT MOST ONCE in this graph's output — the dedup here plus
+      // the row_number rank below guarantee it, and mutualKnnEdges' pair
+      // count==2 mutuality test is only correct because of it. Do not
+      // relax this dedup without updating that consumer.
       .dropDuplicates("node_id", "neighbor_id")
       .select(col("node_id"), col("neighbor_id"))
     // vector fetch post-candidate: reads df0, not the widened df (the scans

@@ -227,8 +227,9 @@ class BenchUtilSpec extends AnyFunSuite {
 
   test("censorBudgetS: per-rep storm time-box (round 18, r17 verdict #1)") {
     // r17's d81 shape: prior 0.288 s — budget = max(3×0.288, 2.0) + 0.3 =
-    // 2.3 s same-host; the two ~11 s storm reps (22 s of a 420 s budget)
-    // would each have been cancelled inside 2.3 s
+    // 2.3 s same-host; of its two ~11 s storm reps (22 s of a 420 s
+    // budget) rep 2 is cancelled inside 2.3 s (rep 1 is censor-exempt:
+    // priming/JIT work is legitimate there — see runReps)
     assert(BenchUtil.censorBudgetS(Some(0.288), 3.0, 2.0, crossHost = false)
       .exists(b => math.abs(b - 2.3) < 1e-9))
     // a multi-second prior scales with the ratio, not the floor:
