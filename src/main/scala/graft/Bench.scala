@@ -134,6 +134,26 @@ package graft
   *    0.1 s serve read returned to the schedule budget ("serve_tier" in
   *    the artifact names the members).
   *
+  * Round 19 additions (r18 verdict #1/#2 — the r18 driver run measured
+  * 78/181 at 32 cpus, the worst coverage since r10, because the round's
+  * own tail-first arming front-loaded four heavyweights onto a cold JVM
+  * and the rep-1 censor exemption made exactly those reps uncancellable):
+  *  - REP-1 CENSOR BUDGET: rep 1 is boxed too, at the wider
+  *    max(ratio × prior, 3 × floor) + 10 s allowance (one-time builds fit;
+  *    a 91 s storm rep on a 5 s prior dies at ~25 s). The r18 exemption is
+  *    gone for every query, shared-prefix members included.
+  *  - ROTATION CAP + WARMUP FIRST: at most 3 starved queries rotate to the
+  *    front (largest priors), and the cheapest-prior query is promoted
+  *    ahead of the rotated block so session init/JIT lands in its rep-set,
+  *    not inside a heavyweight's measured rep 1.
+  *  - CENSOR CLASSIFICATION: only a Spark job-CANCELLATION exception
+  *    counts as a censored rep — a genuine failure thrown after the budget
+  *    expired lands in `failed` (r18 ADVICE).
+  *  - SHARE MEMBERS NAMED: the artifact's `share_members` array lists the
+  *    queries whose warm mins exclude a shared prefix build (the r11 graph
+  *    family d73/d95/d128/d130). The r18-added p91/s166 shares were
+  *    REMOVED (r18 verdict #2): both queries now measure full lineage.
+  *
   * The stdout line is a COMPACT summary (total, counts, slowest-10) —
   * the full 141-query line exceeded the driver's ~2.2 KB stdout-tail
   * capture in r8 AND r9 (`parsed: null`); per-query detail lives in the
@@ -377,6 +397,66 @@ private[graft] object BenchUtil {
   def censorBudgetS(prior: Option[Double], censorRatio: Double, floorS: Double,
                     crossHost: Boolean): Option[Double] =
     prior.map(p => math.max(censorRatio * p, floorS) + hostGap(crossHost))
+
+  /** REP-1 censor budget (round 19, r18 verdict #1a): rep 1 was EXEMPT from
+    * the censor entirely (the r18 review fix protecting legitimate one-time
+    * builds — p91's corpus pass, q155's Derby boot, q154's layout write,
+    * the shared-prefix priming rep), and that exemption is exactly how
+    * d128's 91.3 s storm rep ran uncensored and consumed a fifth of the
+    * r18 driver deadline. Rep 1 now gets a budget too, just WIDER: the
+    * floor is tripled (a one-time build on a sub-second-prior query gets
+    * ≥ 6 s) and a flat `allowS` (default 10 s) absorbs first-run JIT and
+    * any residual init — so q154's ~3.4 s layout-build rep 1 against its
+    * 0.05 s prior fits a ~16 s budget with 4× headroom, while a d128-class
+    * storm rep on a ~5 s prior dies at ~25 s instead of never. The
+    * shared-prefix queries get the same budget: a healthy prefix-priming
+    * rep (prefix build + iterations ≈ 8-10 s at sf0.1) fits it, and a
+    * STORMY one is precisely what must be censored — the uncensored
+    * fresh-window requeue re-pays the build honestly. */
+  def rep1CensorBudgetS(prior: Option[Double], censorRatio: Double,
+                        floorS: Double, allowS: Double,
+                        crossHost: Boolean): Option[Double] =
+    prior.map(p =>
+      math.max(censorRatio * p, floorS * 3) + allowS + hostGap(crossHost))
+
+  /** True when `e`'s cause chain looks like Spark's job-group cancellation
+    * (round 19, r18 ADVICE: the censor catch classified ANY exception as a
+    * censored rep once the watchdog had fired, so a genuine query failure
+    * thrown just after the budget expired was hidden from `failed`,
+    * recorded as censored, and burned an uncensored requeue window where
+    * it would fail again). Message-based by necessity — Spark signals
+    * cancellation as a SparkException whose message carries "cancelled"
+    * ("Job N cancelled because of cancellation of job group G" /
+    * "cancelled as part of cancellation of all jobs in group") — walking
+    * the cause chain because the cancel can surface wrapped (e.g. inside
+    * a stage failure). British spelling only: Spark's scheduler messages
+    * use "cancelled" exclusively. */
+  def isCancellation(e: Throwable): Boolean = {
+    var t = e
+    var seen = 0
+    while (t != null && seen < 16) {
+      val m = t.getMessage
+      if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel"))
+        return true
+      seen += 1
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
+  /** TAIL-FIRST ROTATION CAP (round 19, r18 verdict #1b): the r18 driver
+    * run rotated ALL of the prior run's starved queries to the front —
+    * four heavyweights (d130, p90, d128, p91) landed on a cold JVM where
+    * rep 1 also paid Spark init + full JIT, the rep-1 censor exemption
+    * made those reps uncancellable, and the schedule never recovered
+    * (78/181 measured). The rotation now takes at most `cap` queries —
+    * the ones with the LARGEST priors (most at risk of deadline
+    * starvation under cheapest-first; unknown priors sort at the 0.5 s
+    * mid-cost estimate) — and the rest of the starved set keeps its
+    * cheapest-first position, where the ordinary schedule reaches it. */
+  def capRotation(starved: Seq[String], priors: Map[String, Double],
+                  cap: Int): Seq[String] =
+    starved.sortBy(n => -priors.getOrElse(n, 0.5)).take(math.max(cap, 0))
 }
 
 object Bench {
@@ -490,6 +570,10 @@ object Bench {
     val serveCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE_CUTOFF_S", "0.2").toDouble
     val censorRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR_RATIO", "3.0").toDouble
     val censorFloorS = sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR_FLOOR_S", "2.0").toDouble
+    // rep-1 allowance added on top of the tripled censor floor (see
+    // BenchUtil.rep1CensorBudgetS): first-run JIT + any one-time build
+    val censorRep1AllowS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CENSOR_REP1_ALLOW_S", "10.0").toDouble
     // watch tier (see BenchUtil.watchBand): risers above this ratio that sit
     // UNDER the storm trigger are named in the artifact's "watch" map; when
     // every rep carried ≥ watchJitMs of JIT, one extra warm rep is granted
@@ -559,14 +643,36 @@ object Bench {
     // run's deadline never measured rotate to the front of this one — the
     // starved tail gets first claim on the budget instead of starving
     // again. No-op when the prior was complete (skipped empty).
-    val starved = priorSkipped.toSet
+    //
+    // ROTATION CAP + WARMUP FIRST (round 19, r18 verdict #1b): the r18
+    // driver run rotated four heavyweights onto a cold JVM, where every
+    // measured rep 1 also paid Spark init + first codegen and the (then
+    // uncensorable) rep 1s consumed the schedule — 78/181 measured. At
+    // most SPARK_GRAFT_BENCH_ROTATE_CAP (default 3) starved queries
+    // rotate per run (largest priors first — the ones cheapest-first
+    // would starve again); the rest keep their cheapest-first slots. And
+    // whenever anything rotated, the single cheapest-prior query is
+    // promoted ahead of the rotated block so ITS rep-set absorbs session
+    // init/JIT before any heavyweight is measured.
+    val rotateCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE_CAP", "3").toInt
+    val starved = BenchUtil.capRotation(priorSkipped, prior, rotateCap).toSet
+    if (priorSkipped.size > starved.size)
+      System.err.println(s"[bench] prior run skipped ${priorSkipped.size} queries — rotation capped at $rotateCap (largest priors); the rest stay cheapest-first")
     val queryList =
       if (starved.isEmpty) explicitTail
       else {
         val (front, rest) = explicitTail.partition { case (n, _) => starved.contains(n) }
         if (front.nonEmpty)
-          System.err.println(s"[bench] prior run skipped ${front.size} queries — auto-rotated to the front: ${front.map(_._1).mkString(", ")}")
-        front ++ rest
+          System.err.println(s"[bench] auto-rotated to the front: ${front.map(_._1).mkString(", ")}")
+        val withFront = front ++ rest
+        withFront.filter { case (n, _) => !front.exists(_._1 == n) } match {
+          case _ if front.isEmpty => withFront
+          case notRotated if notRotated.nonEmpty =>
+            val warm = notRotated.minBy { case (n, _) => (prior.getOrElse(n, 0.5), n) }
+            System.err.println(s"[bench] warmup-first: ${warm._1} promoted ahead of the rotated block")
+            warm +: withFront.filterNot(_._1 == warm._1)
+          case _ => withFront
+        }
       }
     // a throwing query must surface as a FAILURE, not masquerade as a fast
     // timing — its failed rep is recorded as null (excluded from min/total)
@@ -691,8 +797,16 @@ object Bench {
       val serveTierJson = queryList.map(_._1)
         .filter(n => serveCutoff > 0 && judgePrior.get(n).exists(_ <= serveCutoff))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // the prefix-sharing members, named (round 19, r18 ADVICE): a
+      // consumer must read THESE mins as post-prefix iteration cost; the
+      // bare share_prefix boolean never said which queries shared
+      val shareMembersJson =
+        (if (sharePrefix) SparkEntry.sharedPrefixQueries.toSeq.sorted
+         else Seq.empty[String])
+          .filter(n => queryList.exists(_._1 == n))
+          .map(jstr).mkString("[", ",", "]")
       val art =
-        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"planned_reps":$plannedReps,"eff_reps":$effReps,"degraded_at_s":${degradedAtS.map(fmt).getOrElse("null")},"reserve_s":${fmt(reserveS)},"fat_cutoff_s":${fmt(fatCutoff)},"serve_cutoff_s":${fmt(serveCutoff)},"serve_tier":$serveTierJson,"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"censored":$censoredJson,"queries":$detail}"""
+        s"""{"sf":${jstr(sfDir)},"host":${jstr(host)},"hostname":${jstr(hostName)},"cpus":$cpus,"scheduling":"query-major","order_source":${jstr(orderSource)},"prior_host":${jstr(priorHost)},"prior_hostname":${jstr(priorHostName)},"reps":$reps,"planned_reps":$plannedReps,"eff_reps":$effReps,"degraded_at_s":${degradedAtS.map(fmt).getOrElse("null")},"reserve_s":${fmt(reserveS)},"fat_cutoff_s":${fmt(fatCutoff)},"serve_cutoff_s":${fmt(serveCutoff)},"serve_tier":$serveTierJson,"deadline_s":${fmt(deadlineS)},"deadline_hit":$deadlineHit,"complete":$done,"share_prefix":$sharePrefix,"share_members":$shareMembersJson,"wall_s":${fmt(elapsed)},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"total_min":$totalJson,"n_queries":${mins.size},"n_warm":$nWarm,"failed":$failedJson,"skipped":$skippedJson,"requeued":$requeuedJson,"guard_skipped":$guardSkippedJson,"watch":$watchJson,"watch_reran":$watchReranJson,"watch_rep_failed":$watchRepFailedJson,"censored":$censoredJson,"queries":$detail}"""
       val out = java.nio.file.Paths.get(artifact)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (art + "\n").getBytes("UTF-8"))
@@ -731,6 +845,14 @@ object Bench {
         if (censorOn && censor && !isStreaming)
           BenchUtil.censorBudgetS(judgePrior.get(name), censorRatio, censorFloorS, crossHost)
         else None
+      // rep 1 gets a WIDER budget instead of the r18 exemption (see
+      // BenchUtil.rep1CensorBudgetS): legitimate one-time builds fit it,
+      // a d128-class storm rep no longer runs to completion
+      val rep1BudgetS: Option[Double] =
+        if (censorOn && censor && !isStreaming)
+          BenchUtil.rep1CensorBudgetS(judgePrior.get(name), censorRatio,
+            censorFloorS, censorRep1AllowS, crossHost)
+        else None
       var ts = results.getOrElse(name, Vector.empty[Rep])
       var rep = 0
       var stop = false
@@ -754,15 +876,15 @@ object Bench {
           // interruptOnCancel = false: cancellation lands at task record
           // boundaries — an interrupt could wedge an in-flight file writer
           spark.sparkContext.setJobGroup(group, s"bench $name rep $rep", false)
-          // REP 1 IS NEVER CENSORED (r18 review): the first rep of a
-          // shared-prefix or amortized-layout query legitimately pays a
-          // one-time build (p91's corpus pass, q155's Derby boot, q154's
-          // layout write) that can exceed any storm budget derived from
-          // its warm prior — cancelling it wastes the build and re-pays it
-          // in the requeue. A whole-set storm (the d81 class: every rep
-          // inflated) is still caught at rep 2, which has no priming
-          // excuse. Costs at most one uncancelled storm rep of wall clock.
-          val watchdog = budgetS.filter(_ => rep >= 2).map { b =>
+          // Rep 1 is censored at the WIDER rep-1 budget (round 19, r18
+          // verdict #1a — the r18 full exemption let d128's 91.3 s storm
+          // rep run to completion): one-time builds (q154's layout write,
+          // q155's Derby boot, a shared-prefix priming rep) fit the
+          // tripled floor + 10 s allowance; a storm rep dies at ~25 s on
+          // a 5 s prior instead of never, and the uncensored fresh-window
+          // requeue re-pays any wasted build honestly.
+          val repBudgetS = if (rep == 1) rep1BudgetS else budgetS
+          val watchdog = repBudgetS.map { b =>
             censorExec.schedule(new Runnable {
               def run(): Unit = {
                 fired.set(true)
@@ -776,8 +898,13 @@ object Bench {
           }
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
-            case _: Throwable if fired.get() =>
-              false // censored by the watchdog — a null pass, NOT a failure
+            // censored by the watchdog — a null pass, NOT a failure. Only a
+            // CANCELLATION exception counts (round 19, r18 ADVICE): a
+            // genuine query failure thrown after the budget expired must
+            // still land in `failed`, not masquerade as a censored rep and
+            // burn an uncensored requeue window where it fails again.
+            case e: Throwable if fired.get() && BenchUtil.isCancellation(e) =>
+              false
             case e: Throwable =>
               failed += name
               System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
@@ -792,7 +919,7 @@ object Bench {
             // storm-censored: the overrun stays on the wall clock, the rep
             // never becomes a min, and the query joins the requeue queue
             // for an uncensored fresh-window re-run
-            val b = budgetS.getOrElse(0.0)
+            val b = repBudgetS.getOrElse(0.0)
             censored(name) = b
             System.err.println(f"[bench] storm-censor: $name rep $rep cancelled at $secs%.1f s (budget $b%.1f s) — queued for an uncensored fresh-window re-run")
             if (!requeued.contains(name) && !pending.contains(name))

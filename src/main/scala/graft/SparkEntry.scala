@@ -197,42 +197,19 @@ object SparkEntry {
     Dedup.dedupByClusters(pruned, pairs, "doc_id")
   }
 
-  /** s162/s166 shared prefix (r18 optimization): the whitening FIT — one
-    * covariance corpus pass + the bounded driver Jacobi — which both
-    * queries compute IDENTICALLY from the same corpus and knobs
-    * (dim = 64, k = 8). The model is driver-side arrays rather than a
-    * DataFrame, so it rides its own memo under the same bench-only flag
-    * and contract as [[sharedPrefix]]: s162 still measures the fit every
-    * rep (it builds directly and SEEDS this memo), s166 consumes it and
-    * its warm min reads as projection + exact-top-k serving. Correctness
-    * runs always re-fit; the fitted values are bit-identical either way
-    * (StrictMath, fixed rotation order). */
-  private val whitenMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Array[Double], Array[Array[Double]])]
-  private def whitenFitSeed(s: SparkSession, dir: String, e: DataFrame)
-      : (Array[Double], Array[Array[Double]]) = {
-    val m = Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
-    if (sys.props.get("graft.bench.sharePrefix").contains("1"))
-      whitenMemo((s, dir)) = m
-    m
-  }
-  private def whitenFitShared(s: SparkSession, dir: String, e: DataFrame)
-      : (Array[Double], Array[Array[Double]]) =
-    if (!sys.props.get("graft.bench.sharePrefix").contains("1"))
-      Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
-    else whitenMemo.getOrElseUpdate((s, dir),
-      Similarity.whitenModel(e, "embedding", dim = 64, k = 8))
-
-  /** p91's shared prefix over [[composedDedupedBuild]] (r18 optimization,
-    * the d73/d95 precedent applied to the composed passes): p90
-    * deliberately keeps its own full lineage — every bench round still
-    * measures the whole corpus pass WARM there — while p91 consumes this
-    * stage, so its warm min reads as the PREP TAIL alone (temperature mix
-    * → decontamination → chunking → packing) instead of re-paying a
-    * corpus pass the same schedule just measured. Outside bench mode this
-    * is p91's own full lineage, and the rows are identical either way. */
-  private def composedDeduped(s: SparkSession, dir: String): DataFrame =
-    sharedPrefix(s, dir, "p9x_deduped")(composedDedupedBuild(s, dir))
+  /** The bench-mode prefix-sharing MEMBER SET, exported so the bench
+    * artifact can NAME which queries' warm mins exclude a shared build
+    * (r18 verdict #2 / ADVICE: a bare `share_prefix` boolean left
+    * consumers unable to tell which mins to read as post-prefix cost).
+    * Exactly the r11 graph family: d128/d130 share one simhash pair
+    * build, d73/d95 one jaccard pair build (d95 one CC stage deeper).
+    * The r18-added p91/s166 shares were REMOVED this round (r18 verdict
+    * #2: neither was deadline-necessary and their published mins
+    * understated the queries' declared work) — p91 and s166 now always
+    * build their full lineage, in bench mode too. */
+  val sharedPrefixQueries: Set[String] =
+    Set("d73_dup_clusters", "d95_priority_dedup",
+      "d128_pagerank", "d130_cluster_split")
 
   /** Exact long cents of a 2-dp double. The true value is an integer k of
     * cents, the double is within ±ε of k/100, and floor(k + 0.5 ± ε) = k for
@@ -1615,7 +1592,7 @@ object SparkEntry {
     // d81); this row proves their COMPOSITION is, too
     "p90_composed_corpus" -> ((s, dir) => {
       // full lineage on purpose, never the shared prefix: p90 is where the
-      // bench measures the corpus pass itself (see composedDeduped)
+      // bench measures the corpus pass itself (p91 builds it too)
       val deduped = composedDedupedBuild(s, dir)
       graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -1631,10 +1608,10 @@ object SparkEntry {
     // boundaries, bin assignments and all
     "p91_composed_prep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      // bench mode shares p90's corpus pass (composedDeduped): p91's warm
-      // min then reads as the prep tail alone; correctness runs build the
-      // identical full lineage
-      val deduped = composedDeduped(s, dir)
+      // full lineage ALWAYS (r18 verdict #2 unwound the bench-mode share):
+      // p91's warm min measures the whole declared chain, corpus pass
+      // included, in every mode
+      val deduped = composedDedupedBuild(s, dir)
       val balanced = graft.ops.Sampling.temperatureBalance(deduped, "lang", "doc_id")
         .transform(Checkpointing.stage) // consumed by contamination AND the anti-join
       // decontaminate against the held-out eval slice (doc_id % 25 == 0);
@@ -2086,9 +2063,7 @@ object SparkEntry {
     // hash-exact at any SF because the stash re-fits at the run's scale
     "s162_whitening" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // builds the fit directly (s162 IS the fit measurement) and seeds
-      // the bench-mode memo s166 consumes — see whitenFitSeed
-      val (mu, w) = whitenFitSeed(s, dir, e)
+      val (mu, w) = Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
       whitenModelStash(dir) = (mu, w)
       graft.ops.Similarity.whiten(e, "vec_id", "embedding", mu, w)
         .orderBy(col("id"))
@@ -2104,9 +2079,9 @@ object SparkEntry {
     // rank from the stashed model
     "s166_whitened_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // bench mode reuses s162's fitted model (whitenFitShared): this
-      // query's min reads as projection + serving; correctness runs re-fit
-      val (mu, w) = whitenFitShared(s, dir, e)
+      // fits its own model in EVERY mode (r18 verdict #2 unwound the
+      // bench-mode share): s166's warm min includes the whitening fit
+      val (mu, w) = Similarity.whitenModel(e, "embedding", dim = 64, k = 8)
       whitenModelStash(dir) = (mu, w)
       val y = graft.ops.Similarity.whiten(e, "vec_id", "embedding", mu, w)
         .select(col("id"), array((0 until 8).map(i => col(s"y$i")): _*).as("yv"))

@@ -110,6 +110,20 @@ object Multimodal {
   // in-memory stream cache (r18 optimization): ImageIO's default disk
   // cache backs every read with a TEMP FILE — one create+delete per
   // payload probed. Pure plumbing, decode output unchanged.
+  //
+  // CAVEAT (r18 verdict #7): this is a PROCESS-GLOBAL ImageIO mutation,
+  // applied when this object first initializes (i.e. on any executor/
+  // driver JVM running a multimodal operator). Any other ImageIO user in
+  // the same JVM also switches to memory-backed streams — acceptable for
+  // this library's processes (the alternative, a MemoryCacheImageInput-
+  // Stream per read, would pin the setting per call site but ImageIO.read
+  // (InputStream) constructs its own stream internally), documented here
+  // so an embedder with huge single images knows where the setting came
+  // from. Similarly one-shot: gateSafe captures the reader registry ONCE
+  // (lazily, on first decode) — a reader registered LATER (e.g. an
+  // explicit ImageIO.scanForPlugins after classpath growth) does not
+  // re-disarm the gate; embedders loading ImageIO plugins at runtime must
+  // do so before the first multimodal operator runs.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Cheap magic-byte gate ahead of ImageIO (r18 optimization): probing a
@@ -135,8 +149,20 @@ object Multimodal {
   // misclassify payloads that reader could decode. Checked ONCE: with an
   // unexpected format registered, the gate disarms and every payload goes
   // through the full ImageIO probe — slower, never wrong.
-  private val knownJdkFormats = Set("jpg", "jpeg", "png", "gif", "bmp",
-    "wbmp", "tif", "tiff", "jpeg 2000", "jpeg2000")
+  //
+  // INVARIANT (r18 verdict #7 / ADVICE): every format this whitelist
+  // accepts MUST have its magic prefix in [[maybeImage]] — an entry with
+  // no prefix would keep gateSafe true while the gate routes that
+  // format's decodable payloads to the fallback, a silent semantics
+  // change. The r18 list carried "jpeg 2000"/"jpeg2000" with no JP2/J2K
+  // magic in the table: the stock JDK never registers a JPEG-2000
+  // reader, so the entries were dead — but had a JDK ever shipped one,
+  // gateSafe would have stayed true and .jp2/.j2k payloads silently
+  // stubbed. Dropped: the gate now DISARMS if such a reader appears
+  // (slower, never wrong). MultimodalSpec pins the registry ⊆ whitelist
+  // ⊆ prefix-table chain.
+  private[graft] val knownJdkFormats = Set("jpg", "jpeg", "png", "gif", "bmp",
+    "wbmp", "tif", "tiff")
   private lazy val gateSafe: Boolean =
     javax.imageio.ImageIO.getReaderFormatNames
       .forall(f => knownJdkFormats.contains(f.toLowerCase(java.util.Locale.ROOT)))

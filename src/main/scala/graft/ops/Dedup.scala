@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * Scale design notes (these run on the full corpus, so shuffle count is the
   * budget that matters):
   *  - exact: one hash-aggregate shuffle on the content key.
-  *  - ngram-Jaccard: the shingle inverted index is streamed through a
-  *    codegen'd (shingle) self equi-join whose one exchange feeds both sides
-  *    (AQE stage reuse); intersection sizes come from a partial-combining
+  *  - ngram-Jaccard: the shingle inverted index is keyed by xxhash64 (with
+  *    EXACT collision disambiguation — see pairCore) and streamed through a
+  *    codegen'd self equi-join on the 64-bit key, whose one NARROW exchange
+  *    (no strings) feeds both sides via an explicit repartition below the
+  *    renames; intersection sizes come from a partial-combining
   *    pair hash-aggregate — no per-shingle doc list ever materializes, the
   *    same bounded shape as simHashPairs/minHashLsh. `maxShingleDf` drops
   *    ultra-common shingles, the standard skew guard (a shingle appearing
@@ -152,7 +154,35 @@ object Dedup {
 
   /** Shared candidate/intersection core of the exact pair family: emits
     * (id_a, id_b, inter, sz_a, sz_b) with denominators as exact distinct
-    * set sizes regardless of the numerator's df cap. */
+    * set sizes regardless of the numerator's df cap.
+    *
+    * 64-BIT JOIN KEYS WITH EXACT COLLISION HANDLING (round 19, r18 verdict
+    * #5 — guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    * r18 shape shuffled the full n-gram STRING per occurrence row, and the
+    * physical plan built the df-cap window + its string exchange ONCE PER
+    * JOIN SIDE (the planned-once/AQE-reuse claim did not hold: the analyzer
+    * de-duplicates the self-join's attribute ids, the sides' window
+    * subtrees stopped being reusable, and one side became a corpus-scale
+    * BroadcastExchange — plans/r19/d22_jaccard_pairs_before). Now:
+    *  - each shingle is keyed by `xxhash64(shingle)`, and ONE
+    *    hashpartitioning(h) exchange carries the occurrence stream exactly
+    *    once — two window counts over it produce the df cap (`rows per
+    *    (h, shingle)`) and the exact collision predicate (`rows per h >
+    *    rows per (h, shingle)` iff the hash carries >1 distinct shingle);
+    *  - exactness is NOT probabilistic: occurrences of a COLLIDING hash
+    *    (expected none — it takes a real 64-bit xxhash collision inside one
+    *    corpus vocabulary) keep their string in a disambiguator column
+    *    (empty otherwise), and the join matches on (hash, disambiguator) —
+    *    provably equivalent to string equality: equal strings ⇒ equal
+    *    (h, dis); distinct strings either differ in h or share a COLLIDING
+    *    h and then dis carries the strings themselves;
+    *  - strings are projected away BEFORE the join, whose co-partitioned
+    *    sides both inherit the window's hashpartitioning(h) (subset of the
+    *    (h, dis, bands) join keys) — the join adds NO exchange and AQE
+    *    stage reuse runs the scan+shingle+window lineage once, not once
+    *    per side. Skew: a hot shingle's bucket is one (h) partition, the
+    *    same class the r18 shingle-window had; `maxShingleDf` bounds it
+    *    when the cap is on. */
   private def pairCore(df0: DataFrame, idCol: String, textCol: String, n: Int,
                        bandCols: Seq[String], maxShingleDf: Long,
                        pairJoin: Boolean): DataFrame = {
@@ -164,24 +194,54 @@ object Dedup {
     // be computed BEFORE any df-based filter (Jaccard denominators stay exact
     // set sizes even when hot shingles are dropped from the numerator).
     val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val sh = if (maxShingleDf > 0) {
-      // global doc frequency of a shingle, band-independent (each doc holds
-      // one row per distinct shingle, so the partition count IS the df)
-      val w = Window.partitionBy(col("shingle"))
-      sh0.withColumn("df", count(lit(1)).over(w))
-        .filter(col("df") <= maxShingleDf).drop("df")
-    } else sh0
     val inter = if (pairJoin) {
-      // streamed codegen'd self equi-join: the (shingle, bands) exchange is
-      // planned once and feeds both sides (AQE stage reuse); intersection
-      // sizes come from a partial-combining pair hash-aggregate over the
-      // streamed co-occurrence rows — every aggregate row O(1) bytes
-      val a = sh.select(col("id").as("id_a") +: col("shingle") +: bandCols.map(col): _*)
-      val b = sh.select(col("id").as("id_b") +: col("shingle") +: bandCols.map(col): _*)
-      a.join(b, "shingle" +: bandCols)
+      val keyed = sh0.withColumn("__h", xxhash64(col("shingle")))
+      // ONE hash-keyed exchange computes everything string-identity needs
+      // (two window COUNTS over it — no strings inside any aggregate):
+      //   __df = rows per (h, shingle) — the global doc frequency (each
+      //          doc holds one row per distinct shingle, the identity the
+      //          r18 window used), immune to collisions by construction;
+      //   __nh = rows per h — equal to __df for every row iff the hash
+      //          carries exactly one distinct shingle, so __nh > __df IS
+      //          the exact collision predicate.
+      // Both windows share the hashpartitioning(__h) exchange (subset
+      // clustering) and one (h, shingle) local sort of 8-byte-keyed rows.
+      val wH = Window.partitionBy(col("__h"))
+      val wHS = Window.partitionBy(col("__h"), col("shingle"))
+      val marked = keyed
+        .withColumn("__nh", count(lit(1)).over(wH))
+        .withColumn("__df", count(lit(1)).over(wHS))
+      val capped =
+        if (maxShingleDf > 0) marked.filter(col("__df") <= maxShingleDf)
+        else marked
+      // strings leave the stream HERE: the join key is (h, dis) where dis
+      // carries the shingle only under a detected 64-bit collision
+      // (expected never) and "" otherwise — equality on (h, dis) is
+      // provably string equality, so `inter` is exact
+      val slim = capped
+        .select((col("id") +: col("__h") +:
+          when(col("__nh") > col("__df"), col("shingle")).otherwise(lit(""))
+            .as("__dis") +:
+          bandCols.map(col)): _*)
+      val a = slim.select((col("id").as("id_a") +: col("__h") +: col("__dis") +:
+        bandCols.map(col)): _*)
+      val b = slim.select((col("id").as("id_b") +: col("__h") +: col("__dis") +:
+        bandCols.map(col)): _*)
+      // both sides inherit hashpartitioning(__h) from the one window
+      // exchange (AQE stage reuse dedupes the statically-duplicated
+      // subtree), and (h) co-partitioning satisfies the (h, dis, bands)
+      // join keys — the join itself adds NO exchange
+      a.join(b, Seq("__h", "__dis") ++ bandCols)
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     } else {
+      val sh = if (maxShingleDf > 0) {
+        // legacy in-row path keeps the window form: it has no self-join
+        // whose exchange the aggregate shape could share
+        val w = Window.partitionBy(col("shingle"))
+        sh0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxShingleDf).drop("df")
+      } else sh0
       sh.groupBy((col("shingle") +: bandCols.map(col)): _*)
         .agg(sort_array(collect_list(col("id"))).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -528,9 +588,27 @@ object Dedup {
     // idempotent, so duplicate edges cost join fan-out but never change a
     // label — candidate-pair producers emit unique pairs already, and a
     // caller with a genuinely dirty edge list can distinct() it themselves
-    val sym = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
+    val sym0 = edges.select(col(srcCol).as("n"), col(dstCol).as("m"))
       .union(edges.select(col(dstCol).as("n"), col(srcCol).as("m")))
       .repartition(col("m")).cache()
+    // ITERATIVE-CACHE PARTITION CAP (round 19, r18 verdict #3 — the
+    // Graph.pageRank discipline, see Par.iterCachePartitions): a cached
+    // repartition keeps the un-coalesced 8× initialPartitionNum width, so
+    // every CC round's neighbor join scheduled a ~256-task wave over
+    // KB-sized cached blocks at sf0.1. Re-laid to
+    // min(defaultParallelism, ceil(rows/32k)) partitions when that target
+    // BINDS (small relation) and removes ≥ half the waves; a big graph
+    // keeps its natural width, so the at-scale layout is untouched.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val pEdge = graft.core.Par.iterCachePartitions(sym0.count(), par)
+    val sym =
+      if (pEdge >= par || sym0.rdd.getNumPartitions <= 2 * pEdge) sym0
+      else {
+        val compact = sym0.repartition(pEdge, col("m")).cache()
+        compact.count()
+        sym0.unpersist(blocking = false)
+        compact
+      }
     // round 0 fused into initialization: over identity start labels, "min of
     // own and neighbors' labels" IS min(n, min(m)) grouped by n — one
     // aggregate replaces the identity-map build plus a full first round

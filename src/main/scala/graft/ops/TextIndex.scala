@@ -393,12 +393,15 @@ object TextIndex {
     * standard in every engine) and floor-rounds to 6 dp.
     *
     * Scale shape: d22's inverted-index discipline — the pair generator is
-    * a postings SELF-JOIN on `token` with `maxDf` capping the posting
+    * a postings SELF-JOIN on the term's 64-bit xxhash key (with exact
+    * collision disambiguation, the pairCore contract — no term string
+    * crosses the exchange) with `maxDf` capping the posting
     * lists that may pair (a stopword shared by 10^9 documents generates
     * no pairs; it carries ~no cosine information and would be the one
     * quadratic blowup), so candidates are Σ_t df_t² over rare terms only;
     * norms include EVERY term (they are per-doc aggregates, no join). One
-    * hash exchange builds tf, one the pair aggregate. */
+    * hash exchange builds tf, one narrow one feeds both self-join sides,
+    * one the pair aggregate. */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxDf: Long = 1000L,
                         ngram: Int = 3): DataFrame = {
@@ -443,14 +446,37 @@ object TextIndex {
     val norms = wq.groupBy(col("id"))
       .agg(sum((col("wq").cast("decimal(19,0)") * col("wq").cast("decimal(19,0)"))
         .cast("decimal(38,0)")).as("norm2"))
-    // df served its purpose at the filter — dropping it BEFORE the rename
-    // keeps the postings self-join (the widest exchange here) narrow
-    val posts = wq.filter(col("df") <= maxDf).select(col("id"), col("w"), col("wq"))
+    // 64-BIT POSTINGS KEY with exact collision handling (round 19, r18
+    // verdict #5 — the pairCore discipline): the postings self-join was
+    // the widest exchange on the whole bench surface (36.7 MB at sf0.1)
+    // and shipped the full n-gram term STRING per posting row. Terms are
+    // keyed by xxhash64; the hashes carrying >1 distinct term (expected
+    // none — a real in-vocabulary 64-bit collision) come from one
+    // vocabulary-sized aggregate over the ALREADY-STAGED wq blocks (no
+    // extra corpus pass), and colliding postings keep their term string
+    // in a disambiguator column — join equality on (h, dis) is provably
+    // the old string equality, so every dot product is unchanged.
+    val hw = xxhash64(col("w"))
+    val coll = wq.groupBy(hw.as("__h"))
+      .agg(min(col("w")).as("__mn"), max(col("w")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__h"), lit(true).as("__coll"))
+    // df served its purpose at the filter — dropping it (and the term
+    // string) BEFORE the rename keeps the self-join exchange narrow:
+    // (id, h, dis, wq), no strings
+    val posts = wq.filter(col("df") <= maxDf)
+      .withColumn("__h", hw)
+      .join(broadcast(coll), Seq("__h"), "left")
+      .select(col("id"), col("__h"),
+        when(col("__coll"), col("w")).otherwise(lit("")).as("__dis"), col("wq"))
+      // the simHashPairs exchange-reuse trick: repartition on the join key
+      // BELOW the per-side renames, so both sides share ONE exchange
+      .repartition(col("__h"), col("__dis"))
     // same-lineage self-join: per-side toDF renames (fresh attribute ids)
     // keep the key predicate real
-    val a = posts.toDF("id_a", "w", "wq_a")
-    val b = posts.toDF("id_b", "w", "wq_b")
-    val dots = a.hint("shuffle_hash").join(b, Seq("w"))
+    val a = posts.toDF("id_a", "__h", "__dis", "wq_a")
+    val b = posts.toDF("id_b", "__h", "__dis", "wq_b")
+    val dots = a.hint("shuffle_hash").join(b, Seq("__h", "__dis"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum((col("wq_a").cast("decimal(19,0)") * col("wq_b").cast("decimal(19,0)")).cast("decimal(38,0)")).as("dot"))
@@ -550,13 +576,20 @@ object TextIndex {
     // now never crosses an exchange: the tf groupBy map-side-combines it,
     // and every identity downstream is exact — Σ_occurrences lp over a
     // token equals tf · lp in decimal, and Σ_occurrences 1 equals Σ tf.
-    val tfd = docs.select(col("doc_id"), col("label"), explode(col("t")).as("token"))
-      .groupBy(col("doc_id"), col("label"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val counts = tfd.groupBy(col("label"), col("token"))
-      .agg(sum(col("tf")).as("c_lt"))
-      .localCheckpoint()
+    // Checkpointing.stage, not a raw localCheckpoint (r18 verdict #6): tfd
+    // is a CORPUS-SCALE intermediate — per-(doc, token) rows — and stage()
+    // carries the reliable-checkpoint tier flag, so a cluster with
+    // executor churn can pin it to durable storage like every other
+    // staged corpus intermediate (the composed-pass discipline). The
+    // model-sized `counts` (|vocab|×|labels|-bounded) rides the same tier
+    // for consistency.
+    val tfd = Checkpointing.stage(
+      docs.select(col("doc_id"), col("label"), explode(col("t")).as("token"))
+        .groupBy(col("doc_id"), col("label"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val counts = Checkpointing.stage(
+      tfd.groupBy(col("label"), col("token"))
+        .agg(sum(col("tf")).as("c_lt")))
     val totals = counts.groupBy(col("label")).agg(sum(col("c_lt")).as("c_l"))
     val vocab = counts.agg(countDistinct(col("token")).as("v"))
     val priors = docs.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))

@@ -228,8 +228,8 @@ class BenchUtilSpec extends AnyFunSuite {
   test("censorBudgetS: per-rep storm time-box (round 18, r17 verdict #1)") {
     // r17's d81 shape: prior 0.288 s — budget = max(3×0.288, 2.0) + 0.3 =
     // 2.3 s same-host; of its two ~11 s storm reps (22 s of a 420 s
-    // budget) rep 2 is cancelled inside 2.3 s (rep 1 is censor-exempt:
-    // priming/JIT work is legitimate there — see runReps)
+    // budget) rep 2 is cancelled inside 2.3 s (rep 1 runs under the wider
+    // rep1CensorBudgetS since round 19 — see its own test below)
     assert(BenchUtil.censorBudgetS(Some(0.288), 3.0, 2.0, crossHost = false)
       .exists(b => math.abs(b - 2.3) < 1e-9))
     // a multi-second prior scales with the ratio, not the floor:
@@ -246,6 +246,61 @@ class BenchUtilSpec extends AnyFunSuite {
       .exists(b => math.abs(b - 3.0) < 1e-9))
     // no comparable prior → nothing to box against → no censor
     assert(BenchUtil.censorBudgetS(None, 3.0, 2.0, crossHost = false).isEmpty)
+  }
+
+  test("rep1CensorBudgetS: rep 1 is boxed too, just wider (round 19, r18 verdict #1a)") {
+    // d128's r18 driver storm: prior 5.125 s — rep-1 budget =
+    // max(3×5.125, 3×2.0) + 10 + 0.3 = 25.675 s; the 91.3 s storm rep
+    // dies there instead of running to completion
+    assert(BenchUtil.rep1CensorBudgetS(Some(5.125), 3.0, 2.0, 10.0, crossHost = false)
+      .exists(b => math.abs(b - 25.675) < 1e-9))
+    // q154's shape: 0.05 s serve prior but a ~3.4 s one-time layout build
+    // on rep 1 — budget = max(0.15, 6) + 10 + 0.3 = 16.3 s, 4× headroom
+    assert(BenchUtil.rep1CensorBudgetS(Some(0.05), 3.0, 2.0, 10.0, crossHost = false)
+      .exists(b => math.abs(b - 16.3) < 1e-9))
+    // no comparable prior → no box (same contract as censorBudgetS)
+    assert(BenchUtil.rep1CensorBudgetS(None, 3.0, 2.0, 10.0, crossHost = false).isEmpty)
+    // always at least as wide as the steady-state budget
+    for (p <- Seq(0.05, 0.5, 2.0, 5.0, 20.0)) {
+      val r1 = BenchUtil.rep1CensorBudgetS(Some(p), 3.0, 2.0, 10.0, crossHost = false).get
+      val rn = BenchUtil.censorBudgetS(Some(p), 3.0, 2.0, crossHost = false).get
+      assert(r1 > rn, s"prior $p: rep-1 budget $r1 must exceed steady $rn")
+    }
+  }
+
+  test("isCancellation: only Spark job-cancellation shapes count (round 19, r18 ADVICE)") {
+    // the two messages Spark's scheduler emits for a cancelled job group
+    assert(BenchUtil.isCancellation(new RuntimeException(
+      "Job 42 cancelled because of cancellation of job group bench-x-rep2-1")))
+    assert(BenchUtil.isCancellation(new RuntimeException(
+      "Job aborted: cancelled as part of cancellation of all jobs in group")))
+    // wrapped one level down (a stage failure carrying the cancel cause)
+    assert(BenchUtil.isCancellation(new RuntimeException("stage failed",
+      new RuntimeException("Job 7 cancelled"))))
+    // a genuine failure thrown after the watchdog fired must NOT classify
+    assert(!BenchUtil.isCancellation(new RuntimeException(
+      "java.lang.ArithmeticException: / by zero")))
+    assert(!BenchUtil.isCancellation(new RuntimeException(null: String)))
+    // deep unrelated chains terminate (bounded walk) without classifying
+    val deep = (1 to 32).foldLeft(new RuntimeException("leaf"): Throwable) {
+      (c, i) => new RuntimeException(s"wrap $i", c)
+    }
+    assert(!BenchUtil.isCancellation(deep))
+  }
+
+  test("capRotation: at most cap starved queries rotate, largest priors first (round 19, r18 verdict #1b)") {
+    val priors = Map("d128" -> 5.1, "d130" -> 4.0, "p90" -> 3.9, "p91" -> 0.95)
+    // the r18 shape: four starved heavyweights, cap 3 → p91 (smallest
+    // prior) stays in its cheapest-first slot
+    assert(BenchUtil.capRotation(Seq("p91", "d130", "d128", "p90"), priors, 3)
+      == Seq("d128", "d130", "p90"))
+    // unknown priors sort at the 0.5 s mid-cost estimate
+    assert(BenchUtil.capRotation(Seq("new_q", "p91"), priors, 1) == Seq("p91"))
+    // cap 0 disables rotation outright; negative treated as 0
+    assert(BenchUtil.capRotation(Seq("d128"), priors, 0).isEmpty)
+    assert(BenchUtil.capRotation(Seq("d128"), priors, -1).isEmpty)
+    // fewer starved than cap: all rotate
+    assert(BenchUtil.capRotation(Seq("d128"), priors, 3) == Seq("d128"))
   }
 
   test("repsFor serve-read tier: sub-cutoff priors run 2 reps, warm-min floor kept (r17 verdict #7)") {

@@ -1650,6 +1650,22 @@ class PipelineSpec extends SparkSpec {
     // table-driven hex = the old "%02x" form, byte for byte
     val bytes = Array[Byte](0, 1, 0x7f, -1, -128, 0x42)
     assert(Multimodal.toHex(bytes) == bytes.map("%02x".format(_)).mkString)
+    // REGISTRY ⊆ WHITELIST ⊆ PREFIX-TABLE consistency (r19, r18 verdict
+    // #7): every whitelist entry must belong to a format family whose
+    // magic the prefix table covers — an entry with no prefix (the r18
+    // "jpeg 2000"/"jpeg2000" latent bug) would keep gateSafe true while
+    // the gate silently stubs that format's decodable payloads. The
+    // whitelist is pinned LITERALLY to the families the prefixes above
+    // exercise; extending it requires adding the new format's magic to
+    // maybeImage and a passing assertion here.
+    assert(Multimodal.knownJdkFormats ==
+      Set("jpg", "jpeg", "png", "gif", "bmp", "wbmp", "tif", "tiff"))
+    // and the stock JDK registry is inside the whitelist (gateSafe armed
+    // on this JVM — the configuration every perf claim was measured in)
+    val registry = javax.imageio.ImageIO.getReaderFormatNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    assert(registry.subsetOf(Multimodal.knownJdkFormats),
+      s"unexpected ImageIO readers registered: ${registry -- Multimodal.knownJdkFormats}")
   }
 
   test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
