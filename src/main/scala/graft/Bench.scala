@@ -424,17 +424,30 @@ private[graft] object BenchUtil {
     * censored rep once the watchdog had fired, so a genuine query failure
     * thrown just after the budget expired was hidden from `failed`,
     * recorded as censored, and burned an uncensored requeue window where
-    * it would fail again). Message-based by necessity — Spark signals
-    * cancellation as a SparkException whose message carries "cancelled"
-    * ("Job N cancelled because of cancellation of job group G" /
-    * "cancelled as part of cancellation of all jobs in group") — walking
-    * the cause chain because the cancel can surface wrapped (e.g. inside
-    * a stage failure). British spelling only: Spark's scheduler messages
-    * use "cancelled" exclusively. */
+    * it would fail again). Two signals, walked down the cause chain (the
+    * cancel can surface wrapped, e.g. inside a stage failure):
+    *  - exception CLASS: CancellationException / InterruptedException —
+    *    how a cancelled broadcast/checkpoint future surfaces, typically
+    *    with a NULL message (r19 review: a message-only check would
+    *    misclassify exactly those as genuine failures, nulling the run's
+    *    total — the inversion of the bug this method fixes);
+    *  - MESSAGE substring "cancel": Spark's scheduler signals group
+    *    cancellation as a SparkException ("Job N cancelled because of
+    *    cancellation of job group G" / "cancelled as part of cancellation
+    *    of all jobs in group").
+    * The residual over-breadth (a real failure whose message happens to
+    * contain "cancel") is bounded by the call site: this method is only
+    * consulted AFTER the watchdog fired for the rep, so both conditions
+    * must coincide for a misclassification. */
   def isCancellation(e: Throwable): Boolean = {
     var t = e
     var seen = 0
     while (t != null && seen < 16) {
+      t match {
+        case _: java.util.concurrent.CancellationException => return true
+        case _: InterruptedException => return true
+        case _ =>
+      }
       val m = t.getMessage
       if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel"))
         return true
@@ -655,8 +668,14 @@ object Bench {
     // promoted ahead of the rotated block so ITS rep-set absorbs session
     // init/JIT before any heavyweight is measured.
     val rotateCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE_CAP", "3").toInt
-    val starved = BenchUtil.capRotation(priorSkipped, prior, rotateCap).toSet
-    if (priorSkipped.size > starved.size)
+    // intersect the starved list with THIS run's pool before capping (r19
+    // review): otherwise rotation slots are consumed by starved queries a
+    // query filter (or a renamed/removed query) keeps out of the run, and
+    // a runnable starved query misses its slot and starves again
+    val runnable = explicitTail.map(_._1).toSet
+    val starved = BenchUtil.capRotation(
+      priorSkipped.filter(runnable.contains), prior, rotateCap).toSet
+    if (priorSkipped.count(runnable.contains) > starved.size)
       System.err.println(s"[bench] prior run skipped ${priorSkipped.size} queries — rotation capped at $rotateCap (largest priors); the rest stay cheapest-first")
     val queryList =
       if (starved.isEmpty) explicitTail
@@ -664,14 +683,11 @@ object Bench {
         val (front, rest) = explicitTail.partition { case (n, _) => starved.contains(n) }
         if (front.nonEmpty)
           System.err.println(s"[bench] auto-rotated to the front: ${front.map(_._1).mkString(", ")}")
-        val withFront = front ++ rest
-        withFront.filter { case (n, _) => !front.exists(_._1 == n) } match {
-          case _ if front.isEmpty => withFront
-          case notRotated if notRotated.nonEmpty =>
-            val warm = notRotated.minBy { case (n, _) => (prior.getOrElse(n, 0.5), n) }
-            System.err.println(s"[bench] warmup-first: ${warm._1} promoted ahead of the rotated block")
-            warm +: withFront.filterNot(_._1 == warm._1)
-          case _ => withFront
+        if (front.isEmpty || rest.isEmpty) front ++ rest
+        else {
+          val warm = rest.minBy { case (n, _) => (prior.getOrElse(n, 0.5), n) }
+          System.err.println(s"[bench] warmup-first: ${warm._1} promoted ahead of the rotated block")
+          warm +: (front ++ rest.filterNot(_._1 == warm._1))
         }
       }
     // a throwing query must surface as a FAILURE, not masquerade as a fast

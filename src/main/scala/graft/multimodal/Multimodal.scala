@@ -163,7 +163,7 @@ object Multimodal {
   // ⊆ prefix-table chain.
   private[graft] val knownJdkFormats = Set("jpg", "jpeg", "png", "gif", "bmp",
     "wbmp", "tif", "tiff")
-  private lazy val gateSafe: Boolean =
+  private[graft] lazy val gateSafe: Boolean =
     javax.imageio.ImageIO.getReaderFormatNames
       .forall(f => knownJdkFormats.contains(f.toLowerCase(java.util.Locale.ROOT)))
 

@@ -122,11 +122,20 @@ object Graph {
         compact
       }
     val nE = symM0.count() // cached scan — cheap, and the count the cap needs
+    // ONE edge-derived width for BOTH caches (r19 review): the per-round
+    // `sums` aggregate inherits the edge cache's hashpartitioning(node)
+    // width, and a nodes cache at a DIFFERENT width would force
+    // EnsureRequirements to re-shuffle one side of the nodes⋈sums join
+    // every round — a per-round exchange the old uniform-width shape never
+    // paid. nodes is node-sized, so pEdge partitions of it are cheap.
     val pEdge = graft.core.Par.iterCachePartitions(nE, par)
-    val symM = relayout(symM0, pEdge, col("m"))
-    val nodes = relayout(nodes0, graft.core.Par.iterCachePartitions(nN, par),
-      col("node"))
     val useBroadcast = nN <= broadcastMaxNodes
+    // in shuffle mode the m-layout is never read by any round (the rounds
+    // join on the n-layout built below) — relaying it first would shuffle
+    // and cache the whole edge relation just to discard it (r19 review),
+    // so the m-relayout is broadcast-mode-only
+    val symM = if (useBroadcast) relayout(symM0, pEdge, col("m")) else symM0
+    val nodes = relayout(nodes0, pEdge, col("node"))
     val sym = if (useBroadcast) symM else {
       // one extra edge shuffle at BUILD time (m-layout → n-layout), paid
       // once so that no round pays it: the per-round join is then

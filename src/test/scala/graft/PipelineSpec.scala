@@ -1660,12 +1660,17 @@ class PipelineSpec extends SparkSpec {
     // maybeImage and a passing assertion here.
     assert(Multimodal.knownJdkFormats ==
       Set("jpg", "jpeg", "png", "gif", "bmp", "wbmp", "tif", "tiff"))
-    // and the stock JDK registry is inside the whitelist (gateSafe armed
-    // on this JVM — the configuration every perf claim was measured in)
+    // the gate's ARMING invariant, tested behaviorally (r19 review: a hard
+    // registry ⊆ whitelist assert would fail CI whenever a test classpath
+    // grows an extra ImageIO SPI — a world the production code handles by
+    // design): gateSafe must be armed exactly when the live registry is
+    // inside the whitelist, and when DISARMED decoding must still work
+    // through the full ImageIO probe (slower, never wrong)
     val registry = javax.imageio.ImageIO.getReaderFormatNames
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    assert(registry.subsetOf(Multimodal.knownJdkFormats),
-      s"unexpected ImageIO readers registered: ${registry -- Multimodal.knownJdkFormats}")
+    assert(Multimodal.gateSafe == registry.subsetOf(Multimodal.knownJdkFormats))
+    if (!Multimodal.gateSafe)
+      assert(Multimodal.readImage(bos.toByteArray).isDefined) // disarmed-path decode
   }
 
   test("explainPairs: edit distance, normalized ratio, only listed pairs explained") {
